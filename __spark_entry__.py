@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (exact cosine kNN, SURVEY.md 7.1)
+at sf0.001.  ``queries()`` / ``oracle_sql()`` pair every implemented
+operator with a DuckDB oracle at sf0.01.
+
+Float policy: every distance/aggregate column is computed in float64 and
+rounded (6 dp for distances, 2 dp for money sums) on BOTH sides so the
+order-insensitive value-hash is stable across engines (SURVEY.md 7.4).
 """
 
 from __future__ import annotations
@@ -12,27 +14,174 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.knn import knn, knn_join
+from inmem_vector_db_spark.sources.loader import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).head()
+    return [float(x) for x in row["embedding"]]
+
+
+def _knn_query(metric: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        q = _query_vec(spark, sf_dir, 0)
+        return knn(_emb(spark, sf_dir), q, k=k, metric=metric).select(
+            "vec_id", F.round("dist", 6).alias("dist")
+        )
+
+    return run
+
+
+# DuckDB-side distance expressions (element arithmetic in DOUBLE, like Spark).
+_DUCK_DIST = {
+    "euclidean": "list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])",
+    "cosine": "1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[])",
+    "dot_product": "-list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])",
+    "manhattan": (
+        "list_sum(list_transform(generate_series(1, len(e.embedding)),"
+        " i -> abs(e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))"
+    ),
+}
+
+
+def _knn_oracle(metric: str, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_DUCK_DIST[metric]}, 6) AS dist
+FROM embeddings e, q
+ORDER BY {_DUCK_DIST[metric]}, e.vec_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact cosine top-10 over embeddings at sf0.001 (J1/T1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    q = _query_vec(spark, sf_dir, 0)
+    return knn(_emb(spark, sf_dir), q, k=10, metric="cosine").select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+def _knn_multi_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_join(emb, queries, k=5, metric="cosine").select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_KNN_MULTI_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+         ) AS rn
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, round(d, 6) AS dist FROM scored WHERE rn <= 5
+"""
+
+
+def _knn_prefilter_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-before-rank (native mode of reference P2 tag filter):
+    nearest 10 among rows with label = 5 only."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    return knn(
+        emb.filter(F.col("label") == 5), q, k=10, metric="euclidean"
+    ).select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+_KNN_PREFILTER_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM embeddings e, q
+WHERE e.label = 5
+ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+LIMIT 10
+"""
+
+
+def _knn_postfilter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity mode (SURVEY.md 3.1 quirks): rank top-50 by
+    EUCLIDEAN (metric not forwarded, ``library.py:117``), then filter
+    (label = 5 standing in for the tag ALL-match), then re-slice to k=5
+    (``library_service.py:207-215``), then score with the REQUESTED metric
+    (cosine, ``library_service.py:217-223``) — so score order can disagree
+    with rank order."""
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 0)
+    top50 = knn(emb, q, k=50, metric="euclidean", payload_cols=["label", "embedding"])
+    from inmem_vector_db_spark.functions.distance import cosine
+
+    return (
+        top50.filter(F.col("label") == 5)
+        .orderBy("dist", "vec_id")
+        .limit(5)
+        .select(
+            "vec_id",
+            F.round(cosine(F.lit(q), F.col("embedding")), 6).alias("score"),
+        )
+    )
+
+
+_KNN_POSTFILTER_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+top50 AS (
+  SELECT e.vec_id, e.label, e.embedding,
+         list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d
+  FROM embeddings e, q
+  ORDER BY d, e.vec_id
+  LIMIT 50
+)
+SELECT t.vec_id,
+       round(1.0 - list_cosine_similarity(t.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+FROM top50 t, q
+WHERE t.label = 5
+ORDER BY t.d, t.vec_id
+LIMIT 5
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_cosine": _knn_query("cosine"),
+        "knn_euclidean": _knn_query("euclidean"),
+        "knn_manhattan": _knn_query("manhattan"),
+        "knn_dot_product": _knn_query("dot_product"),
+        "knn_multi_cosine": _knn_multi_cosine,
+        "knn_prefilter_label": _knn_prefilter_label,
+        "knn_postfilter_parity": _knn_postfilter_parity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_cosine": _knn_oracle("cosine"),
+        "knn_euclidean": _knn_oracle("euclidean"),
+        "knn_manhattan": _knn_oracle("manhattan"),
+        "knn_dot_product": _knn_oracle("dot_product"),
+        "knn_multi_cosine": _KNN_MULTI_ORACLE,
+        "knn_prefilter_label": _KNN_PREFILTER_ORACLE,
+        "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
+    }

@@ -1,0 +1,212 @@
+"""Exact brute-force kNN (reference J1/T1, SURVEY.md 2.3/2.5).
+
+Reference semantics: ``FlatIndexer.search`` (``app/core/indexers/
+flat_index.py:69-110``) loops over every stored embedding, computes the
+requested distance, sorts ascending, returns the first k ids; ties are
+broken by insertion order, here deterministically by id.
+
+Spark-first design:
+
+* **Single query** — a broadcast scalar: ``corpus.select(dist).orderBy(
+  dist).limit(k)``.  Catalyst turns orderBy+limit into
+  ``TakeOrderedAndProject``: each partition keeps its local top-k and the
+  driver merges N_partitions * k rows — no shuffle of the corpus, linear
+  scan exactly like the reference but parallel over partitions.  This is
+  the plan that survives a 100 TB corpus.
+
+* **Multi query** (``knn_join``) — broadcast the (small) query side into a
+  nested-loop join, then per-query top-k.  Two implementations:
+
+  - ``knn_join``: pure Column expressions + window ``row_number() <= k``.
+    Whole-stage-codegen'd, oracle-exact, but the window shuffles
+    |corpus| x |queries| candidate rows by query_id — fine for modest
+    fan-outs, wrong at 100 TB.
+
+  - ``knn_join_vectorized``: ``mapInPandas`` computes a numpy
+    distance-matrix per Arrow batch and emits only the local top-k per
+    query per batch (<= k x |queries| rows per partition), then a final
+    tiny window merges.  The shuffle input shrinks from |corpus| x
+    |queries| to N_partitions x k x |queries| — this is the scale path,
+    and BLAS matrix math is also ~10-100x faster per row than per-row
+    expression eval.
+
+Both paths compute float64 distances and agree with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions.distance import METRICS, distance
+
+
+def _query_lit(query_vec: Sequence[float]):
+    return F.lit([float(x) for x in query_vec])
+
+
+def _dim_guard(vec_col: str, dim: int) -> F.Column:
+    """Fail loudly on dimension mismatch.  ``zip_with`` pads the shorter
+    array with NULLs, which would otherwise propagate to a NULL distance
+    that sorts FIRST ascending — silently corrupting top-k.  The reference
+    validates dimensions at insert (``chunk.py:63-71``, ``hnsw.py:553-563``);
+    we validate at query time, JVM-side, with no extra pass."""
+    return F.when(
+        F.size(F.col(vec_col)) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dimension mismatch: query dim={dim}, corpus dim="),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ),
+    )
+
+
+def knn(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-k nearest rows to one query vector (reference default k=5,
+    metric validated like ``schemas/search.py:38-43``).
+
+    Returns (id_col, *payload_cols, dist) ascending by (dist, id).
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    qlit = _query_lit(query_vec)
+    dist = _dim_guard(vec_col, len(query_vec)).otherwise(
+        distance(metric, qlit, F.col(vec_col))
+    )
+    cols = [F.col(id_col), *[F.col(c) for c in payload_cols], dist.alias("dist")]
+    # orderBy + limit => TakeOrderedAndProject (partition-local top-k,
+    # driver merge): no corpus shuffle.
+    return corpus.select(*cols).orderBy("dist", id_col).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """For every query row, the k nearest corpus rows (expression path).
+
+    Output: (query_id, id_col, dist, rank) with rank 1..k per query.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qvec")
+        )
+    )
+    dist = distance(metric, F.col("__qvec"), F.col(vec_col))
+    scored = corpus.crossJoin(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        dist.alias("dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Scale/fast path: numpy distance matrix per Arrow batch, partial
+    top-k map-side, tiny final merge. Same output contract as knn_join."""
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    if metric not in METRICS:
+        raise ValueError(f"unknown metric {metric!r}")
+
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    if not rows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in rows]
+    qmat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)  # (Q, D)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = (
+        f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        "dist double"
+    )
+    met = metric
+    kk = k
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )  # (N, D)
+            if met == "euclidean":
+                # |q-v|^2 = |q|^2 + |v|^2 - 2 q.v   (BLAS-backed)
+                d2 = (
+                    (qmat_ * qmat_).sum(1)[:, None]
+                    + (vmat * vmat).sum(1)[None, :]
+                    - 2.0 * qmat_ @ vmat.T
+                )
+                dmat = np.sqrt(np.maximum(d2, 0.0))
+            elif met == "manhattan":
+                dmat = np.abs(qmat_[:, None, :] - vmat[None, :, :]).sum(-1)
+            elif met == "dot_product":
+                dmat = -(qmat_ @ vmat.T)
+            else:  # cosine
+                qn = np.linalg.norm(qmat_, axis=1)
+                vn = np.linalg.norm(vmat, axis=1)
+                denom = qn[:, None] * vn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = (qmat_ @ vmat.T) / denom
+                dmat = np.where(denom == 0.0, 1.0, 1.0 - sim)
+            n = dmat.shape[1]
+            take = min(kk, n)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qid in enumerate(qids_):
+                idx = np.argpartition(dmat[qi], take - 1)[:take]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            id_col: ids[idx],
+                            "dist": dmat[qi, idx],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+    w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Designed for a 1000-executor cluster reading ~100 TB; tested on
+``local[N]``.  Every setting here is a default, overridable by the caller
+or by ``spark-defaults.conf`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB posture:
+#  - AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+#  - shuffle.partitions: a starting point only; AQE coalesces down and a
+#    real cluster would raise it (rule of thumb: ~2-3x total cores, with
+#    partitions sized 128-512 MB post-compression).
+#  - Arrow on: every pandas_udf / mapInPandas stage moves columnar batches.
+#  - autoBroadcastJoinThreshold raised: dims (region/nation/part at TPC-H
+#    scale, query-vector tables here) should always broadcast.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "64",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "inmem-vector-db-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` so the same
+    code runs unchanged under a cluster manager (where ``master`` is
+    supplied externally and this argument stays ``None``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is None:
+        master = "local[*]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,41 @@
+"""Parquet scan layer (reference ops S1-S4, SURVEY.md 2.1).
+
+The reference persists each library as one pickle file and re-reads the
+whole directory on startup (``app/api/dependencies.py:36-67``).  Here the
+durable format is columnar parquet; "startup recovery" is just
+``spark.read.parquet`` — predicate pushdown and column pruning reach the
+scan for free, which matters when the table is 100 TB, not 500 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-generated tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Columnar parquet => column pruning + filter pushdown."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works on them."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,82 @@
+"""Exact kNN operator vs numpy brute force (reference
+``flat_index.py:69-110`` semantics: ascending distance, top-k)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from inmem_vector_db_spark.operators.knn import knn, knn_join, knn_join_vectorized
+from inmem_vector_db_spark.sources.loader import load_table
+from tests.test_distance import np_metric
+
+METRICS = ["euclidean", "cosine", "dot_product", "manhattan"]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def brute(ids, mat, q, k, metric):
+    d = np.array([np_metric(metric, q, v) for v in mat])
+    order = np.lexsort((ids, d))
+    return [(int(ids[i]), float(d[i])) for i in order[:k]]
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_knn_single_query(emb, emb_np, metric):
+    ids, mat = emb_np
+    q = mat[ids == 0][0]
+    got = [(r["vec_id"], r["dist"]) for r in knn(emb, q, k=10, metric=metric).collect()]
+    want = brute(ids, mat, q, 10, metric)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_knn_self_query_returns_self_first(emb, emb_np):
+    # flat-index sanity from reference tests (test_library_save_load.py:147-149)
+    ids, mat = emb_np
+    q = mat[ids == 7][0]
+    top = knn(emb, q, k=1, metric="euclidean").head()
+    assert top["vec_id"] == 7 and top["dist"] == pytest.approx(0.0)
+
+
+def test_knn_k_bounds(emb):
+    # reference returns < k when corpus smaller (flat_index.py:96-108)
+    n = emb.count()
+    assert knn(emb, [0.0] * 64, k=n + 50).count() == n
+    with pytest.raises(ValueError):
+        knn(emb, [0.0] * 64, k=0)
+
+
+@pytest.mark.parametrize("impl", [knn_join, knn_join_vectorized])
+def test_knn_join_matches_brute(spark, emb, emb_np, impl):
+    ids, mat = emb_np
+    qids = [0, 1, 2, 3]
+    queries = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[ids == i][0]]) for i in qids],
+        "query_id long, query_vec array<double>",
+    )
+    res = impl(emb, queries, k=5, metric="cosine").collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["dist"]))
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        got = sorted(by_q[qid])
+        want = brute(ids, mat, mat[ids == qid][0], 5, "cosine")
+        assert [g[1] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[1], abs=1e-9)
