@@ -164,7 +164,9 @@ LIMIT 5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from inmem_vector_db_spark.plans.relational import QUERIES as REL
+
+    out = {
         "knn_cosine": _knn_query("cosine"),
         "knn_euclidean": _knn_query("euclidean"),
         "knn_manhattan": _knn_query("manhattan"),
@@ -173,10 +175,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_prefilter_label": _knn_prefilter_label,
         "knn_postfilter_parity": _knn_postfilter_parity,
     }
+    out.update({name: fn for name, (fn, _sql) in REL.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from inmem_vector_db_spark.plans.relational import QUERIES as REL
+
+    out = {
         "knn_cosine": _knn_oracle("cosine"),
         "knn_euclidean": _knn_oracle("euclidean"),
         "knn_manhattan": _knn_oracle("manhattan"),
@@ -185,3 +191,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_prefilter_label": _KNN_PREFILTER_ORACLE,
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
     }
+    out.update({name: sql for name, (_fn, sql) in REL.items()})
+    return out

@@ -1,0 +1,290 @@
+"""Relational query pack over the TPC-H-ish test tables.
+
+The reference has no relational joins (SURVEY.md 2.3: its only join-shaped
+ops are distance evaluations and id->entity lookups), but a 100 TB
+training-data engine lives on scans + joins + aggregations + windows.
+These queries exercise every relational operator class the engine must
+support, expressed declaratively so Catalyst supplies pushdown, pruning,
+partial aggregation, and broadcast-join selection.
+
+Scale notes (the plan we WANT at 1000 executors):
+
+* q1: scan lineitem only, filter pushed to parquet, partial+final agg —
+  one shuffle of ~8 groups.  AQE coalesces the post-shuffle partitions.
+* q3/q5: dims (region/nation, filtered customer) broadcast; the only big
+  shuffle is lineitem->orders, which AQE sizes.  Join order: filter
+  first, join facts last.
+* window queries partition by a high-cardinality key (nation, user) so
+  no single-partition bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.sources.loader import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast join -> agg ->
+    top-10.  customer(BUILDING) is small => Catalyst broadcasts it."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join region->nation->customer/supplier
+    with the co-location condition c_nationkey = s_nationkey; all dims
+    broadcast, single fact shuffle."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join orders -> lineitem (the engine's
+    semi-join analog of the reference's existence predicates, P5)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    # semi-join: at least one lineitem shipped after the order date
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 customers by account balance per nation.
+    Partition key = nation (high cardinality vs cluster size at real
+    scale); ties broken by custkey for determinism."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+)
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, rnk
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rnk <= 3
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling aggregation (batch form of the streaming
+    window, SURVEY.md 2.9) + JSON extraction from the props column."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral rollup: conditional aggregation + distinct
+    count — top 20 users by spend."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+                4,
+            ).alias("purchase_value"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+        )
+        .orderBy(F.desc("purchase_value"), "user_id")
+        .limit(20)
+    )
+
+
+EVENTS_USER_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+FROM events
+GROUP BY user_id
+ORDER BY purchase_value DESC, user_id
+LIMIT 20
+"""
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "top_customers_per_nation": (top_customers_per_nation, TOP_CUSTOMERS_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
+}

@@ -27,7 +27,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Columnar parquet => column pruning + filter pushdown."""
+    """Scan one table. Columnar parquet => column pruning + filter pushdown.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects; read it as long nanos and convert (integer div, no
+    double round-trip) to a microsecond TIMESTAMP — same truncation DuckDB
+    applies, so oracle comparisons agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
