@@ -165,6 +165,7 @@ LIMIT 5
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
+    from inmem_vector_db_spark.plans.textops import QUERIES as TXT
 
     out = {
         "knn_cosine": _knn_query("cosine"),
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_postfilter_parity": _knn_postfilter_parity,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
+    out.update({name: fn for name, (fn, _sql) in TXT.items()})
     return out
 
 
@@ -192,4 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
+    from inmem_vector_db_spark.plans.textops import QUERIES as TXT
+
+    out.update({name: sql for name, (_fn, sql) in TXT.items() if sql is not None})
     return out

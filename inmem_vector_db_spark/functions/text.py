@@ -1,0 +1,168 @@
+"""Text-analysis Column expressions for the training-data pipeline
+(beyond-reference operators, SURVEY.md 7.2 step 7).
+
+All functions are pure JVM-side expressions (split/transform/filter/
+aggregate) — no Python UDFs — so they pipeline with the parquet scan and
+survive a 100 TB documents table.  Every function has an exact DuckDB-SQL
+counterpart used by the oracle gate, so hashing/tokenization is defined
+over ``md5`` and single-space splits (portable across engines), not over
+engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Function words per language for the n-gram/stopword lang-id heuristic.
+# Deterministic tie-break: first language in LANGS with the max hit count.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es": ("el", "la", "de", "que", "los", "las", "un", "una"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour", "qui"),
+}
+LANGS = tuple(LANG_STOPWORDS)
+
+STOPWORDS_EN = LANG_STOPWORDS["en"] + ("a", "on", "for", "with", "as", "at")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, lowercased.  Single-space split (portable:
+    identical to DuckDB ``string_split(lower(text), ' ')``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_ratio(text: Column | str) -> Column:
+    """unique tokens / tokens — low values flag boilerplate/repetition."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    t = tokens(text)
+    sw = F.lit(list(stopwords))
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return hits.cast("double") / F.size(t)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length saturation + vocabulary
+    diversity + natural-language stopword band (the length/punct/stopword
+    family of LLM-corpus quality filters)."""
+    t = tokens(text)
+    n = F.size(t).cast("double")
+    length_part = F.least(F.lit(1.0), n / F.lit(128.0))
+    diversity = F.size(F.array_distinct(t)).cast("double") / n
+    sw = stopword_ratio(text)
+    # stopword band: ideal natural text has some but not all stopwords
+    band = F.lit(1.0) - F.abs(sw - F.lit(0.3)) / F.lit(0.7)
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.4) * diversity + F.lit(0.2) * band, 6
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles (space-joined); empty array when fewer than n
+    tokens.  Basis for MinHash / Jaccard dedup."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, mk)
+    )
+
+
+def lang_hits(text: Column | str, lang: str) -> Column:
+    t = tokens(text)
+    sw = F.lit(list(LANG_STOPWORDS[lang]))
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoints => zh; else argmax of
+    function-word hits with deterministic tie-break (LANGS order);
+    'unknown' when no hits."""
+    c = F.col(text) if isinstance(text, str) else text
+    hits = {lang: lang_hits(c, lang) for lang in LANGS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("unknown")
+    for lang in reversed(LANGS):
+        expr = F.when(hits[lang] == best, F.lit(lang)).otherwise(expr)
+    expr = F.when(best == 0, F.lit("unknown")).otherwise(expr)
+    return F.when(c.rlike("[一-鿿]"), F.lit("zh")).otherwise(expr)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Key-collision document fingerprint: md5 over the sorted distinct
+    token set.  Word-order-insensitive — catches shuffled boilerplate
+    that exact md5(text) misses."""
+    t = tokens(text)
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 12, shingle_n: int = 3) -> Column:
+    """MinHash signature as an array of ``num_hashes`` hex-string minima:
+    sig[i] = min over shingles of md5(i || '|' || shingle).
+
+    Using the lexicographic min of a salted md5 keeps the signature
+    engine-portable (DuckDB computes the identical value) while retaining
+    the MinHash property (each salt is an independent uniform permutation
+    of shingle space).
+    """
+    sh = word_shingles(text, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles, as BIGINT.
+
+    Hybrid plan: shingle hashing stays JVM-side (``xxhash64`` inside
+    whole-stage codegen — the expensive per-token work), then one
+    Arrow-batched pandas UDF turns each row's hash array into the 64-bit
+    signature with vectorized numpy bit-counting.  bit b = majority vote
+    of bit b across shingle hashes.  (A per-row Python md5 loop would be
+    the 100x-slower anti-pattern.)
+
+    Not DuckDB-reproducible (xxhash64 is Spark-specific) => rows-only
+    oracle; unit-tested against a pure-Python reference instead.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sh = word_shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    @pandas_udf("long")
+    def _sim(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        bitpos = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> bitpos[None, :]) & 1  # (n_shingles, 64)
+            maj = (bits.sum(0) * 2 >= len(h)).astype(np.uint64)
+            out[i] = (maj << bitpos).sum().astype(np.int64)
+        return pd.Series(out)
+
+    return _sim(hashes)
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit signatures (BIGINT columns) —
+    popcount of XOR, JVM-side via bit_count."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

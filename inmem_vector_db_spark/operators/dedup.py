@@ -1,0 +1,285 @@
+"""Deduplication operators for the training-data pipeline
+(beyond-reference, SURVEY.md 7.2 step 7): exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every variant is generate-candidates -> verify.  Candidate
+generation is an equi-join on a compact key (hash / band bucket / simhash
+band / LSH bucket), so the shuffle moves keys not documents; only
+verified candidate PAIRS ever see both texts.  No operator here compares
+all N^2 pairs at scale (the brute-force verifiers exist for small-sf
+oracle parity only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions.distance import cosine
+from inmem_vector_db_spark.functions.text import (
+    fingerprint,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact md5(text) group.  One shuffle on
+    the 128-bit hash — never on the text itself."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(canonical_id, dup_id) for every exact duplicate, via self-join on
+    md5 — the verify-side output of exact_dedup."""
+    h = df.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("canonical_id"),
+            F.col(f"b.{id_col}").alias("dup_id"),
+        )
+    )
+
+
+def fingerprint_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups sharing a key-collision fingerprint (sorted distinct token
+    set) but not necessarily identical text — catches shuffled/repeated
+    boilerplate."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verification.
+
+    Pipeline (each arrow is one narrow stage; the only shuffles are the
+    band-bucket join and the final dedup):
+
+      shingles -> minhash signature (num_hashes) -> split into ``bands``
+      bands -> md5 band key -> explode -> self-join on (band_idx, key)
+      -> distinct candidate pairs -> verify exact Jaccard on shingle sets
+      -> filter >= threshold.
+
+    Banding math: rows_per_band = num_hashes/bands; P(candidate) =
+    1-(1-j^r)^b — with 12 hashes / 4 bands (r=3), j=0.8 -> 95%, j=0.3 ->
+    10%.  Verification makes the output exact w.r.t. the threshold, so
+    recall (not precision) is the only approximation.
+    """
+    rows_per_band = num_hashes // bands
+    # Materialize signatures once: ``sig`` feeds three consumers (band
+    # explode + both sides of the verify join); without persist() the
+    # 12x-md5-per-shingle signature computation re-runs for each.  At
+    # cluster scale this would be a written signature table (the
+    # reference's "index build" artifact, M10) rather than a cache.
+    # Repartition first: signature hashing is the CPU-heavy stage and a
+    # small input file arrives as one split — spread it across all cores.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        df.repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
+        )
+        .filter(F.size("shset") > 0)
+        .persist()
+    )
+
+    band_keys = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+    a, b = band_keys.alias("a"), band_keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sh = sig.select(F.col(id_col), "shset")
+    verified = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "shset": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "shset": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked on the single
+    minimum shingle hash (1-hash MinHash blocking: any pair with Jaccard
+    j shares the min-shingle with probability j — cheap, high-recall for
+    high thresholds, and fully oracle-expressible)."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(nparts, F.col(id_col)).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
+    ).filter(F.size("shset") > 0)
+    # persist: both self-join sides would otherwise re-shingle + re-md5
+    keyed = base.withColumn(
+        "block", F.array_min(F.transform("shset", lambda s: F.md5(s)))
+    ).persist()
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("a.shset", "b.shset")).cast("double")
+                / F.size(F.array_union("a.shset", "b.shset")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates via 4-band blocking (any
+    pair within Hamming distance 3 of a 64-bit signature agrees exactly
+    on at least one 16-bit quarter — pigeonhole), verified by popcount.
+
+    Output: (id_a, id_b, hamming).  Not oracle-expressible (xxhash64) =>
+    rows-only check + unit test vs pure-Python SimHash.
+    """
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    sig = df.repartition(nparts, F.col(id_col)).select(
+        F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sig")
+    ).persist()  # both self-join sides reuse the UDF output
+    # 4 x 16-bit bands via shift/mask (JVM-side)
+    bands = sig.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cosine_dist: float = 0.2,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact (self-join).  O(N^2/2)
+    comparisons — correct at any size but only *affordable* when a
+    blocking key shrinks the join; at 100 TB use ``operators.lsh`` bucket
+    blocking first and this as the verifier within buckets."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cos_dist",
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
+        )
+        .filter(F.col("cos_dist") <= max_cosine_dist)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_dist",
+        )
+    )

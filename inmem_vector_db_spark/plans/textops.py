@@ -1,0 +1,272 @@
+"""Text-analysis + dedup query pack over the documents/embeddings tables,
+each paired with an exact DuckDB oracle (same md5-based hashing, same
+arithmetic, 6-dp rounding on ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions.text import (
+    LANG_STOPWORDS,
+    LANGS,
+    STOPWORDS_EN,
+    distinct_ratio,
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from inmem_vector_db_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from inmem_vector_db_spark.sources.loader import load_table
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# text quality
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.round(distinct_ratio("text"), 6).alias("distinct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_distinct(t))::DOUBLE / len(t) AS dr,
+         len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS_EN)}, x)))::DOUBLE / len(t) AS sw
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       round(dr, 6) AS distinct_ratio,
+       round(sw, 6) AS stopword_ratio,
+       round(0.4 * least(1.0, n_tokens / 128.0) + 0.4 * dr
+             + 0.2 * (1.0 - abs(sw - 0.3) / 0.7), 6) AS quality_score
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# language id
+
+
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_hits = {
+    lang: (
+        f"len(list_filter(t, x -> list_contains({_sql_list(ws)}, x)))"
+    )
+    for lang, ws in LANG_STOPWORDS.items()
+}
+_best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANGS) + ")"
+_case = " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANGS)
+
+LANG_ID_SQL = f"""
+WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id, text,
+         {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
+  FROM d
+),
+p AS (
+  SELECT CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+              WHEN best = 0 THEN 'unknown'
+              {_case}
+         END AS lang_pred
+  FROM (SELECT *, {_best} AS best FROM h)
+)
+SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprint summary
+
+
+def fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(fingerprint("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique_fp"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS n_unique_fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias("n_dropped"),
+    )
+
+
+DEDUP_EXACT_SUMMARY_SQL = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dropped
+FROM documents
+"""
+
+
+def dedup_exact_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_PAIRS_SQL = """
+SELECT a.doc_id AS canonical_id, b.doc_id AS dup_id
+FROM documents a JOIN documents b
+  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: minhash LSH (12 hashes, 4 bands x 3 rows, 3-word shingles)
+
+_SH_CTE = """
+docs AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2]) AS shingles
+  FROM docs WHERE len(t) >= 3
+)
+"""
+
+
+def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SH_CTE},
+sig AS (
+  SELECT doc_id, list_distinct(shingles) AS shset,
+         list_transform(generate_series(0, 11),
+           i -> list_min(list_transform(shingles, s -> md5(i::varchar || '|' || s)))) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id, bb.b AS band_idx,
+         md5(array_to_string(list_slice(sig, bb.b*3 + 1, bb.b*3 + 3), '|')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2
+    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_filter(sa.shset, s -> list_contains(sb.shset, s)))::DOUBLE
+               / (len(sa.shset) + len(sb.shset)
+                  - len(list_filter(sa.shset, s -> list_contains(sb.shset, s)))), 6) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact n-gram jaccard with min-shingle blocking
+
+
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_SH_CTE},
+keyed AS (
+  SELECT doc_id, list_distinct(shingles) AS shset,
+         list_min(list_transform(list_distinct(shingles), s -> md5(s))) AS block
+  FROM sh WHERE len(shingles) > 0
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_filter(a.shset, s -> list_contains(b.shset, s)))::DOUBLE
+               / (len(a.shset) + len(b.shset)
+                  - len(list_filter(a.shset, s -> list_contains(b.shset, s)))), 6) AS jaccard
+  FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding cosine near-dup (exact self-join verifier)
+
+
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), max_cosine_dist=0.55
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE cos_dist <= 0.55
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: simhash (rows-only — xxhash64 not reproducible in DuckDB)
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+
+
+QUERIES: dict[str, tuple] = {
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
+    "fingerprint_summary": (fingerprint_summary, FINGERPRINT_SQL),
+    "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
+    "dedup_exact_pairs": (dedup_exact_pairs_q, DEDUP_EXACT_PAIRS_SQL),
+    "dedup_minhash_pairs": (dedup_minhash_pairs_q, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
+    "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
+    "dedup_simhash": (dedup_simhash_q, None),
+}

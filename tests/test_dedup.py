@@ -1,0 +1,86 @@
+"""Dedup operator tests on synthetic corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from inmem_vector_db_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls "
+    "on the quiet town and the river moves slowly past the old mill"
+)
+# 1 word changed => 3-shingle Jaccard 21/27 = 0.778; with 12 hashes / 4
+# bands the banding candidate-probability is ~92% — and since the salted
+# md5 scheme is fully deterministic, the outcome is pinned: found.
+NEAR = BASE.replace("quiet", "busy")
+RANDOM = "entirely different words about spark engines and parquet files here"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE),        # exact dup of 1
+            (3, NEAR),        # near dup of 1
+            (4, RANDOM),
+            (5, "tiny"),      # below shingle width
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(corpus):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(corpus).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_exact_dup_pairs(corpus):
+    pairs = [(r["canonical_id"], r["dup_id"]) for r in D.exact_dup_pairs(corpus).collect()]
+    assert pairs == [(1, 2)]
+
+
+def test_minhash_lsh_pairs_finds_near_dup(corpus):
+    rows = D.minhash_lsh_pairs(corpus, jaccard_threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == pytest.approx(21 / 27, abs=1e-4)
+    assert all({a, b} <= {1, 2, 3} for a, b in pairs)
+
+
+def test_ngram_jaccard_pairs(corpus):
+    rows = D.ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (1, 2) in pairs
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_simhash_pairs(corpus):
+    rows = D.simhash_pairs(corpus, max_hamming=10).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs.get((1, 2)) == 0  # identical text -> identical signature
+    assert (1, 4) not in pairs
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),   # nearly parallel to 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = D.embedding_near_dup_pairs(df, max_cosine_dist=0.2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
+def test_fingerprint_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b d")],
+        "doc_id long, text string",
+    )
+    rows = D.fingerprint_dup_groups(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["group_size"] == 2 and rows[0]["canonical_id"] == 1

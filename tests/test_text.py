@@ -1,0 +1,94 @@
+"""Text-analysis function library unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions import text as T
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).head()["v"]
+
+
+def test_tokens_and_count(spark):
+    assert _one(spark, "The quick Brown fox", T.tokens("text")) == [
+        "the", "quick", "brown", "fox",
+    ]
+    assert _one(spark, "a b c", T.token_count("text")) == 3
+
+
+def test_word_shingles(spark):
+    assert _one(spark, "a b c d", T.word_shingles("text", 3)) == ["a b c", "b c d"]
+    assert _one(spark, "a b", T.word_shingles("text", 3)) == []
+
+
+def test_distinct_ratio_and_quality(spark):
+    assert _one(spark, "x x x x", T.distinct_ratio("text")) == 0.25
+    q1 = _one(spark, "the data pipeline is large and it processes text", T.quality_score("text"))
+    q2 = _one(spark, "spam spam spam spam spam spam spam spam", T.quality_score("text"))
+    assert 0 <= q2 < q1 <= 1
+
+
+@pytest.mark.parametrize(
+    "sample,expected",
+    [
+        ("the cat is on the mat and it is here", "en"),
+        ("el perro la casa de que los gatos", "es"),
+        ("der hund die katze und das haus ist", "de"),
+        ("le chien les chats des maisons est dans", "fr"),
+        ("你好 世界", "zh"),
+        ("zzz qqq www", "unknown"),
+    ],
+)
+def test_lang_id(spark, sample, expected):
+    assert _one(spark, sample, T.lang_id("text")) == expected
+
+
+def test_fingerprint_order_invariant(spark):
+    fp1 = _one(spark, "alpha beta gamma", T.fingerprint("text"))
+    fp2 = _one(spark, "gamma alpha beta alpha", T.fingerprint("text"))
+    fp3 = _one(spark, "alpha beta delta", T.fingerprint("text"))
+    assert fp1 == fp2 != fp3
+
+
+def test_minhash_signature_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "id int, text string",
+    )
+    rows = {
+        r["id"]: r["sig"]
+        for r in df.select("id", T.minhash_signature("text", 8).alias("sig")).collect()
+    }
+    assert rows[1] == rows[2]  # identical text -> identical signature
+    assert rows[1] != rows[3]
+    assert len(rows[1]) == 8
+
+
+def test_simhash_matches_python_reference(spark, sf_dir):
+    """simhash64 = majority-vote of xxhash64 shingle-hash bits; verify the
+    UDF against a driver-side numpy recomputation from the same hashes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    sh = T.word_shingles("text", 2)
+    hashes_rows = docs.select(
+        "doc_id", F.transform(sh, lambda s: F.xxhash64(s)).alias("hs")
+    ).collect()
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", T.simhash64("text", 2).alias("sig")).collect()
+    }
+    for r in hashes_rows:
+        h = np.asarray(r["hs"], dtype=np.int64).astype(np.uint64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        maj = (bits.sum(0) * 2 >= len(h)).astype(np.uint64)
+        want = int((maj << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+        assert got[r["doc_id"]] == want
+
+
+def test_hamming64(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(T.hamming64("a", "b").alias("h")).head()["h"] == 2
