@@ -163,6 +163,54 @@ LIMIT 5
 """
 
 
+def _ann_ivf_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroids (vec_id % 50 == 0), probe the 3
+    nearest lists, exact top-10 within them."""
+    from inmem_vector_db_spark.operators.ann import ivf_search
+
+    q = _query_vec(spark, sf_dir, 1)
+    return ivf_search(
+        _emb(spark, sf_dir), q, k=10, nprobe=3, stride=50, metric="euclidean"
+    ).select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+_ANN_IVF_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3
+)
+SELECT a.vec_id, round(list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM assigned a, q
+WHERE a.cluster_id IN (SELECT cid FROM probe)
+ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+LIMIT 10
+"""
+
+
+def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random-hyperplane LSH kNN (reference J2) — approximate;
+    deterministic (seed=42) but not SQL-expressible => rows-only check.
+    Exactness of the pipeline is covered by tests/test_lsh.py (fallback
+    equals exact scan; recall measured vs ground truth)."""
+    from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, seed=42)
+    return lsh.search(emb, queries_df, k=5, metric="cosine").select(
+        "query_id", "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
@@ -175,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_multi_cosine": _knn_multi_cosine,
         "knn_prefilter_label": _knn_prefilter_label,
         "knn_postfilter_parity": _knn_postfilter_parity,
+        "ann_ivf_euclidean": _ann_ivf_euclidean,
+        "lsh_knn_cosine": _lsh_knn_cosine,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
@@ -192,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_multi_cosine": _KNN_MULTI_ORACLE,
         "knn_prefilter_label": _KNN_PREFILTER_ORACLE,
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
+        "ann_ivf_euclidean": _ANN_IVF_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT

@@ -1,0 +1,115 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+Beyond-reference similarity-search scale path (SURVEY.md 7.2 step 7):
+brute-force kNN (operators.knn) is the exact baseline; LSH
+(operators.lsh) and this IVF variant are the approximate paths.
+
+IVF = coarse quantization: assign every vector to its nearest centroid
+("inverted list"), search only the ``nprobe`` lists nearest the query.
+At 100 TB the corpus would be *written partitioned by cluster_id*, so a
+query scans nprobe partitions — partition pruning does the work; the
+assignment job is one embarrassingly-parallel pass (numpy matmul per
+Arrow batch, no shuffle).
+
+Centroid selection here is deterministic-from-data (every ``stride``-th
+vector id) rather than k-means, so results are exactly reproducible and
+DuckDB-oracle-expressible.  A k-means refinement would slot in without
+changing the search path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.knn import knn
+
+
+def select_centroids(
+    corpus: DataFrame, stride: int = 50, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[list, np.ndarray]:
+    """Deterministic coarse centroids: rows where id % stride == 0."""
+    rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    cids = [r[0] for r in rows]
+    cmat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return cids, cmat
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cids: Sequence,
+    cmat: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster_id`` = nearest centroid (euclidean).  One numpy
+    distance-matrix per Arrow batch; ties go to the lowest centroid id
+    (centroids are sorted by id, argmin picks the first)."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((list(cids), cmat))
+    out_schema = (
+        f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
+        f"{vec_col} {corpus.schema[vec_col].dataType.simpleString()}, "
+        f"cluster_id {corpus.schema[id_col].dataType.simpleString()}"
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids_, cmat_ = bc.value
+        cid_arr = np.asarray(cids_)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d2 = (
+                (mat * mat).sum(1)[:, None]
+                + (cmat_ * cmat_).sum(1)[None, :]
+                - 2.0 * mat @ cmat_.T
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cluster_id": cid_arr[np.argmin(d2, axis=1)],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+
+
+def ivf_search(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 3,
+    stride: int = 50,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    centroids: tuple[list, np.ndarray] | None = None,
+) -> DataFrame:
+    """Top-k among the ``nprobe`` clusters nearest the query.
+
+    Pass a pre-computed ``assigned`` table (the persisted index) to skip
+    the assignment pass — that's the production shape.
+    """
+    cids, cmat = centroids if centroids is not None else select_centroids(
+        corpus, stride, id_col, vec_col
+    )
+    if assigned is None:
+        assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    cd = np.linalg.norm(cmat - q[None, :], axis=1)
+    order = np.lexsort((np.asarray(cids), cd))
+    probe = [cids[i] for i in order[:nprobe]]
+    pruned = assigned.filter(F.col("cluster_id").isin(probe))
+    return knn(pruned, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,248 @@
+"""Random-hyperplane LSH approximate kNN (reference J2, SURVEY.md 2.3).
+
+Reference semantics (``app/core/indexers/lsh.py``):
+
+* L hash tables x k sign bits per table; hyperplanes drawn from a seeded
+  normal and unit-normalized (``lsh.py:312-327``).
+* signature = concatenated sign bits of dot(v, plane) (``lsh.py:329-353``);
+  vectors are L2-normalized before hashing (``lsh.py:340``).
+* search: union of exact-bucket matches across all tables
+  (``lsh.py:189-195``), FULL-SCAN FALLBACK when fewer than k candidates
+  (``lsh.py:199-202``), exact re-rank of candidates by the requested
+  metric (``lsh.py:205-213``), top-k.
+* ``_multi_probe`` exists in the reference but is dead code (never called
+  from search) — not reproduced.
+
+Spark-first design:
+
+* **Index build** = one embarrassingly-parallel projection: a pandas UDF
+  computes all L signatures per vector with a single numpy matmul
+  against the broadcast (L*k, dim) plane matrix, then ``posexplode``
+  yields the long-form index ``(id, table_idx, sig)``.  At cluster scale
+  this is a written table partitioned by ``(table_idx, sig)`` — the
+  "index build job" (reference M10) — so candidate retrieval is a
+  partition-pruned scan, not a full shuffle.
+* **Search** = equi-join of the (broadcast) query signatures against the
+  index on ``(table_idx, sig)`` — the shuffle moves only ids and 8-char
+  signatures, never vectors — then a semi-join pulls candidate vectors,
+  exact distances re-rank, window top-k.
+* **Fallback** is per-query: only queries with < k candidates pay the
+  exact scan, via ``knn_join_vectorized`` (partition-local top-k).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions.distance import distance
+from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+
+
+class RandomHyperplaneLSH:
+    """Seeded sign-bit LSH over an embedding column.
+
+    Defaults match the reference hparams: hash_size=8, num_tables=10
+    (``app/config/indexer_hparams.py:18-20``); the reference defaults to
+    a random seed (``lsh.py:40``) — here the seed is explicit so builds
+    are reproducible (SURVEY.md 7.4 determinism requirement).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        num_tables: int = 10,
+        hash_size: int = 8,
+        seed: int = 42,
+    ) -> None:
+        self.dim = dim
+        self.num_tables = num_tables
+        self.hash_size = hash_size
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_tables * hash_size, dim))
+        planes /= np.linalg.norm(planes, axis=1, keepdims=True)  # lsh.py:325-326
+        self._planes = planes  # (L*k, dim) float64
+
+    # -- signature computation -------------------------------------------
+
+    def signatures_np(self, mat: np.ndarray) -> list[list[str]]:
+        """All L signatures per row of ``mat`` (N, dim) — one matmul."""
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        normed = mat / norms  # lsh.py:340 normalizes before hashing
+        bits = (normed @ self._planes.T) >= 0.0  # (N, L*k)
+        L, k = self.num_tables, self.hash_size
+        out: list[list[str]] = []
+        for row in bits:
+            out.append(
+                ["".join("1" if b else "0" for b in row[t * k : (t + 1) * k]) for t in range(L)]
+            )
+        return out
+
+    def with_signatures(
+        self, df: DataFrame, vec_col: str = "embedding", sig_col: str = "sigs"
+    ) -> DataFrame:
+        """Append an array<string> column of the L table signatures."""
+        planes = self._planes
+        L, k = self.num_tables, self.hash_size
+        cols = df.columns
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0.0] = 1.0
+                bits = ((mat / norms) @ planes.T) >= 0.0
+                # vectorized bit-string packing: bits -> '0'/'1' chars
+                chars = np.where(bits, "1", "0")
+                sigs = [
+                    ["".join(row[t * k : (t + 1) * k]) for t in range(L)]
+                    for row in chars
+                ]
+                pdf = pdf.copy()
+                pdf[sig_col] = sigs
+                yield pdf
+
+        schema = df.schema.simpleString()[7:-1] + f",{sig_col} array<string>"
+        return df.mapInPandas(part, schema=schema)
+
+    def build_index(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Long-form signature index: (id, table_idx, sig).
+
+        At scale: ``.write.partitionBy("table_idx").bucketBy(...)`` this
+        table; the search equi-join then prunes to matching buckets.
+        """
+        with_sigs = self.with_signatures(
+            df.select(id_col, vec_col), vec_col=vec_col
+        )
+        return with_sigs.select(
+            F.col(id_col), F.posexplode("sigs").alias("table_idx", "sig")
+        )
+
+    # -- search ----------------------------------------------------------
+
+    def search(
+        self,
+        corpus: DataFrame,
+        queries: DataFrame,
+        k: int = 5,
+        metric: str = "euclidean",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        index: DataFrame | None = None,
+        exact_fallback: bool = True,
+    ) -> DataFrame:
+        """Approximate top-k with the reference's exact-scan fallback.
+
+        Output: (query_id, vec_id, dist, rank) — rank 1..k per query,
+        ascending (dist, id), distances exact under ``metric``.
+        """
+        if k <= 0:
+            raise ValueError("k must be > 0")
+        spark = corpus.sparkSession
+        if index is None:
+            index = self.build_index(corpus, id_col, vec_col)
+
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        if not qrows:
+            raise ValueError("queries is empty")
+        qids = [r[0] for r in qrows]
+        qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+        qsigs = self.signatures_np(qmat)
+        qsig_rows = [
+            (qid, t, sig)
+            for qid, sigs in zip(qids, qsigs)
+            for t, sig in enumerate(sigs)
+        ]
+        qschema = (
+            f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+            "table_idx int, sig string"
+        )
+        qsig_df = spark.createDataFrame(qsig_rows, qschema)
+
+        # candidate ids: equi-join on (table_idx, sig), union across
+        # tables via distinct — only (id, qid) pairs move.
+        cand = (
+            index.join(F.broadcast(qsig_df), ["table_idx", "sig"])
+            .select(query_id_col, id_col)
+            .distinct()
+        )
+
+        # exact re-rank of candidates under the requested metric
+        qvec_df = F.broadcast(
+            queries.select(
+                F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+            )
+        )
+        scored = (
+            cand.join(corpus.select(id_col, vec_col), id_col)
+            .join(qvec_df, query_id_col)
+            .select(
+                query_id_col,
+                id_col,
+                distance(metric, F.col("__qvec"), F.col(vec_col)).alias("dist"),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
+        approx = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+        if not exact_fallback:
+            return approx
+
+        # reference lsh.py:199-202: queries with < k candidates fall back
+        # to the exact scan.  Count per query, split, union.
+        counts = {
+            r[0]: r[1]
+            for r in cand.groupBy(query_id_col).agg(F.count("*").alias("n")).collect()
+        }
+        short_qids = [q for q in qids if counts.get(q, 0) < k]
+        if not short_qids:
+            return approx
+        short_queries = queries.filter(F.col(query_id_col).isin(short_qids))
+        exact = knn_join_vectorized(
+            corpus, short_queries, k=k, metric=metric,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        kept = approx.filter(~F.col(query_id_col).isin(short_qids))
+        return kept.unionByName(exact)
+
+
+def lsh_recall_at_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "cosine",
+    lsh: RandomHyperplaneLSH | None = None,
+    **kw,
+) -> float:
+    """recall@k of LSH search vs exact kNN over the same queries —
+    the evaluation the reference never had (SURVEY.md 5: 'no recall@k
+    measurement against ground truth')."""
+    if lsh is None:
+        dim = len(queries.select(kw.get("query_vec_col", "query_vec")).head()[0])
+        lsh = RandomHyperplaneLSH(dim)
+    approx = lsh.search(corpus, queries, k=k, metric=metric, **kw)
+    exact = knn_join_vectorized(corpus, queries, k=k, metric=metric, **{
+        kk: v for kk, v in kw.items() if kk != "exact_fallback"
+    })
+    a = approx.select("query_id", "vec_id")
+    e = exact.select("query_id", "vec_id")
+    hit = a.join(e, ["query_id", "vec_id"]).count()
+    total = e.count()
+    return hit / total if total else 1.0

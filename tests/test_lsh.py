@@ -1,0 +1,112 @@
+"""LSH index tests: determinism, bucket-join correctness, fallback,
+recall vs exact ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH, lsh_recall_at_k
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .cache()
+    )
+
+
+def test_signatures_deterministic(emb):
+    lsh1 = RandomHyperplaneLSH(dim=64, seed=7)
+    lsh2 = RandomHyperplaneLSH(dim=64, seed=7)
+    rows = emb.limit(5).collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    assert lsh1.signatures_np(mat) == lsh2.signatures_np(mat)
+    lsh3 = RandomHyperplaneLSH(dim=64, seed=8)
+    assert lsh1.signatures_np(mat) != lsh3.signatures_np(mat)
+
+
+def test_spark_signatures_match_numpy(emb):
+    lsh = RandomHyperplaneLSH(dim=64)
+    sdf = lsh.with_signatures(emb.select("vec_id", "embedding")).collect()
+    rows = {r["vec_id"]: r["sigs"] for r in sdf}
+    sample = emb.limit(20).collect()
+    mat = np.array([list(r["embedding"]) for r in sample], dtype=np.float64)
+    want = lsh.signatures_np(mat)
+    for r, w in zip(sample, want):
+        assert rows[r["vec_id"]] == w
+
+
+def test_build_index_shape(emb):
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=4, hash_size=6)
+    idx = lsh.build_index(emb)
+    n = emb.count()
+    assert idx.count() == n * 4
+    row = idx.head()
+    assert len(row["sig"]) == 6 and set(row["sig"]) <= {"0", "1"}
+
+
+def test_search_self_query_and_rank(emb, queries):
+    lsh = RandomHyperplaneLSH(dim=64)
+    res = lsh.search(emb, queries, k=5, metric="cosine").collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert len(rows) <= 5
+        # self is its own nearest neighbor under cosine
+        assert rows[0]["vec_id"] == qid and rows[0]["dist"] == pytest.approx(0.0, abs=1e-9)
+        dists = [r["dist"] for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_exact_fallback_under_k(spark, emb):
+    """A query with almost-empty buckets must fall back to exact scan
+    and still return k results (reference lsh.py:199-202)."""
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=1, hash_size=16, seed=3)
+    # 16-bit single table over 500 vecs => ~every vector alone in its
+    # bucket => nearly all queries have < k candidates.
+    queries = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    res = lsh.search(emb, queries, k=10, metric="euclidean").collect()
+    assert len(res) == 10  # exact fallback delivered full k
+    exact = knn_join_vectorized(emb, queries, k=10, metric="euclidean").collect()
+    assert {r["vec_id"] for r in res} == {r["vec_id"] for r in exact}
+
+
+def test_no_fallback_returns_partial(emb):
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=1, hash_size=16, seed=3)
+    queries = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    res = lsh.search(emb, queries, k=10, metric="euclidean", exact_fallback=False).collect()
+    assert 1 <= len(res) < 10
+
+
+def test_recall_at_k(emb, queries):
+    """Recall depends on hyperparameters AND data geometry: this corpus's
+    true neighbors sit at cosine sim ~0.3, where the reference's default
+    8-bit x 10-table scheme collides rarely (measured ~0.29 recall).
+    4-bit x 20-table buckets are wider: measured 0.95 here (deterministic
+    — seeded planes).  Assert both regimes to pin the tradeoff."""
+    wide = lsh_recall_at_k(emb, queries, k=10, metric="cosine",
+                           lsh=RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4))
+    assert wide >= 0.9
+    ref_hparams = lsh_recall_at_k(emb, queries, k=10, metric="cosine",
+                                  lsh=RandomHyperplaneLSH(dim=64))
+    assert ref_hparams >= 0.2
