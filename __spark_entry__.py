@@ -211,6 +211,55 @@ def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _store_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LibraryStore lifecycle (reference §3.1/§3.2): create a
+    library, ingest every document row as a chunk (tags = [lang]),
+    batch-embed via the deterministic md5 provider, then run the full
+    search path — embed query text, euclidean kNN, pre-filter tags,
+    document-enrichment join, projection.  The md5 embedding scheme is
+    scalar-reproducible in DuckDB (md5_number_upper), so the WHOLE
+    pipeline sits under the value-hash oracle."""
+    from inmem_vector_db_spark.store import LibraryStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = LibraryStore(spark)
+    lid = store.create_library("corpus")
+    doc = store.add_documents(
+        lid, spark.createDataFrame([("all",)], "title string")
+    ).head()
+    store.add_chunks(
+        lid,
+        docs.select(
+            F.lit(doc["document_id"]).alias("document_id"),
+            "text",
+            F.array("lang").alias("tags"),
+            F.col("source"),
+        ),
+    )
+    qtext = docs.filter(F.col("doc_id") == 0).head()["text"]
+    res = store.search(
+        lid, qtext, k=10, metric="euclidean", filter_tags=["en"],
+        tie_col="text",
+    )
+    return res.select("text", F.round("score", 6).alias("score"))
+
+
+_STORE_PIPELINE_ORACLE = """
+WITH h AS (
+  SELECT text, lang,
+         CAST((md5_number_upper(text) % 10000) / 10000.0 AS FLOAT) AS hv
+  FROM documents
+),
+q AS (SELECT hv AS qv FROM h
+      WHERE text = (SELECT text FROM documents WHERE doc_id = 0))
+SELECT h.text, round(sqrt(32 * pow(h.hv::DOUBLE - q.qv::DOUBLE, 2)), 6) AS score
+FROM h, q
+WHERE h.lang = 'en'
+ORDER BY sqrt(32 * pow(h.hv::DOUBLE - q.qv::DOUBLE, 2)), h.text
+LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
@@ -225,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_postfilter_parity": _knn_postfilter_parity,
         "ann_ivf_euclidean": _ann_ivf_euclidean,
         "lsh_knn_cosine": _lsh_knn_cosine,
+        "store_search_pipeline": _store_search_pipeline,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
@@ -243,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_prefilter_label": _KNN_PREFILTER_ORACLE,
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
+        "store_search_pipeline": _STORE_PIPELINE_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT

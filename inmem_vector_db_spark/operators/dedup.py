@@ -12,6 +12,9 @@ oracle parity only).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -263,23 +266,72 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cosine_dist: float = 0.2,
+    vectorized: bool = True,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact (self-join).  O(N^2/2)
-    comparisons — correct at any size but only *affordable* when a
-    blocking key shrinks the join; at 100 TB use ``operators.lsh`` bucket
-    blocking first and this as the verifier within buckets."""
-    base = df.select(F.col(id_col), F.col(vec_col))
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn(
-            "cos_dist",
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
+    """Embedding-cosine near-dup pairs, exact (all N^2/2 comparisons).
+
+    ``vectorized=True`` (default): broadcast the full id+vector matrix and
+    let each partition compute one numpy GEMM of its rows against the
+    whole corpus, emitting only pairs (id_a < id_b) under the threshold —
+    a broadcast nested-loop join where the "loop" is BLAS.  ~50x faster
+    than the per-pair expression path and shuffle-free (the output is the
+    only data that moves).
+
+    ``vectorized=False``: pure Column-expression self-join — the
+    oracle-shaped reference path.
+
+    Either way O(N^2) work: affordable to ~10^6 vectors per blocking
+    group.  At 100 TB block first (``operators.lsh`` buckets or IVF
+    cluster ids) and run this within blocks as the exact verifier.
+    """
+    if not vectorized:
+        base = df.select(F.col(id_col), F.col(vec_col))
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .withColumn(
+                "cos_dist",
+                F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
+            )
+            .filter(F.col("cos_dist") <= max_cosine_dist)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                "cos_dist",
+            )
         )
-        .filter(F.col("cos_dist") <= max_cosine_dist)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cos_dist",
-        )
-    )
+
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = np.asarray([r[0] for r in rows])
+    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((all_ids, mat, norms))
+    thresh = float(max_cosine_dist)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, cos_dist double"
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            a_norms = np.linalg.norm(a_mat, axis=1)
+            denom = a_norms[:, None] * norms_b[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = (a_mat @ mat_b.T) / denom
+            dist = np.round(np.where(denom == 0.0, 1.0, 1.0 - sim), 6)
+            keep = (dist <= thresh) & (a_ids[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": ids_b[bi], "cos_dist": dist[ai, bi]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(part, schema=out_schema)

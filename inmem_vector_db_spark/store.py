@@ -1,0 +1,419 @@
+"""Library -> Document -> Chunk store: the reference's data model and its
+CRUD surface re-expressed as DataFrame batch jobs (SURVEY.md 1.4, 2.8).
+
+Reference shape: three Pydantic entity types in process-global dicts with
+per-indexer locks, pickled per-library on every mutation
+(``app/core/models/library.py``, ``app/api/dependencies.py:14``).  Here:
+
+* each entity type is a **table** (libraries / documents / chunks) with
+  the §1.4 schema — metadata flattened into typed columns;
+* the store holds **immutable DataFrames**; every mutation is a pure
+  transformation producing the next version (no locks — the reference's
+  ``threading.Lock``/``asyncio.Lock`` machinery has no Spark analog
+  because nothing is shared-mutable);
+* persistence = parquet round-trip (``save``/``load``), replacing pickle
+  save/load (``library.py:120-144``, S1-S3).  On a cluster these are
+  partitioned tables (``partitionBy("library_id")``) and the mutations
+  become Delta ``MERGE``/``DELETE`` — same logical plans, ACID commit.
+
+Validation (reference P6, ``chunk.py:25-71`` etc.) happens at ingest:
+non-empty name/title/text, deduped non-empty tags, ``page >= 0``,
+non-empty 1-D embedding — enforced as column expressions, failing the
+batch loudly rather than silently dropping rows.
+
+Known reference bugs NOT reproduced (SURVEY.md 7.4): the batch-add
+cross-document chunk-list pollution (``library.py:107``) and the
+update-chunk always-404 (``chunk_service.py:154-156``).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions.distance import distance
+from inmem_vector_db_spark.sources.embedding import DEFAULT_DIM, with_embeddings
+
+LIBRARIES_SCHEMA = (
+    "library_id string, name string, indexer_type string, "
+    "created_at timestamp, updated_at timestamp, tags array<string>"
+)
+DOCUMENTS_SCHEMA = (
+    "document_id string, library_id string, title string, description string, "
+    "source string, author string, created_at timestamp, tags array<string>"
+)
+CHUNKS_SCHEMA = (
+    "chunk_id string, library_id string, document_id string, text string, "
+    "embedding array<float>, source string, author string, title string, "
+    "description string, page int, created_at timestamp, tags array<string>"
+)
+_TABLES = ("libraries", "documents", "chunks")
+
+METRICS = ("euclidean", "cosine", "dot_product", "manhattan")
+INDEXER_TYPES = ("flat", "lsh")  # hnsw intentionally absent, SURVEY.md 7.3
+
+
+def _new_id() -> str:
+    return str(uuid.uuid4())
+
+
+def _now() -> datetime:
+    """Pinned wall-clock literal.  ``F.current_timestamp()`` would stay
+    lazy inside the DataFrame lineage and re-evaluate on every downstream
+    recompute, silently rewriting history — timestamps must be data, not
+    expressions."""
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def tags_superset(tag_col, required: Sequence[str]):
+    """ALL-match tag predicate (reference P2): every requested tag must be
+    in the row's tags (``library_service.py:207-215``)."""
+    req = F.array(*[F.lit(t) for t in required])
+    return F.size(F.array_except(req, F.coalesce(tag_col, F.array()))) == 0
+
+
+class ValidationError(ValueError):
+    pass
+
+
+class LibraryStore:
+    """In-memory-DataFrame store with explicit parquet persistence —
+    the Spark analog of the reference's global dict + pickle files."""
+
+    def __init__(self, spark: SparkSession, dim: int = DEFAULT_DIM) -> None:
+        self.spark = spark
+        self.dim = dim
+        self.libraries = spark.createDataFrame([], LIBRARIES_SCHEMA)
+        self.documents = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+        self.chunks = spark.createDataFrame([], CHUNKS_SCHEMA)
+
+    # -- persistence (S1-S3) ---------------------------------------------
+
+    def save(self, root: str) -> None:
+        """Parquet snapshot per table (replaces per-library pickle,
+        ``library.py:120-132``).  At scale: ``partitionBy("library_id")``
+        so per-library reads prune."""
+        for name in _TABLES:
+            getattr(self, name).write.mode("overwrite").parquet(
+                os.path.join(root, name)
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str, dim: int = DEFAULT_DIM) -> "LibraryStore":
+        """Restore from a snapshot (replaces startup dir scan,
+        ``dependencies.py:36-67``)."""
+        store = cls(spark, dim)
+        for name in _TABLES:
+            path = os.path.join(root, name)
+            if os.path.exists(path):
+                setattr(store, name, spark.read.parquet(path))
+        return store
+
+    # -- validation helpers ------------------------------------------------
+
+    def _require_library(self, library_id: str) -> None:
+        if self.libraries.filter(F.col("library_id") == library_id).isEmpty():
+            raise KeyError(f"library {library_id} not found")  # P5 404 analog
+
+    @staticmethod
+    def _clean_tags(col):
+        """Dedup + drop empty strings (reference ``chunk.py:25-34``)."""
+        return F.array_distinct(
+            F.filter(F.coalesce(col, F.array()), lambda t: F.trim(t) != "")
+        )
+
+    # -- library CRUD (M1, M8, M9) -----------------------------------------
+
+    def create_library(
+        self,
+        name: str,
+        tags: Sequence[str] = (),
+        indexer_type: str = "flat",
+    ) -> str:
+        if not name or not name.strip():
+            raise ValidationError("library name must be non-empty")  # library.py:45-49
+        if indexer_type not in INDEXER_TYPES:
+            raise ValidationError(f"indexer_type must be one of {INDEXER_TYPES}")
+        lid = _new_id()
+        ts = _now()
+        row = self.spark.createDataFrame(
+            [(lid, name, indexer_type, ts, ts,
+              list(dict.fromkeys(t for t in tags if t.strip())))],
+            LIBRARIES_SCHEMA,
+        )
+        self.libraries = self.libraries.unionByName(row)
+        return lid
+
+    def update_library(self, library_id: str, name: str | None = None,
+                       tags: Sequence[str] | None = None) -> None:
+        """Rename / replace tags, preserving created_at, bumping
+        updated_at (reference M8, ``library_service.py:156-169``)."""
+        self._require_library(library_id)
+        hit = F.col("library_id") == library_id
+        df = self.libraries
+        if name is not None:
+            if not name.strip():
+                raise ValidationError("library name must be non-empty")
+            df = df.withColumn("name", F.when(hit, F.lit(name)).otherwise(F.col("name")))
+        if tags is not None:
+            df = df.withColumn(
+                "tags",
+                F.when(hit, self._clean_tags(F.array(*[F.lit(t) for t in tags])))
+                .otherwise(F.col("tags")),
+            )
+        self.libraries = df.withColumn(
+            "updated_at", F.when(hit, F.lit(_now())).otherwise(F.col("updated_at"))
+        )
+
+    def delete_library(self, library_id: str) -> None:
+        """Cascade drop (reference M9 — whose endpoint is bugged/disabled;
+        the intended semantics are implemented here)."""
+        self._require_library(library_id)
+        keep = F.col("library_id") != library_id
+        self.libraries = self.libraries.filter(keep)
+        self.documents = self.documents.filter(keep)
+        self.chunks = self.chunks.filter(keep)
+
+    # -- document CRUD (M2, M7, M8) -----------------------------------------
+
+    def add_documents(self, library_id: str, rows: DataFrame) -> DataFrame:
+        """Append documents; input needs ``title`` (+ optional description/
+        source/author/tags).  Returns the appended rows with generated ids.
+        Validation per reference ``document.py:25-53``."""
+        self._require_library(library_id)
+        udf_id = F.expr("uuid()")
+        new = (
+            rows.withColumn("document_id", udf_id)
+            .withColumn("library_id", F.lit(library_id))
+            .withColumn("created_at", F.lit(_now()))
+            .withColumn("tags", self._clean_tags(F.col("tags") if "tags" in rows.columns else F.lit(None)))
+        )
+        for c, default in (("description", ""), ("source", ""), ("author", None)):
+            if c not in rows.columns:
+                new = new.withColumn(c, F.lit(default).cast("string"))
+        bad = new.filter(F.coalesce(F.trim("title"), F.lit("")) == "")
+        if not bad.isEmpty():
+            raise ValidationError("document title must be non-empty")  # document.py:47-53
+        new = new.select(*self.documents.columns)
+        # materialize generated ids so they are stable across re-evaluation
+        # (uuid() is nondeterministic per-evaluation — SURVEY.md F9 note)
+        new = self.spark.createDataFrame(new.collect(), DOCUMENTS_SCHEMA)
+        self.documents = self.documents.unionByName(new)
+        return new
+
+    def update_document(self, document_id: str, title: str | None = None,
+                        description: str | None = None) -> None:
+        hit = F.col("document_id") == document_id
+        if self.documents.filter(hit).isEmpty():
+            raise KeyError(f"document {document_id} not found")
+        df = self.documents
+        if title is not None:
+            if not title.strip():
+                raise ValidationError("document title must be non-empty")
+            df = df.withColumn("title", F.when(hit, F.lit(title)).otherwise(F.col("title")))
+        if description is not None:
+            df = df.withColumn(
+                "description", F.when(hit, F.lit(description)).otherwise(F.col("description"))
+            )
+        self.documents = df
+
+    def delete_document(self, document_id: str) -> None:
+        """Cascade: the document's chunks go with it (reference M7,
+        ``document_service.py:104-123``)."""
+        if self.documents.filter(F.col("document_id") == document_id).isEmpty():
+            raise KeyError(f"document {document_id} not found")
+        self.documents = self.documents.filter(F.col("document_id") != document_id)
+        self.chunks = self.chunks.filter(F.col("document_id") != document_id)
+
+    # -- chunk CRUD (M3-M6) --------------------------------------------------
+
+    def add_chunks(self, library_id: str, rows: DataFrame) -> DataFrame:
+        """Batch append (reference M4 without its cross-document bug).
+        Input needs ``document_id`` + ``text`` (+ optional metadata cols,
+        optional ``embedding``).  Missing embeddings are computed by the
+        batched provider (S5).  Every document_id must exist — the whole
+        batch is rejected otherwise (``chunk_service.py:77-83``)."""
+        self._require_library(library_id)
+        docs = self.documents.filter(F.col("library_id") == library_id).select(
+            "document_id", F.lit(True).alias("__doc_ok")
+        )
+        # single validation pass: one broadcast join + one aggregation
+        # instead of one job per rule
+        checked = rows.join(F.broadcast(docs), "document_id", "left")
+        agg = [
+            F.sum(F.when(F.col("__doc_ok").isNull(), 1).otherwise(0)).alias("dangling"),
+            F.sum(
+                F.when(F.coalesce(F.trim("text"), F.lit("")) == "", 1).otherwise(0)
+            ).alias("bad_text"),
+        ]
+        if "page" in rows.columns:
+            agg.append(F.sum(F.when(F.col("page") < 0, 1).otherwise(0)).alias("bad_page"))
+        if "embedding" in rows.columns:
+            agg.append(
+                F.sum(
+                    F.when(F.size(F.coalesce("embedding", F.array())) == 0, 1).otherwise(0)
+                ).alias("bad_emb")
+            )
+        stats = checked.agg(*agg).head().asDict()
+        if stats["dangling"]:
+            raise KeyError("batch references unknown document_id(s)")  # chunk_service.py:77-83
+        if stats["bad_text"]:
+            raise ValidationError("chunk text must be non-empty")  # chunk.py:55-61
+        if stats.get("bad_page"):
+            raise ValidationError("page must be >= 0")  # chunk.py:36-42
+        if stats.get("bad_emb"):
+            raise ValidationError("embedding must be non-empty")  # chunk.py:63-71
+
+        new = rows
+        if "embedding" not in rows.columns:
+            new = with_embeddings(new, text_col="text", dim=self.dim)
+        new = (
+            new.withColumn("chunk_id", F.expr("uuid()"))
+            .withColumn("library_id", F.lit(library_id))
+            .withColumn("created_at", F.lit(_now()))
+            .withColumn("tags", self._clean_tags(F.col("tags") if "tags" in rows.columns else F.lit(None)))
+            .withColumn("embedding", F.col("embedding").cast("array<float>"))
+        )
+        for c, typ in (("source", "string"), ("author", "string"), ("title", "string"),
+                       ("description", "string"), ("page", "int")):
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(typ))
+        new = new.select(*self.chunks.columns)
+        new = self.spark.createDataFrame(new.collect(), CHUNKS_SCHEMA)
+        self.chunks = self.chunks.unionByName(new)
+        return new
+
+    def update_chunk(self, chunk_id: str, text: str | None = None,
+                     tags: Sequence[str] | None = None,
+                     document_id: str | None = None) -> None:
+        """Re-embed iff text changed; metadata merge preserves created_at;
+        optional move across documents (reference M5 semantics, minus its
+        always-404 endpoint bug)."""
+        hit = F.col("chunk_id") == chunk_id
+        if self.chunks.filter(hit).isEmpty():
+            raise KeyError(f"chunk {chunk_id} not found")
+        df = self.chunks
+        if document_id is not None:
+            if self.documents.filter(F.col("document_id") == document_id).isEmpty():
+                raise KeyError(f"document {document_id} not found")
+            df = df.withColumn(
+                "document_id", F.when(hit, F.lit(document_id)).otherwise(F.col("document_id"))
+            )
+        if tags is not None:
+            df = df.withColumn(
+                "tags",
+                F.when(hit, self._clean_tags(F.array(*[F.lit(t) for t in tags])))
+                .otherwise(F.col("tags")),
+            )
+        if text is not None:
+            if not text.strip():
+                raise ValidationError("chunk text must be non-empty")
+            untouched = df.filter(~hit)
+            changed = df.filter(hit).withColumn("text", F.lit(text)).drop("embedding")
+            changed = with_embeddings(changed, text_col="text", dim=self.dim)
+            df = untouched.unionByName(changed.select(*self.chunks.columns))
+        self.chunks = df
+
+    def delete_chunks(self, chunk_ids: Sequence[str]) -> None:
+        """Anti-join delete (reference M6)."""
+        self.chunks = self.chunks.filter(~F.col("chunk_id").isin(list(chunk_ids)))
+
+    # -- reads (P1-P5, A1-A2, J5) ---------------------------------------------
+
+    def library_stats(self) -> DataFrame:
+        """Per-library document/chunk counts (reference A1 — computed in
+        every list/get response)."""
+        d = self.documents.groupBy("library_id").agg(
+            F.count(F.lit(1)).alias("document_count"))
+        c = self.chunks.groupBy("library_id").agg(
+            F.count(F.lit(1)).alias("chunk_count"))
+        return (
+            self.libraries.select("library_id", "name")
+            .join(d, "library_id", "left").join(c, "library_id", "left")
+            .fillna(0, ["document_count", "chunk_count"])
+        )
+
+    def list_chunks(self, document_id: str, preview: int = 100) -> DataFrame:
+        """Chunks of one document with the reference's 100-char text
+        preview (P3 + P4, ``endpoints/chunks.py:57-75``)."""
+        return self.chunks.filter(F.col("document_id") == document_id).select(
+            "chunk_id",
+            "document_id",
+            F.when(
+                F.length("text") > preview,
+                F.concat(F.substring("text", 1, preview), F.lit("...")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+
+    # -- search (§3.1 lifecycle) -----------------------------------------------
+
+    def search(
+        self,
+        library_id: str,
+        query_text: str,
+        k: int = 5,
+        metric: str = "euclidean",
+        filter_tags: Sequence[str] = (),
+        include_metadata: bool = True,
+        include_embeddings: bool = False,
+        parity: bool = False,
+        tie_col: str = "chunk_id",
+    ) -> DataFrame:
+        """Full reference search lifecycle over one library's chunks.
+
+        ``parity=True`` reproduces the reference's quirks (SURVEY.md 3.1):
+        rank ALWAYS by euclidean (``library.py:117`` drops the metric),
+        tag-filter AFTER top-k then re-slice (can under-fill), while the
+        returned ``score`` uses the requested metric
+        (``library_service.py:217-223``) — so score and rank can disagree.
+
+        ``parity=False`` (default) = correct semantics: pre-filter tags,
+        rank by the requested metric.
+
+        Returns (chunk_id, document_id, score, rank, doc_title
+        [, text/tags..][, embedding]).
+        """
+        if k <= 0:
+            raise ValidationError("k must be > 0")  # schemas/search.py:38-43
+        if metric not in METRICS:
+            raise ValidationError(f"metric must be one of {METRICS}")
+        self._require_library(library_id)
+        qvec = with_embeddings(
+            self.spark.createDataFrame([(query_text,)], "text string"),
+            dim=self.dim,
+        ).head()["embedding"]
+        qlit = F.lit([float(x) for x in qvec])
+
+        base = self.chunks.filter(F.col("library_id") == library_id)
+        rank_metric = "euclidean" if parity else metric
+        if filter_tags and not parity:
+            base = base.filter(tags_superset(F.col("tags"), filter_tags))
+        scored = base.withColumn("__rank_d", distance(rank_metric, qlit, F.col("embedding")))
+        # orderBy+limit => TakeOrderedAndProject (partition-local top-k,
+        # driver merge — no corpus shuffle); the window then ranks only
+        # the k survivors, not the corpus.
+        # ``tie_col`` breaks distance ties deterministically; chunk_id
+        # (uuid) by default, a stable payload column for oracle checks.
+        topk = scored.orderBy("__rank_d", tie_col).limit(k)
+        w = Window.orderBy("__rank_d", tie_col)
+        topk = topk.withColumn("rank", F.row_number().over(w))
+        if filter_tags and parity:
+            # reference order: slice to k first, then filter (P2) — no backfill
+            topk = topk.filter(tags_superset(F.col("tags"), filter_tags))
+        out = topk.withColumn("score", distance(metric, qlit, F.col("embedding")))
+
+        # enrichment join (J5): chunk -> parent document title
+        docs = self.documents.select("document_id", F.col("title").alias("doc_title"))
+        out = out.join(F.broadcast(docs), "document_id", "left")
+
+        cols = ["chunk_id", "document_id", "score", "rank", "doc_title"]
+        if include_metadata:  # P1 projection toggles
+            cols += ["text", "source", "created_at", "tags", "page"]
+        if include_embeddings:
+            cols += ["embedding"]
+        return out.select(*cols).orderBy("rank")
