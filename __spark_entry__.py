@@ -260,6 +260,35 @@ LIMIT 10
 """
 
 
+def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming plan of the hourly event rollup: stage the
+    events as a file-stream source, run the watermarked tumbling-window
+    aggregation as a bounded stream (availableNow), return the drained
+    memory table.  Proves the streaming plan computes exactly the batch
+    answer — same oracle as a GROUP BY date_trunc."""
+    import tempfile
+
+    from inmem_vector_db_spark.streaming.ingest import (
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    staged = tempfile.mkdtemp(prefix="events_stream_")
+    load_table(spark, sf_dir, "events").write.mode("append").parquet(staged)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(staged)
+    return run_stream_to_memory(windowed_event_counts(stream_in))
+
+
+_EVENTS_HOURLY_STREAM_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
@@ -275,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_euclidean": _ann_ivf_euclidean,
         "lsh_knn_cosine": _lsh_knn_cosine,
         "store_search_pipeline": _store_search_pipeline,
+        "events_hourly_stream": _events_hourly_stream,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
@@ -294,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
+        "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT

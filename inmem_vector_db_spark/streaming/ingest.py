@@ -1,0 +1,115 @@
+"""Structured Streaming capabilities (SURVEY.md 2.9, 7.2 step 8).
+
+The reference has no streaming operators; its closest analogs are the
+FastAPI background re-index tasks (``app/api/services/background_tasks.py``)
+and the eventual-consistency window between a batch chunk append and the
+index rebuild (``library.py:97-114``).  The Spark engine expresses both
+properly:
+
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation
+  over an event stream: the standard late-data-tolerant rollup a 100 TB
+  ingest pipeline runs continuously.
+* ``incremental_index_ingest`` — micro-batch chunk/vector ingest via
+  ``foreachBatch``: each batch appends its rows AND its LSH signatures,
+  so the index table lags the data by at most one micro-batch — the
+  reference's "background rebuild" becomes an incremental append with a
+  bounded staleness window instead of an O(n) rebuild (M10).
+
+Both run identically under ``trigger(availableNow=True)`` for bounded
+backfills and under a continuous trigger in production.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per key with a watermark.
+
+    Works on batch AND streaming DataFrames (the plan is identical; only
+    the sink differs).  The watermark bounds state: windows older than
+    max(event time) - watermark are finalized and evicted — late rows
+    beyond it are dropped, the documented late-data policy.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a bounded stream (availableNow) into an in-memory table and
+    return it as a DataFrame — used by tests and the driver demo to
+    prove the streaming plan computes the same result as the batch plan.
+    """
+    spark = sdf.sparkSession
+    qname = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+def incremental_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    index_path: str,
+    build_index,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Micro-batch file ingest -> incremental index append (foreachBatch).
+
+    ``build_index(batch_df) -> DataFrame`` computes the per-batch index
+    rows (e.g. ``RandomHyperplaneLSH.build_index``); each micro-batch
+    appends its signatures so readers see an index at most one batch
+    stale — replacing the reference's full ``rebuild_index`` per batch
+    append (``library.py:113-114``) with O(batch) incremental work.
+
+    Bounded run (drains everything currently in ``source_dir`` then
+    stops); swap the trigger for continuous operation.
+    """
+    checkpoint = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        build_index(batch_df).write.mode("append").parquet(index_path)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,110 @@
+"""Structured Streaming: stream/batch plan equivalence and incremental
+foreachBatch index ingest."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+from inmem_vector_db_spark.streaming.ingest import (
+    incremental_index_ingest,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Stream sources read directories; stage events re-written with a
+    micros timestamp (the raw file is TIMESTAMP(NANOS), which the Spark
+    reader rejects — see sources.loader)."""
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    d = tmp_path_factory.mktemp("events_src")
+    # append-mode writes part files directly into d — the file-stream
+    # source lists top-level files only, not nested directories
+    load_table(spark, sf_dir, "events").write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def test_stream_equals_batch_windowed_counts(spark, sf_dir, events_dir):
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    batch = windowed_event_counts(load_table(spark, sf_dir, "events"))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in batch.collect()
+    }
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    assert stream_in.isStreaming
+    got_df = run_stream_to_memory(windowed_event_counts(stream_in))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in got_df.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_watermark_in_plan(spark, events_dir):
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    sdf = windowed_event_counts(stream_in, watermark="30 minutes")
+    assert "watermark" in sdf._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_incremental_index_matches_batch_build(spark, sf_dir, tmp_path):
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", src / "part-0.parquet")
+    index_path = str(tmp_path / "lsh_index")  # single file at top level is fine
+
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=4, hash_size=6, seed=11)
+    incremental_index_ingest(
+        spark,
+        str(src),
+        EMB_SCHEMA,
+        index_path,
+        lambda df: lsh.build_index(df),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    streamed = spark.read.parquet(index_path)
+    batch = lsh.build_index(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_incremental_ingest_appends_new_batches(spark, sf_dir, tmp_path):
+    """A second file arriving later is indexed incrementally (checkpoint
+    resumes; no reprocessing of the first batch)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.filter(F.col("vec_id") < 100).write.mode("append").parquet(str(src))
+    index_path = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=2, hash_size=4, seed=5)
+
+    incremental_index_ingest(
+        spark, str(src), EMB_SCHEMA, index_path, lsh.build_index, ckpt
+    )
+    n1 = spark.read.parquet(index_path).count()
+    assert n1 == 100 * 2
+
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)).write.mode(
+        "append"
+    ).parquet(str(src))
+    incremental_index_ingest(
+        spark, str(src), EMB_SCHEMA, index_path, lsh.build_index, ckpt
+    )
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 150 * 2
+    assert idx.select("vec_id").distinct().count() == 150
