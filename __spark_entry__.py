@@ -289,6 +289,26 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo: treat each document's bytes as an opaque
+    image payload, decode with the deterministic stub, extract pixel
+    stats per Arrow batch.  Deterministic but not SQL-expressible
+    (sha256-derived fake pixels) => rows-only check; the decode contract
+    is unit-tested in tests/test_multimodal.py."""
+    from inmem_vector_db_spark.multimodal.media import image_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return image_features(media).select(
+        "media_id", F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"), "n_px",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
@@ -305,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_cosine": _lsh_knn_cosine,
         "store_search_pipeline": _store_search_pipeline,
         "events_hourly_stream": _events_hourly_stream,
+        "image_pixel_stats": _image_pixel_stats,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})

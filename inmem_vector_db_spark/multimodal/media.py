@@ -1,0 +1,179 @@
+"""Multimodal columns for a training-data pipeline at 100 TB.
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+plus a typed metadata struct — the same pattern as the embedding column:
+Spark never interprets the payload; per-modality work happens in
+Arrow-batched ``mapInPandas`` stages that see the bytes as numpy/pandas
+values.
+
+The container has no image/audio libraries, so the DECODE step is
+stubbed two ways (both clearly marked):
+
+* ``decode=\"strict\"``  -> raises NotImplementedError at evaluation
+  time (the honest production placeholder: plug Pillow/torchaudio in
+  ``_decode_image_bytes`` and nothing else changes);
+* ``decode=\"fake\"``    -> a deterministic fake decoder that derives
+  pixel statistics from the bytes themselves — keeps every downstream
+  stage (schema, batching, partitioning, aggregation) real and testable.
+
+What IS real here and carries to a cluster unchanged:
+
+* the media table schema (id, modality, payload binary, meta struct);
+* batch shape: one UDF call per Arrow batch, never per row;
+* partitioning: payloads hash-partition by id so one huge file's
+  rows spread across executors; metadata-only queries never touch the
+  binary column (column pruning keeps scans cheap — the reason payload
+  and metadata live in the SAME table but different columns);
+* frame sampling for video as a posexplode over a computed frame index
+  array — rows multiply JVM-side, bytes stay put until decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, modality string, payload binary, "
+    "meta struct<source string, width int, height int, duration_s double, "
+    "sample_rate int, codec string>"
+)
+
+MODALITIES = ("image", "audio", "video")
+
+
+def make_media_table(spark, rows) -> DataFrame:
+    """Build a media DataFrame from (media_id, modality, payload, meta)
+    tuples — the ingest shape; real pipelines land the same schema from
+    parquet/webdataset."""
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_image_bytes(payload: bytes, mode: str) -> np.ndarray:
+    """DECODE STUB.  Production: ``PIL.Image.open(io.BytesIO(payload))``.
+
+    ``fake`` mode derives a deterministic 8x8 grayscale 'image' from the
+    payload bytes so downstream numeric stages are exercised end-to-end.
+    """
+    if mode == "strict":
+        raise NotImplementedError(
+            "image decode requires Pillow; not available in this container"
+        )
+    h = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
+    return arr
+
+
+def image_features(
+    df: DataFrame, decode: str = "fake", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image feature extraction: decode (stubbed) -> pixel stats.
+
+    Output: (media_id, mean_px double, std_px double, n_px int).
+    One decode loop per Arrow batch; only ids + 3 doubles leave the
+    executor — the binary column is consumed, not shuffled.
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for payload in pdf[payload_col]:
+                img = _decode_image_bytes(bytes(payload), decode)
+                feats.append(
+                    (float(img.mean()), float(img.std()), int(img.size))
+                )
+            out = pd.DataFrame(feats, columns=["mean_px", "std_px", "n_px"])
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("media_id", payload_col)
+        .mapInPandas(part, "media_id string, mean_px double, std_px double, n_px int")
+    )
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decode: str = "fake"
+) -> DataFrame:
+    """Decode -> resize -> re-encode, returning a new payload column.
+
+    The fake decoder makes 'resize' a deterministic re-hash to the target
+    pixel count; the Spark contract (binary in, binary out, same row
+    count, meta width/height updated) is the real thing.
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_payload = []
+            for payload in pdf["payload"]:
+                img = _decode_image_bytes(bytes(payload), decode)
+                # STUB resize: tile/crop the fake pixels to the target shape
+                flat = np.resize(img, (height, width))
+                out_payload.append(flat.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(part, "media_id string, payload binary, width int, height int")
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, fps: float = 1.0, max_frames: int = 16
+) -> DataFrame:
+    """Frame-sampling plan for video rows: compute the frame timestamps
+    JVM-side from ``meta.duration_s`` and explode — one output row per
+    sampled frame, payload untouched until a downstream decode stage.
+
+    Output: (media_id, frame_idx, frame_ts double, payload binary).
+    """
+    n_frames = F.least(
+        F.lit(max_frames),
+        F.greatest(F.lit(1), F.floor(F.col("meta.duration_s") * fps).cast("int")),
+    )
+    return (
+        df.filter(F.col("modality") == "video")
+        .withColumn(
+            "__ts",
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: F.round(i.cast("double") / F.lit(fps), 6),
+            ),
+        )
+        .select(
+            "media_id",
+            F.posexplode("__ts").alias("frame_idx", "frame_ts"),
+            "payload",
+        )
+    )
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only audio profile — never reads the payload column, so
+    the parquet scan prunes it (ReadSchema excludes binary)."""
+    return (
+        df.filter(F.col("modality") == "audio")
+        .groupBy("meta.sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.sum("meta.duration_s"), 6).alias("total_s"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Multimodal plumbing: schema, batch shape, decode stub modes, frame
+sampling, metadata-only pruning."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.multimodal.media import (
+    audio_stats,
+    image_features,
+    make_media_table,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        ("img1", "image", b"\x01\x02fakejpeg", ("s3://a", 100, 80, None, None, "jpeg")),
+        ("img2", "image", b"\x03\x04fakepng", ("s3://b", 64, 64, None, None, "png")),
+        ("aud1", "audio", b"\x05fakewav", ("s3://c", None, None, 12.5, 16000, "pcm")),
+        ("aud2", "audio", b"\x06fakemp3", ("s3://d", None, None, 7.5, 16000, "mp3")),
+        ("vid1", "video", b"\x07fakemp4", ("s3://e", 640, 480, 5.0, None, "h264")),
+        ("vid2", "video", b"\x08fakemov", ("s3://f", 640, 480, 100.0, None, "h265")),
+    ]
+    df = make_media_table(spark, rows).cache()
+    df.count()
+    return df
+
+
+def test_schema_and_modalities(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert media.count() == 6
+    assert {r["modality"] for r in media.select("modality").distinct().collect()} == {
+        "image", "audio", "video"
+    }
+
+
+def test_image_features_deterministic(media):
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert set(feats) == {"img1", "img2"}
+    # recompute the fake decode in-process: sha256-derived 8x8 grayscale
+    h = hashlib.sha256(b"\x01\x02fakejpeg").digest()
+    want = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
+    assert feats["img1"]["mean_px"] == pytest.approx(float(want.mean()))
+    assert feats["img1"]["std_px"] == pytest.approx(float(want.std()))
+    assert feats["img1"]["n_px"] == 64
+
+
+def test_strict_decode_raises(media):
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+        image_features(media, decode="strict").collect()
+
+
+def test_resize_contract(media):
+    out = resize_images(media, width=4, height=3).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["width"] == 4 and r["height"] == 3
+        assert len(bytes(r["payload"])) == 12  # h*w uint8 pixels
+
+
+def test_video_frame_sampling(media):
+    frames = sample_video_frames(media, fps=1.0, max_frames=16).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 5s video @1fps -> 5 frames; 100s capped at max_frames=16
+    assert len(by_id["vid1"]) == 5
+    assert len(by_id["vid2"]) == 16
+    ts = sorted(r["frame_ts"] for r in by_id["vid1"])
+    assert ts == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_audio_stats_metadata_only(media, tmp_path):
+    rows = audio_stats(media).collect()
+    assert len(rows) == 1
+    assert rows[0]["sample_rate"] == 16000
+    assert rows[0]["n_clips"] == 2
+    assert rows[0]["total_s"] == pytest.approx(20.0)
+
+
+def test_audio_stats_prunes_payload_from_scan(media, tmp_path):
+    """Column pruning must reach the parquet scan: ReadSchema for the
+    metadata-only query excludes the (huge) binary column."""
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    on_disk = media.sparkSession.read.parquet(path)
+    plan = audio_stats(on_disk)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("payload" not in ln for ln in read_schema)
