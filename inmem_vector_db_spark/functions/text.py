@@ -40,6 +40,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer shape: contractions | letter-runs | digit-runs
+# | punctuation-runs, each optionally preceded by a space.  JVM regex,
+# whole-stage codegen — an estimator of BPE token counts without a vocab.
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish subword token count (training-data budgeting at 100 TB
+    needs token counts long before a tokenizer service is in the loop).
+    Counts regexp matches of the GPT-2 pre-tokenization classes; real
+    BPE then merges *within* these pieces, so this lower-bounds piece
+    count and tracks it closely for natural text.  Pure JVM
+    (``regexp_count``) — no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(_BPE_ISH))
+
+
 def distinct_ratio(text: Column | str) -> Column:
     """unique tokens / tokens — low values flag boilerplate/repetition."""
     t = tokens(text)

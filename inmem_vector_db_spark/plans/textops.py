@@ -259,6 +259,46 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
 
 
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish subword estimate)
+
+
+def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count("text").cast("long").alias("ws"),
+            bpe_token_count("text").cast("long").alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.avg(F.col("bpe") / F.col("ws")), 6).alias("bpe_per_ws"),
+        )
+    )
+
+
+# same GPT-2-style pre-tokenizer classes; RE2 (DuckDB) and Java regex
+# (Spark) agree on this pattern
+_BPE_SQL_RE = "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
+TOKEN_COUNTS_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         len(string_split(lower(text), ' ')) AS ws,
+         len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS bpe
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
+       round(avg(bpe::DOUBLE / ws), 6) AS bpe_per_ws
+FROM d GROUP BY lang
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -269,4 +309,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, None),
+    "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
 }

@@ -45,6 +45,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_chunk_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV chunk corpus (reference S4: the test corpus is read with
+    ``pd.read_csv`` as columns ``chunk, document_name`` —
+    ``tests/test_e2e.py:12-13``).  Header + schema enforced; multiline
+    quoted fields supported because real chunk text contains newlines."""
+    return (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("chunk string, document_name string")
+        .csv(path)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

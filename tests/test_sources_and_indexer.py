@@ -1,0 +1,98 @@
+"""Index strategy interface, CSV chunk source, embedding cache."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.indexer import FlatIndex, LSHIndex, make_index
+from inmem_vector_db_spark.sources.embedding import EmbeddingCache, hash_embed_texts
+from inmem_vector_db_spark.sources.loader import load_chunk_csv
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_make_index_dispatch():
+    assert isinstance(make_index("flat", 64), FlatIndex)
+    assert isinstance(make_index("lsh", 64, num_tables=2), LSHIndex)
+    with pytest.raises(ValueError, match="hnsw"):
+        make_index("hnsw", 64)
+
+
+def test_flat_and_lsh_agree_on_exact_neighbors(emb, queries):
+    """LSH with wide buckets + exact fallback returns the same top-k sets
+    as the flat scan on this corpus."""
+    flat = FlatIndex()
+    assert flat.build(emb) is None
+    exact = flat.search(emb, queries, k=5, metric="cosine").collect()
+
+    lsh = make_index("lsh", 64, num_tables=20, hash_size=4)
+    idx = lsh.build(emb)
+    assert idx is not None and idx.count() == emb.count() * 20
+    approx = lsh.search(emb, queries, k=5, metric="cosine").collect()
+
+    def sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, a = sets(exact), sets(approx)
+    # recall over 3 queries x 5 results with wide buckets: allow 1 miss
+    hits = sum(len(e[q] & a.get(q, set())) for q in e)
+    assert hits >= 14
+
+
+def test_csv_source(spark, tmp_path):
+    p = tmp_path / "chunks.csv"
+    p.write_text(
+        'chunk,document_name\n"hello, world","Doc A"\n"line one\nline two",Doc B\n'
+    )
+    df = load_chunk_csv(spark, str(p))
+    rows = {r["document_name"]: r["chunk"] for r in df.collect()}
+    assert rows["Doc A"] == "hello, world"
+    assert rows["Doc B"] == "line one\nline two"  # multiline quoted field
+
+
+def test_embedding_cache_hits_and_appends(spark, tmp_path):
+    cache = EmbeddingCache(str(tmp_path / "emb_cache"))
+    df1 = spark.createDataFrame([("a",), ("b",)], "text string")
+    out1 = {r["text"]: r["embedding"] for r in cache.get_or_compute(df1).collect()}
+    want = hash_embed_texts(pd.Series(["a", "b"]))
+    assert out1["a"] == pytest.approx(want[0])
+
+    # second call: 'a','b' served from cache, only 'c' computed; cache
+    # table must contain exactly the 3 distinct texts afterwards
+    df2 = spark.createDataFrame([("a",), ("c",)], "text string")
+    out2 = {r["text"]: r["embedding"] for r in cache.get_or_compute(df2).collect()}
+    assert out2["a"] == pytest.approx(want[0])
+    assert out2["c"] == pytest.approx(hash_embed_texts(pd.Series(["c"]))[0])
+    cached = spark.read.parquet(cache.path)
+    assert cached.count() == 3
+    assert cached.select("text_hash").distinct().count() == 3
+
+
+def test_bpe_token_count(spark):
+    from inmem_vector_db_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("I don't think 42 is the answer!",), ("hello",)], "text string"
+    )
+    got = {r["text"]: r["n"] for r in df.select(
+        "text", bpe_token_count("text").alias("n")).collect()}
+    # I | \x20don | 't | \x20think | \x2042 | \x20is | \x20the | \x20answer | !
+    assert got["I don't think 42 is the answer!"] == 9
+    assert got["hello"] == 1

@@ -124,7 +124,11 @@ def test_tag_dedup_and_empty_drop(spark, store):
 
 def test_search_self_similarity_and_enrichment(populated):
     store, lid, dids = populated
-    res = store.search(lid, "infrared telescope at L2", k=3, metric="cosine").collect()
+    # euclidean: the constant-vector mock embedding gives every text a
+    # distinct scalar, so only the identical text has distance 0.
+    # (Under cosine ALL constant vectors are parallel => everything ties
+    # at 0 — an artifact of the mock scheme, not of the engine.)
+    res = store.search(lid, "infrared telescope at L2", k=3, metric="euclidean").collect()
     assert len(res) == 3
     # the constant-vector embedding of the exact same text => distance 0
     assert res[0]["score"] == pytest.approx(0.0, abs=1e-6)
