@@ -71,11 +71,18 @@ def euclidean(q: Column | str, v: Column | str) -> Column:
     )
 
 
-def cosine(q: Column | str, v: Column | str) -> Column:
+def cosine(q: Column | str, v: Column | str, q_norm: float | None = None) -> Column:
     """Cosine *distance* = 1 - cos_sim; 1.0 when either norm is zero
-    (reference ``indexer.py:110-122``)."""
+    (reference ``indexer.py:110-122``).
+
+    ``q_norm``: pass the query's precomputed ||q|| when q is a literal —
+    otherwise the norm-of-a-constant aggregate is re-evaluated per
+    corpus row (Catalyst does not fold aggregates over literal arrays).
+    Must be the sequential left-fold sum to bit-match the expression.
+    """
     a, b = _d(q), _d(v)
-    na, nb = l2_norm(a), l2_norm(b)
+    na = F.lit(q_norm) if q_norm is not None else l2_norm(a)
+    nb = l2_norm(b)
     return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(
         F.lit(1.0) - _dot(a, b) / (na * nb)
     )
@@ -103,13 +110,28 @@ METRICS = {
 }
 
 
-def distance(metric: str, q: Column | str, v: Column | str) -> Column:
+def distance(
+    metric: str,
+    q: Column | str,
+    v: Column | str,
+    query_vec=None,
+) -> Column:
     """Dispatch by metric name (enum parity with reference
-    ``indexer.py:21-26``; validated like ``schemas/search.py:31-36``)."""
+    ``indexer.py:21-26``; validated like ``schemas/search.py:31-36``).
+
+    ``query_vec``: the raw query values when q is a literal column —
+    lets cosine fold ||q|| into a scalar literal driver-side instead of
+    re-aggregating a constant per corpus row."""
     try:
         fn = METRICS[metric]
     except KeyError:
         raise ValueError(
             f"unknown metric {metric!r}; expected one of {sorted(METRICS)}"
         ) from None
+    if metric == "cosine" and query_vec is not None:
+        # sequential left-fold, matching the Column aggregate bit-for-bit
+        acc = 0.0
+        for x in query_vec:
+            acc = acc + float(x) * float(x)
+        return cosine(q, v, q_norm=acc**0.5)
     return fn(q, v)

@@ -88,12 +88,25 @@ def quality_score(text: Column | str) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """n-word shingles (space-joined); empty array when fewer than n
-    tokens.  Basis for MinHash / Jaccard dedup."""
+    tokens.  Basis for MinHash / Jaccard dedup.
+
+    Built by zip_with-ing the token array against its own 1..n-1 shifted
+    slices.  Every token-array reference is evaluated at ROW level (O(n)
+    splits per row); the naive ``transform(idx, i -> element_at(t, i+j))``
+    formulation re-evaluates the captured split PER ELEMENT inside the
+    lambda — O(tokens^2) work that dominated the whole MinHash pipeline.
+    """
     t = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    mk = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
-    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, mk)
+    out = t
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(t, j + 1, F.size(t)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    cnt = F.size(t) - (n - 1)
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.slice(out, 1, cnt)
     )
 
 
@@ -125,20 +138,42 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t))))
 
 
-def minhash_signature(text: Column | str, num_hashes: int = 12, shingle_n: int = 3) -> Column:
-    """MinHash signature as an array of ``num_hashes`` hex-string minima:
-    sig[i] = min over shingles of md5(i || '|' || shingle).
+# MinHash permutation family: one 60-bit md5-derived hash per shingle,
+# then k universal-hash permutations  (a_i * h + b_i) mod P  with
+# P = 2^31 - 1 (prime).  All intermediates < 2^62 — no int64 overflow in
+# Spark OR DuckDB, so the oracle computes bit-identical signatures.
+MINHASH_P = 2_147_483_647
+_MINHASH_A = 507_952_114  # 2654435761 (Knuth) reduced mod P
+_MINHASH_B = 40_503
 
-    Using the lexicographic min of a salted md5 keeps the signature
-    engine-portable (DuckDB computes the identical value) while retaining
-    the MinHash property (each salt is an independent uniform permutation
-    of shingle space).
+
+def shingle_hash(s: Column) -> Column:
+    """60-bit integer hash of a shingle: first 15 hex chars of md5,
+    engine-portable (DuckDB: ``('0x' || substr(md5(s),1,15))::UBIGINT``)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 12, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>:
+    ``sig[i] = min over shingles of (a_i * (h(s) mod P) + b_i) mod P``.
+
+    One md5 per shingle (the expensive part), then ``num_hashes`` cheap
+    integer permutations — ~num_hashes x less hashing than salting the
+    md5 per permutation, same MinHash property (each (a_i, b_i) is a
+    universal-hash permutation of shingle space).
     """
     sh = word_shingles(text, shingle_n)
+    hs = F.transform(sh, lambda s: shingle_hash(s) % MINHASH_P)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+            F.transform(
+                hs,
+                lambda h: (
+                    ((F.lit(_MINHASH_A).cast("long") * (i + 1)) % MINHASH_P) * h
+                    + F.lit(_MINHASH_B).cast("long") * (i + 7)
+                ) % MINHASH_P,
+            )
         ),
     )
 

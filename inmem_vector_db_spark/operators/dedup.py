@@ -122,7 +122,9 @@ def minhash_lsh_pairs(
                 lambda b: F.md5(
                     F.concat_ws(
                         "|",
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                        ).cast("array<string>"),
                     )
                 ),
             )

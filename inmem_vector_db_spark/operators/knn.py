@@ -83,7 +83,7 @@ def knn(
         raise ValueError("k must be > 0")
     qlit = _query_lit(query_vec)
     dist = _dim_guard(vec_col, len(query_vec)).otherwise(
-        distance(metric, qlit, F.col(vec_col))
+        distance(metric, qlit, F.col(vec_col), query_vec=query_vec)
     )
     cols = [F.col(id_col), *[F.col(c) for c in payload_cols], dist.alias("dist")]
     # orderBy + limit => TakeOrderedAndProject (partition-local top-k,

@@ -179,9 +179,14 @@ def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_SQL = f"""
 WITH {_SH_CTE},
 sig AS (
+  -- one md5 per shingle -> 60-bit int, then 12 universal-hash
+  -- permutations mod P = 2^31-1 (mirrors functions.text.minhash_signature)
   SELECT doc_id, list_distinct(shingles) AS shset,
          list_transform(generate_series(0, 11),
-           i -> list_min(list_transform(shingles, s -> md5(i::varchar || '|' || s)))) AS sig
+           i -> list_min(list_transform(shingles,
+             s -> (((507952114 * (i + 1)) % 2147483647)
+                   * (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)
+                   + 40503 * (i + 7)) % 2147483647))) AS sig
   FROM sh WHERE len(shingles) > 0
 ),
 bands AS (
