@@ -201,8 +201,10 @@ class LibraryStore:
             raise ValidationError("document title must be non-empty")  # document.py:47-53
         new = new.select(*self.documents.columns)
         # materialize generated ids so they are stable across re-evaluation
-        # (uuid() is nondeterministic per-evaluation — SURVEY.md F9 note)
-        new = self.spark.createDataFrame(new.collect(), DOCUMENTS_SCHEMA)
+        # (uuid() is nondeterministic per-evaluation — SURVEY.md F9 note);
+        # localCheckpoint pins the rows executor-side without a driver
+        # round-trip
+        new = new.localCheckpoint(eager=True)
         self.documents = self.documents.unionByName(new)
         return new
 
@@ -284,7 +286,7 @@ class LibraryStore:
             if c not in new.columns:
                 new = new.withColumn(c, F.lit(None).cast(typ))
         new = new.select(*self.chunks.columns)
-        new = self.spark.createDataFrame(new.collect(), CHUNKS_SCHEMA)
+        new = new.localCheckpoint(eager=True)  # pin uuids/embeddings once
         self.chunks = self.chunks.unionByName(new)
         return new
 
