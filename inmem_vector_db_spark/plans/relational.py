@@ -279,6 +279,51 @@ ORDER BY purchase_value DESC, user_id
 LIMIT 20
 """
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: Spark's ``session_window`` (the batch form of the
+    Structured Streaming stateful session operator) with a 30-minute
+    inactivity gap.  Per (user, session): start, event count, value sum.
+    Oracle: gaps-and-islands SQL — a new session starts when the gap
+    from the previous event is >= 30 min, exactly Spark's merge rule."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+USER_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -287,4 +332,5 @@ QUERIES = {
     "top_customers_per_nation": (top_customers_per_nation, TOP_CUSTOMERS_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
+    "user_sessions": (user_sessions, USER_SESSIONS_SQL),
 }

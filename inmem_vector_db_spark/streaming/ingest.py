@@ -79,6 +79,45 @@ def run_stream_to_memory(
     return spark.table(qname)
 
 
+def running_user_totals(
+    events: DataFrame,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-user event count + value sum, updated every micro-batch.
+
+    This is the arbitrary-state API the engine reserves for semantics
+    windows/aggregations can't express (per-key state machines, custom
+    eviction).  State = one (count, total) pair per user_id; each
+    micro-batch folds its rows into the state and emits the new totals
+    for the users it touched.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, value_sum double"
+    state_schema = "n bigint, total double"
+
+    def fold(key, pdfs, state: GroupState):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd  # local import: runs on workers
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_index_ingest(
     spark: SparkSession,
     source_dir: str,

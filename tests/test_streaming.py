@@ -108,3 +108,30 @@ def test_incremental_ingest_appends_new_batches(spark, sf_dir, tmp_path):
     idx = spark.read.parquet(index_path)
     assert idx.count() == 150 * 2
     assert idx.select("vec_id").distinct().count() == 150
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_dir):
+    """applyInPandasWithState: after draining the bounded stream, the
+    per-user running totals equal the batch groupBy."""
+    from inmem_vector_db_spark.sources.loader import load_table
+    from inmem_vector_db_spark.streaming.ingest import (
+        run_stream_to_memory,
+        running_user_totals,
+    )
+
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got_df = run_stream_to_memory(
+        running_user_totals(stream_in), output_mode="update"
+    )
+    # update mode re-emits a user on every batch that touches them; the
+    # LAST emission carries the final total — with one input file there
+    # is one batch, so rows are final already.
+    got = {r["user_id"]: (r["n_events"], round(r["value_sum"], 4)) for r in got_df.collect()}
+    batch = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
