@@ -324,6 +324,48 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region -> nation -> grand total) over order
+    revenue: grouping-sets capability the reference lacks entirely.
+    NULL group keys are replaced with 'ALL' so the hash compare is
+    NULL-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -333,4 +375,5 @@ QUERIES = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
     "user_sessions": (user_sessions, USER_SESSIONS_SQL),
+    "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
 }

@@ -304,6 +304,35 @@ FROM d GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# document chunking (ingest step upstream of the reference data model)
+
+
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+  FROM d
+),
+c AS (
+  SELECT doc_id, (s / 24)::INT AS chunk_idx,
+         array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+  FROM idx
+)
+SELECT doc_id, chunk_idx, chunk_text,
+       len(string_split(chunk_text, ' ')) AS n_words
+FROM c WHERE chunk_text != ''
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -315,4 +344,5 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, None),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
+    "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
 }

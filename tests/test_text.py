@@ -92,3 +92,31 @@ def test_simhash_matches_python_reference(spark, sf_dir):
 def test_hamming64(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     assert df.select(T.hamming64("a", "b").alias("h")).head()["h"] == 2
+
+
+def test_chunk_documents_windows(spark):
+    from inmem_vector_db_spark.operators.chunking import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short text")], "doc_id int, text string")
+    rows = chunk_documents(df, chunk_size=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 2 over 10 words: starts 0,2,4,6,8
+    assert [r["chunk_text"] for r in c1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9",
+    ]
+    assert [r["n_words"] for r in c1] == [4, 4, 4, 4, 2]
+    assert [r["chunk_text"] for r in by_doc[2]] == ["short text"]
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest as _pytest
+
+    from inmem_vector_db_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
