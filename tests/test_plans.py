@@ -16,6 +16,10 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
+    # other test modules cache() this same path; a cached plan replaces
+    # the parquet scan with InMemoryRelation and hides ReadSchema /
+    # PushedFilters — clear so plan assertions see the real scan
+    spark.catalog.clearCache()
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
