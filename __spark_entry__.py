@@ -260,6 +260,54 @@ LIMIT 10
 """
 
 
+def _store_parity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity quirk under oracle (SURVEY.md 3.1 steps 4+7):
+    ``library.py:117`` never forwards the metric, so ranking is ALWAYS
+    euclidean, while ``library_service.py:217-223`` recomputes the
+    returned score with the REQUESTED metric (here dot_product) — rank
+    order and score order disagree, and the oracle encodes exactly
+    that."""
+    from inmem_vector_db_spark.store import LibraryStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = LibraryStore(spark)
+    lid = store.create_library("parity")
+    doc = store.add_documents(
+        lid, spark.createDataFrame([("all",)], "title string")
+    ).head()
+    store.add_chunks(
+        lid,
+        docs.select(
+            F.lit(doc["document_id"]).alias("document_id"), "text"
+        ),
+    )
+    qtext = docs.filter(F.col("doc_id") == 7).head()["text"]
+    res = store.search(
+        lid, qtext, k=10, metric="dot_product", parity=True, tie_col="text"
+    )
+    return res.select("text", "rank", F.round("score", 6).alias("score"))
+
+
+_STORE_PARITY_ORACLE = """
+WITH h AS (
+  SELECT text,
+         CAST((md5_number_upper(text) % 10000) / 10000.0 AS FLOAT) AS hv
+  FROM documents
+),
+q AS (SELECT hv AS qv FROM h
+      WHERE text = (SELECT text FROM documents WHERE doc_id = 7)),
+ranked AS (
+  SELECT h.text,
+         row_number() OVER (
+           ORDER BY sqrt(32 * pow(h.hv::DOUBLE - q.qv::DOUBLE, 2)), h.text
+         ) AS rank,
+         round(-32 * (h.hv::DOUBLE * q.qv::DOUBLE), 6) AS score
+  FROM h, q
+)
+SELECT text, rank, score FROM ranked WHERE rank <= 10
+"""
+
+
 def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming plan of the hourly event rollup: stage the
     events as a file-stream source, run the watermarked tumbling-window
@@ -326,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_search_pipeline": _store_search_pipeline,
         "events_hourly_stream": _events_hourly_stream,
         "image_pixel_stats": _image_pixel_stats,
+        "store_parity_search": _store_parity_search,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
@@ -346,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
+        "store_parity_search": _STORE_PARITY_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
