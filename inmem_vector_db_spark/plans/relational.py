@@ -366,6 +366,36 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the reference's only anti-join analog is skipping
+    dangling chunk ids, ``chunk_service.py:124-128``): customers with no
+    orders, aggregated per nation.  Catalyst executes the left_anti as a
+    broadcast/shuffled hash anti-join on o_custkey only — order payload
+    columns never move."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -376,4 +406,5 @@ QUERIES = {
     "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
     "user_sessions": (user_sessions, USER_SESSIONS_SQL),
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
+    "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
 }

@@ -94,14 +94,17 @@ class LibraryStore:
 
     # -- persistence (S1-S3) ---------------------------------------------
 
-    def save(self, root: str) -> None:
+    def save(self, root: str, partition_by_library: bool = False) -> None:
         """Parquet snapshot per table (replaces per-library pickle,
-        ``library.py:120-132``).  At scale: ``partitionBy("library_id")``
-        so per-library reads prune."""
+        ``library.py:120-132``).  ``partition_by_library=True`` writes
+        documents/chunks partitioned by ``library_id`` so per-library
+        reads partition-prune — the layout a multi-tenant 100 TB store
+        uses; off by default for small snapshots (avoids tiny files)."""
         for name in _TABLES:
-            getattr(self, name).write.mode("overwrite").parquet(
-                os.path.join(root, name)
-            )
+            w = getattr(self, name).write.mode("overwrite")
+            if partition_by_library and name != "libraries":
+                w = w.partitionBy("library_id")
+            w.parquet(os.path.join(root, name))
 
     @classmethod
     def load(cls, spark: SparkSession, root: str, dim: int = DEFAULT_DIM) -> "LibraryStore":

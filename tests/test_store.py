@@ -238,3 +238,18 @@ def test_metadata_update_preserves_created_at(populated):
     assert sorted(after["tags"]) == ["a", "b"]
     assert after["created_at"] == before["created_at"]
     assert after["updated_at"] >= before["updated_at"]
+
+
+def test_save_partitioned_roundtrip(spark, populated, tmp_path):
+    import os
+
+    store, lid, _ = populated
+    root = str(tmp_path / "snap_part")
+    store.save(root, partition_by_library=True)
+    # partition directories exist and restore works identically
+    assert any(
+        d.startswith("library_id=") for d in os.listdir(os.path.join(root, "chunks"))
+    )
+    restored = LibraryStore.load(spark, root)
+    assert restored.chunks.count() == store.chunks.count()
+    assert set(restored.chunks.columns) == set(store.chunks.columns)
