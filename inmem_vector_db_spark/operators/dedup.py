@@ -337,3 +337,49 @@ def embedding_near_dup_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cosine_dist: float = 0.2,
+    num_tables: int = 8,
+    hash_size: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB path for embedding near-dup: LSH bucket blocking first,
+    exact cosine verification only WITHIN buckets.
+
+    Work drops from O(N^2) to O(sum over buckets of b^2); with sign-bit
+    LSH, near-identical vectors (cos_dist <= 0.2 ~ angle <= 37deg) share
+    a bucket in at least one of ``num_tables`` tables with high
+    probability.  Output schema matches ``embedding_near_dup_pairs``;
+    results are a high-recall SUBSET of the exact pairs (no fallback —
+    measured against the exact path in tests)."""
+    from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+
+    dim = len(df.select(vec_col).head()[0])
+    lsh = RandomHyperplaneLSH(dim, num_tables=num_tables, hash_size=hash_size, seed=seed)
+    index = lsh.build_index(df, id_col=id_col, vec_col=vec_col)
+    a, b = index.alias("a"), index.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = df.select(id_col, vec_col)
+    return (
+        cand.join(vecs.withColumnsRenamed({id_col: "id_a", vec_col: "__va"}), "id_a")
+        .join(vecs.withColumnsRenamed({id_col: "id_b", vec_col: "__vb"}), "id_b")
+        .withColumn("cos_dist", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos_dist") <= max_cosine_dist)
+        .select("id_a", "id_b", "cos_dist")
+    )

@@ -168,6 +168,13 @@ def knn_join_vectorized(
             vmat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )  # (N, D)
+            if vmat.ndim != 2 or vmat.shape[1] != qmat_.shape[1]:
+                # same failure contract as the expression path's
+                # _dim_guard: loud error, not a numpy broadcast surprise
+                raise ValueError(
+                    f"embedding dimension mismatch: query dim={qmat_.shape[1]}, "
+                    f"corpus batch shape={vmat.shape}"
+                )
             if met == "euclidean":
                 # |q-v|^2 = |q|^2 + |v|^2 - 2 q.v   (BLAS-backed)
                 d2 = (
