@@ -396,6 +396,40 @@ GROUP BY n_name
 """
 
 
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide): every event
+    lands in 2 windows — the overlap-aware aggregation Structured
+    Streaming shares with batch.  Oracle: explode each event to its 2
+    covering window starts via generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "value_sum",
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH hits AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+           date_trunc('hour', ts) - INTERVAL 1 HOUR,
+           date_trunc('hour', ts),
+           INTERVAL 1 HOUR)) AS window_start
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM hits GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -407,4 +441,5 @@ QUERIES = {
     "user_sessions": (user_sessions, USER_SESSIONS_SQL),
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
 }

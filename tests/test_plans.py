@@ -86,3 +86,47 @@ def test_top_values_per_key_profile(spark, sf_dir):
     assert prof and all(r["frac"] >= 0.1 for r in prof)
     fracs = [r["n"] for r in prof]
     assert fracs == sorted(fracs, reverse=True)
+
+
+def test_lsh_search_broadcasts_signatures_not_vectors(spark, sf_dir):
+    """LSH candidate retrieval must broadcast the tiny query-signature
+    table; the corpus embedding column must not appear in the join that
+    produces candidates (only ids + signatures shuffle)."""
+    from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=4, hash_size=4)
+    plan = _plan(lsh.search(emb, queries, k=3, metric="cosine", exact_fallback=False))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_snapshot_prunes(spark, tmp_path):
+    """A library_id filter over a partitioned snapshot must appear as a
+    PartitionFilter (pruned at planning), not a post-scan Filter."""
+    from inmem_vector_db_spark.store import LibraryStore
+
+    store = LibraryStore(spark)
+    for name in ("libA", "libB"):
+        lid = store.create_library(name)
+        doc = store.add_documents(
+            lid, spark.createDataFrame([(name,)], "title string")
+        ).head()
+        store.add_chunks(
+            lid,
+            spark.createDataFrame(
+                [(doc["document_id"], f"text of {name}")],
+                "document_id string, text string",
+            ),
+        )
+    root = str(tmp_path / "snap")
+    store.save(root, partition_by_library=True)
+    lid_a = store.libraries.filter(F.col("name") == "libA").head()["library_id"]
+    chunks = spark.read.parquet(f"{root}/chunks").filter(F.col("library_id") == lid_a)
+    plan = _plan(chunks)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("library_id" in ln for ln in pf)
+    assert chunks.count() == 1
