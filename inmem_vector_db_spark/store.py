@@ -388,10 +388,14 @@ class LibraryStore:
         if metric not in METRICS:
             raise ValidationError(f"metric must be one of {METRICS}")
         self._require_library(library_id)
-        qvec = with_embeddings(
-            self.spark.createDataFrame([(query_text,)], "text string"),
-            dim=self.dim,
-        ).head()["embedding"]
+        # embed the single query string driver-side (the reference does
+        # the same: one embed call before the search, §3.1 step 3) — a
+        # 1-row mapInPandas job would cost a full Spark job for nothing
+        import pandas as pd
+
+        from inmem_vector_db_spark.sources.embedding import hash_embed_texts
+
+        qvec = hash_embed_texts(pd.Series([query_text]), self.dim)[0]
         qlit = F.lit([float(x) for x in qvec])
 
         base = self.chunks.filter(F.col("library_id") == library_id)
