@@ -398,6 +398,39 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-side filters + single
+    aggregate.  Every predicate is parquet-pushable (date/decimal
+    ranges) so the scan itself skips row groups — the pure
+    predicate-pushdown showcase."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (2h window, 1h slide): every event
     lands in 2 windows — the overlap-aware aggregation Structured
@@ -444,4 +477,5 @@ QUERIES = {
     "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
     "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
 }

@@ -130,3 +130,15 @@ def test_partitioned_snapshot_prunes(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("library_id" in ln for ln in pf)
     assert chunks.count() == 1
+
+
+def test_q6_pushes_all_filters_to_scan(spark, sf_dir):
+    from inmem_vector_db_spark.plans.relational import q6_forecast_revenue
+
+    spark.catalog.clearCache()
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line
