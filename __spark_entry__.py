@@ -260,6 +260,48 @@ LIMIT 10
 """
 
 
+def _knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage kNN: int8-quantized candidate scan (4x less IO at
+    scale) + exact float re-rank of k*oversample candidates."""
+    from inmem_vector_db_spark.operators.quantize import (
+        knn_quantized_rerank,
+        with_quantized,
+    )
+
+    q = _query_vec(spark, sf_dir, 2)
+    corpus = with_quantized(_emb(spark, sf_dir))
+    return knn_quantized_rerank(corpus, q, k=10, oversample=4).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_KNN_QUANTIZED_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM base WHERE vec_id = 2),
+quant AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0::FLOAT
+              ELSE (list_max(list_transform(v, x -> abs(x))) / 127.0)::FLOAT
+         END AS scale
+  FROM base
+),
+deq AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> round(x / scale) * scale::DOUBLE) AS dv
+  FROM quant
+),
+cand AS (
+  SELECT d.vec_id, d.v FROM deq d, q
+  ORDER BY list_distance(d.dv, q.qv), d.vec_id
+  LIMIT 40
+)
+SELECT c.vec_id, round(list_distance(c.v, q.qv), 6) AS dist
+FROM cand c, q
+ORDER BY list_distance(c.v, q.qv), c.vec_id
+LIMIT 10
+"""
+
+
 def _store_parity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference parity quirk under oracle (SURVEY.md 3.1 steps 4+7):
     ``library.py:117`` never forwards the metric, so ranking is ALWAYS
@@ -375,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": _events_hourly_stream,
         "image_pixel_stats": _image_pixel_stats,
         "store_parity_search": _store_parity_search,
+        "knn_quantized": _knn_quantized,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
@@ -396,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
+        "knn_quantized": _KNN_QUANTIZED_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT

@@ -1,0 +1,65 @@
+"""int8 scalar quantization: round-trip error bounds and two-stage
+recall vs exact kNN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.knn import knn
+from inmem_vector_db_spark.operators.quantize import (
+    dequantize,
+    knn_quantized_rerank,
+    with_quantized,
+)
+
+
+@pytest.fixture(scope="module")
+def embq(spark, sf_dir):
+    df = with_quantized(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).cache()
+    df.count()
+    return df
+
+
+def test_quantization_error_bound(embq):
+    """|deq - orig| <= scale/2 per element (round-to-nearest)."""
+    rows = embq.select(
+        "embedding", dequantize("emb_q", "emb_scale").alias("deq"), "emb_scale"
+    ).limit(50).collect()
+    for r in rows:
+        orig = np.array(r["embedding"], dtype=np.float64)
+        deq = np.array(r["deq"], dtype=np.float64)
+        assert np.abs(orig - deq).max() <= r["emb_scale"] / 2 + 1e-9
+
+
+def test_codes_are_int8_range(embq):
+    row = embq.select(F.array_max("emb_q").alias("mx"), F.array_min("emb_q").alias("mn")).agg(
+        F.max("mx").alias("mx"), F.min("mn").alias("mn")
+    ).head()
+    assert -127 <= row["mn"] and row["mx"] <= 127
+
+
+def test_zero_vector_scale_one(spark):
+    df = with_quantized(
+        spark.createDataFrame([(1, [0.0] * 4)], "vec_id int, embedding array<float>")
+    )
+    r = df.head()
+    assert r["emb_scale"] == 1.0 and list(r["emb_q"]) == [0, 0, 0, 0]
+
+
+def test_two_stage_recall(spark, embq):
+    """Quantized candidates + exact re-rank recovers (nearly) the exact
+    top-10 for several query vectors."""
+    qrows = embq.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    total_hits = 0
+    for qr in qrows:
+        q = [float(x) for x in qr["embedding"]]
+        exact = [r["vec_id"] for r in knn(embq, q, k=10, metric="euclidean").collect()]
+        two_stage = [
+            r["vec_id"]
+            for r in knn_quantized_rerank(embq, q, k=10, oversample=4).collect()
+        ]
+        assert len(two_stage) == 10
+        total_hits += len(set(exact) & set(two_stage))
+    assert total_hits >= 45  # >=90% average recall over 5 queries
