@@ -431,6 +431,103 @@ WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-table join (lineitem-orders-customer-supplier-
+    nation x2) computing shipping volume between nation pairs per year.
+    The two nation lookups broadcast; the big fact-fact join
+    (lineitem-orders) shuffles once on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("snk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cnk"),
+                                   F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("snk"))
+        .join(n2, cust.c_nationkey == F.col("cnk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            # money math in DECIMAL: float64 sums over 2090 fine-grained
+            # groups land on .005 rounding boundaries where engines'
+            # accumulation order differs by 1 ulp -> 1-cent mismatches.
+            # Exact decimal arithmetic is order-independent.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            ).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::INT AS l_year,
+       round(sum(l_extendedprice::DECIMAL(18,4)
+                 * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS volume,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape without partsupp: for each part brand, the
+    supplier(s) whose minimum lineitem sale price for that brand equals
+    the brand-wide minimum — a correlated-subquery pattern expressed as
+    an aggregation + semi-join back on the grouped minimum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    sales = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    brand_min = sales.groupBy("p_brand").agg(F.min("min_price").alias("brand_min"))
+    return (
+        sales.join(F.broadcast(brand_min), "p_brand")
+        .filter(F.col("min_price") == F.col("brand_min"))
+        .join(F.broadcast(supp), sales.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_brand", "s_name",
+            F.round("min_price", 2).alias("min_price"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH sales AS (
+  SELECT p_brand, l_suppkey, min(l_extendedprice) AS min_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, s_name, round(min_price, 2) AS min_price
+FROM sales
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE min_price = (SELECT min(min_price) FROM sales s2 WHERE s2.p_brand = sales.p_brand)
+"""
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (2h window, 1h slide): every event
     lands in 2 windows — the overlap-aware aggregation Structured
@@ -478,4 +575,6 @@ QUERIES = {
     "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
 }
