@@ -355,6 +355,37 @@ class LibraryStore:
             ).otherwise(F.col("text")).alias("text"),
         )
 
+    def search_all_libraries(
+        self,
+        query_text: str,
+        k: int = 5,
+        metric: str = "euclidean",
+        tie_col: str = "chunk_id",
+    ) -> DataFrame:
+        """Top-k per library in ONE pass: a window partitioned by
+        library_id instead of one job per library (the reference would
+        loop its global dict; a multi-tenant cluster query plans this as
+        a single partial-topk-per-partition + one shuffle on
+        library_id).  Returns (library_id, chunk_id, document_id, score,
+        rank)."""
+        if k <= 0:
+            raise ValidationError("k must be > 0")
+        import pandas as pd
+
+        from inmem_vector_db_spark.sources.embedding import hash_embed_texts
+
+        qvec = hash_embed_texts(pd.Series([query_text]), self.dim)[0]
+        qlit = F.lit([float(x) for x in qvec])
+        scored = self.chunks.withColumn(
+            "score", distance(metric, qlit, F.col("embedding"))
+        )
+        w = Window.partitionBy("library_id").orderBy("score", tie_col)
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("library_id", "chunk_id", "document_id", "score", "rank")
+        )
+
     # -- search (§3.1 lifecycle) -----------------------------------------------
 
     def search(

@@ -253,3 +253,27 @@ def test_save_partitioned_roundtrip(spark, populated, tmp_path):
     restored = LibraryStore.load(spark, root)
     assert restored.chunks.count() == store.chunks.count()
     assert set(restored.chunks.columns) == set(store.chunks.columns)
+
+
+def test_search_all_libraries(spark, populated):
+    store, lid, _ = populated
+    lid2 = store.create_library("second")
+    doc = store.add_documents(
+        lid2, spark.createDataFrame([("d2",)], "title string")
+    ).head()
+    store.add_chunks(
+        lid2,
+        spark.createDataFrame(
+            [(doc["document_id"], "infrared telescope at L2")],
+            "document_id string, text string",
+        ),
+    )
+    res = store.search_all_libraries("infrared telescope at L2", k=2).collect()
+    by_lib = {}
+    for r in res:
+        by_lib.setdefault(r["library_id"], []).append(r)
+    assert set(by_lib) == {lid, lid2}
+    assert len(by_lib[lid]) == 2 and len(by_lib[lid2]) == 1
+    # both libraries' best hit is the exact text (euclidean distance 0)
+    assert min(r["score"] for r in by_lib[lid]) == pytest.approx(0.0, abs=1e-9)
+    assert by_lib[lid2][0]["score"] == pytest.approx(0.0, abs=1e-9)
