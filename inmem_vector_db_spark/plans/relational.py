@@ -528,6 +528,29 @@ WHERE min_price = (SELECT min(min_price) FROM sales s2 WHERE s2.p_brand = sales.
 """
 
 
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of order value per
+    order status — `percentile()` is the exact sort-based aggregate
+    (DuckDB: quantile_cont), distinct from the sketch-based
+    approx_percentile used when a full sort is too expensive."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORDER_PERCENTILES_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (2h window, 1h slide): every event
     lands in 2 windows — the overlap-aware aggregation Structured
@@ -577,4 +600,5 @@ QUERIES = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "order_value_percentiles": (order_value_percentiles, ORDER_PERCENTILES_SQL),
 }

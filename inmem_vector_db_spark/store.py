@@ -355,6 +355,32 @@ class LibraryStore:
             ).otherwise(F.col("text")).alias("text"),
         )
 
+    def rebuild_index(
+        self,
+        library_id: str,
+        num_tables: int = 10,
+        hash_size: int = 8,
+        seed: int = 42,
+    ) -> DataFrame:
+        """The M10 'background rebuild' as a batch job: recompute the
+        library's LSH signature table from scratch (reference
+        ``background_tasks.py:4-18`` -> ``indexer.build``).  Idempotent,
+        no locks; at scale the result is written partitioned by
+        (table_idx, sig) and the incremental path
+        (``streaming.ingest.incremental_index_ingest``) keeps it fresh
+        between rebuilds."""
+        from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+
+        self._require_library(library_id)
+        lsh = RandomHyperplaneLSH(
+            self.dim, num_tables=num_tables, hash_size=hash_size, seed=seed
+        )
+        return lsh.build_index(
+            self.chunks.filter(F.col("library_id") == library_id),
+            id_col="chunk_id",
+            vec_col="embedding",
+        )
+
     def search_all_libraries(
         self,
         query_text: str,

@@ -277,3 +277,15 @@ def test_search_all_libraries(spark, populated):
     # both libraries' best hit is the exact text (euclidean distance 0)
     assert min(r["score"] for r in by_lib[lid]) == pytest.approx(0.0, abs=1e-9)
     assert by_lib[lid2][0]["score"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_rebuild_index_signature_table(populated):
+    store, lid, _ = populated
+    idx = store.rebuild_index(lid, num_tables=4, hash_size=6)
+    assert idx.count() == 6 * 4  # 6 chunks x 4 tables
+    row = idx.head()
+    assert set(idx.columns) == {"chunk_id", "table_idx", "sig"}
+    assert len(row["sig"]) == 6 and set(row["sig"]) <= {"0", "1"}
+    # idempotent: rebuilding yields the identical table (seeded planes)
+    again = store.rebuild_index(lid, num_tables=4, hash_size=6)
+    assert idx.exceptAll(again).isEmpty() and again.exceptAll(idx).isEmpty()
