@@ -551,6 +551,90 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (absent in the reference, SURVEY.md 2.6): users
+    who both purchased AND hit an error, with their event counts."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(erring)
+    return (
+        ev.join(both, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+USERS_INTERSECT_SQL = """
+WITH hit_both AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+SELECT e.user_id, count(*) AS n_events
+FROM events e JOIN hit_both USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per user, one count column per event type (fixed
+    column set so the schema is static — dynamic pivot would scan twice)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .fillna(0, types)
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM events GROUP BY user_id
+"""
+
+
+def supplier_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (SURVEY.md 2.10): geometric mean of sale
+    price per supplier nation as an Arrow-batched grouped-agg pandas
+    UDF.  Oracle: exp(avg(ln x)) — the algebraic identity."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(geomean("l_extendedprice"), 4).alias("geomean_price"))
+    )
+
+
+SUPPLIER_GEOMEAN_SQL = """
+SELECT n_name, round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (2h window, 1h slide): every event
     lands in 2 windows — the overlap-aware aggregation Structured
@@ -601,4 +685,7 @@ QUERIES = {
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "order_value_percentiles": (order_value_percentiles, ORDER_PERCENTILES_SQL),
+    "users_purchase_and_error": (users_purchase_and_error, USERS_INTERSECT_SQL),
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "supplier_geomean_price": (supplier_geomean_price, SUPPLIER_GEOMEAN_SQL),
 }
