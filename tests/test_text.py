@@ -120,3 +120,19 @@ def test_chunk_documents_validates_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_sentence_splitter_udtf(spark):
+    from inmem_vector_db_spark.functions.udtf_demo import SentenceSplitter, register
+
+    from pyspark.sql import functions as F
+
+    rows = SentenceSplitter(F.lit("One. Two! Three?? ")).collect()
+    assert [(r["sentence_idx"], r["sentence"], r["n_chars"]) for r in rows] == [
+        (0, "One", 3), (1, "Two", 3), (2, "Three", 5),
+    ]
+    register(spark)
+    got = spark.sql(
+        "SELECT * FROM sentence_splitter('Hello world. Bye.')"
+    ).collect()
+    assert [r["sentence"] for r in got] == ["Hello world", "Bye"]
