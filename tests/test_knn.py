@@ -80,3 +80,28 @@ def test_knn_join_matches_brute(spark, emb, emb_np, impl):
         assert [g[1] for g in got] == [w[0] for w in want]
         for g, w in zip(got, want):
             assert g[2] == pytest.approx(w[1], abs=1e-9)
+
+
+def test_knn_empty_corpus_returns_empty(spark):
+    from inmem_vector_db_spark.operators.knn import knn
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert knn(empty, [1.0, 2.0], k=5).collect() == []
+
+
+def test_store_search_empty_library(spark):
+    from inmem_vector_db_spark.store import LibraryStore
+
+    store = LibraryStore(spark)
+    lid = store.create_library("empty")
+    assert store.search(lid, "anything", k=5).collect() == []
+
+
+def test_knn_unknown_metric_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from inmem_vector_db_spark.operators.knn import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="unknown metric"):
+        knn(emb, [0.0] * 64, k=5, metric="chebyshev")
