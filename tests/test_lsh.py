@@ -110,3 +110,23 @@ def test_recall_at_k(emb, queries):
     ref_hparams = lsh_recall_at_k(emb, queries, k=10, metric="cosine",
                                   lsh=RandomHyperplaneLSH(dim=64))
     assert ref_hparams >= 0.2
+
+
+def test_persisted_index_partition_prunes(spark, emb, tmp_path):
+    """The production index layout: signature table written partitioned
+    by (table_idx, sig).  A candidate lookup filtering both keys must
+    prune at planning time (PartitionFilters), scanning only the
+    matching bucket directory — this is what makes LSH candidate
+    retrieval O(bucket) instead of O(index) at 100 TB."""
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=2, hash_size=3, seed=9)
+    path = str(tmp_path / "sig_index")
+    lsh.build_index(emb).write.partitionBy("table_idx", "sig").parquet(path)
+    idx = spark.read.parquet(path)
+    some = idx.head()
+    lookup = idx.filter(
+        (F.col("table_idx") == some["table_idx"]) & (F.col("sig") == some["sig"])
+    )
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("table_idx" in ln and "sig" in ln for ln in pf)
+    assert lookup.count() >= 1
