@@ -305,6 +305,42 @@ FROM d GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# canonicalized exact dedup (normalization catches trivially-mutated dups
+# that byte-exact md5 misses: case, punctuation, whitespace runs)
+
+
+def dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    return docs.select("doc_id", F.md5(canon).alias("ch")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("ch").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.count_distinct("ch")).alias("n_dups_removed"),
+    )
+
+
+DEDUP_CANONICAL_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS ch
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT ch) AS n_canonical,
+       count(*) - count(DISTINCT ch) AS n_dups_removed
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # document chunking (ingest step upstream of the reference data model)
 
 
@@ -345,4 +381,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash_q, None),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
+    "dedup_canonical": (dedup_canonical_q, DEDUP_CANONICAL_SQL),
 }

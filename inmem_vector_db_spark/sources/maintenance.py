@@ -1,0 +1,59 @@
+"""Table maintenance jobs (the operational side of a 100 TB store).
+
+Streaming appends (``streaming.ingest``) and per-batch CRUD leave many
+small parquet files; scans then pay per-file open cost and lose
+row-group locality.  ``compact`` is the standard rewrite job: read,
+re-partition to a target file size, atomically swap.  The reference has
+no analog (one pickle per library); this is pure Spark operations.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~target_file_mb files.
+
+    ``sort_by``: optional columns to sort within files — clusters values
+    so parquet row-group min/max stats actually skip (poor man's
+    Z-order for one key).  Returns {files_before, files_after, bytes}.
+
+    Swap strategy: write to a sibling temp dir, then replace — the
+    local-FS stand-in for the atomic metadata swap a table format
+    (Delta/Iceberg) provides on a real lake.
+    """
+
+    def _list_files(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before = _list_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_files)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df.write.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return {
+        "files_before": len(before),
+        "files_after": len(_list_files(path)),
+        "bytes": total_bytes,
+    }

@@ -96,3 +96,29 @@ def test_bpe_token_count(spark):
     # I | \x20don | 't | \x20think | \x2042 | \x20is | \x20the | \x20answer | !
     assert got["I don't think 42 is the answer!"] == 9
     assert got["hello"] == 1
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from inmem_vector_db_spark.sources.maintenance import compact
+
+    src = str(tmp_path / "frag")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # simulate streaming appends: 10 tiny files
+    for i in range(10):
+        emb.filter((F.col("vec_id") % 10) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    before = spark.read.parquet(src)
+    n, s = before.count(), before.agg(F.sum("vec_id")).head()[0]
+
+    stats = compact(spark, src, target_file_mb=128, sort_by=["vec_id"])
+    assert stats["files_before"] >= 10
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(src)
+    assert after.count() == n
+    assert after.agg(F.sum("vec_id")).head()[0] == s  # nothing lost
+    # sorted within the (single) output file
+    ids = [r["vec_id"] for r in after.collect()]
+    # repartitionByRange(1 file) + sortWithinPartitions => globally sorted read
+    assert ids == sorted(ids) or stats["files_after"] > 1
