@@ -302,6 +302,46 @@ LIMIT 10
 """
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label centroid embedding (posexplode ->
+    per-position mean -> re-assemble ordered array).  The primitive
+    behind IVF/k-means training and class prototypes; entirely JVM-side,
+    one shuffle on (label, pos) then one on label."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("m")
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .join(emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors")), "label")
+        .select("label", "n_vectors", "centroid")
+    )
+
+
+_LABEL_CENTROIDS_ORACLE = """
+WITH pos AS (
+  SELECT e.label, t.i AS pos, avg(e.embedding[t.i]::DOUBLE) AS m
+  FROM embeddings e, unnest(generate_series(1, 64)) AS t(i)
+  GROUP BY e.label, t.i
+),
+cent AS (
+  SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+  FROM pos GROUP BY label
+)
+SELECT c.label, n.n_vectors, c.centroid
+FROM cent c JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) n
+  USING (label)
+"""
+
+
 def _store_parity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference parity quirk under oracle (SURVEY.md 3.1 steps 4+7):
     ``library.py:117`` never forwards the metric, so ranking is ALWAYS
@@ -418,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": _image_pixel_stats,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
+        "label_centroids": _label_centroids,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
@@ -440,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
+        "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT

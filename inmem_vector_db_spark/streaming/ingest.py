@@ -118,6 +118,19 @@ def running_user_totals(
     )
 
 
+def enrich_stream_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch of events with a
+    static (or slowly-refreshed) dimension table.  Spark re-plans the
+    static side per micro-batch, so a dimension REFRESH (overwrite the
+    parquet) is picked up without restarting the stream — the streaming
+    analog of the store's document-enrichment join (J5)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def incremental_index_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -135,3 +135,27 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_dir):
+    """Stream-static join: every streamed event picks up its user's
+    static profile; totals match the batch join."""
+    from inmem_vector_db_spark.sources.loader import load_table
+    from inmem_vector_db_spark.streaming.ingest import (
+        enrich_stream_with_dimension,
+        run_stream_to_memory,
+    )
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    dim = ev_batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    enriched = enrich_stream_with_dimension(stream_in, dim).select(
+        "event_id", "user_id", "user_total"
+    )
+    got = run_stream_to_memory(enriched, output_mode="append")
+    assert got.count() == ev_batch.count()
+    assert got.filter(F.col("user_total").isNull()).count() == 0
+    one = got.head()
+    want = dim.filter(F.col("user_id") == one["user_id"]).head()["user_total"]
+    assert one["user_total"] == want
