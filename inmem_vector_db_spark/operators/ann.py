@@ -85,6 +85,75 @@ def ivf_assign(
     return corpus.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    cids: Sequence,
+    cmat: np.ndarray,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, np.ndarray]:
+    """Lloyd's k-means starting from the deterministic stride centroids
+    — the refinement step that upgrades IVF list balance without
+    changing the search path.
+
+    Each iteration is one distributed pass: assign (numpy distance
+    matrix per Arrow batch, ``ivf_assign``) then recompute means with a
+    single groupBy over exploded positions.  Centroid ids stay the
+    original seeds' ids (k fixed, empty clusters keep their previous
+    position), so the result plugs into ``ivf_assign``/``ivf_search``
+    unchanged.  Deterministic: no random init, fixed iteration count.
+    """
+    from pyspark.sql import functions as F
+
+    cmat = cmat.copy()
+    dim = cmat.shape[1]
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
+        rows = (
+            assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {cid: np.zeros(dim) for cid in cids}
+        seen = set()
+        for r in rows:
+            new[r["cluster_id"]][r["pos"]] = r["m"]
+            seen.add(r["cluster_id"])
+        for i, cid in enumerate(cids):
+            if cid in seen:
+                cmat[i] = new[cid]
+            # empty cluster: keep previous centroid (deterministic)
+    return list(cids), cmat
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    cids: Sequence,
+    cmat: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Sum of squared distances to assigned centroids — the quantity
+    Lloyd iterations monotonically decrease (tested)."""
+    from pyspark.sql import functions as F
+
+    from inmem_vector_db_spark.functions.distance import euclidean
+
+    assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
+    cdf = assigned.sparkSession.createDataFrame(
+        [(c, [float(x) for x in row]) for c, row in zip(cids, cmat)],
+        f"cluster_id {assigned.schema['cluster_id'].dataType.simpleString()}, __c array<double>",
+    )
+    return (
+        assigned.join(F.broadcast(cdf), "cluster_id")
+        .select(F.pow(euclidean(F.col(vec_col), F.col("__c")), 2).alias("d2"))
+        .agg(F.sum("d2"))
+        .head()[0]
+    )
+
+
 def ivf_search(
     corpus: DataFrame,
     query_vec: Sequence[float],
