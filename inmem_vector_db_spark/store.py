@@ -91,6 +91,10 @@ class LibraryStore:
         self.libraries = spark.createDataFrame([], LIBRARIES_SCHEMA)
         self.documents = spark.createDataFrame([], DOCUMENTS_SCHEMA)
         self.chunks = spark.createDataFrame([], CHUNKS_SCHEMA)
+        # driver-side catalog of known library ids: existence checks are
+        # dict lookups in the reference (``dependencies.py:14``) and must
+        # not cost a distributed job here either
+        self._library_ids: set[str] = set()
 
     # -- persistence (S1-S3) ---------------------------------------------
 
@@ -115,12 +119,15 @@ class LibraryStore:
             path = os.path.join(root, name)
             if os.path.exists(path):
                 setattr(store, name, spark.read.parquet(path))
+        store._library_ids = {
+            r["library_id"] for r in store.libraries.select("library_id").collect()
+        }
         return store
 
     # -- validation helpers ------------------------------------------------
 
     def _require_library(self, library_id: str) -> None:
-        if self.libraries.filter(F.col("library_id") == library_id).isEmpty():
+        if library_id not in self._library_ids:
             raise KeyError(f"library {library_id} not found")  # P5 404 analog
 
     @staticmethod
@@ -150,6 +157,7 @@ class LibraryStore:
             LIBRARIES_SCHEMA,
         )
         self.libraries = self.libraries.unionByName(row)
+        self._library_ids.add(lid)
         return lid
 
     def update_library(self, library_id: str, name: str | None = None,
@@ -181,6 +189,7 @@ class LibraryStore:
         self.libraries = self.libraries.filter(keep)
         self.documents = self.documents.filter(keep)
         self.chunks = self.chunks.filter(keep)
+        self._library_ids.discard(library_id)
 
     # -- document CRUD (M2, M7, M8) -----------------------------------------
 
@@ -199,15 +208,16 @@ class LibraryStore:
         for c, default in (("description", ""), ("source", ""), ("author", None)):
             if c not in rows.columns:
                 new = new.withColumn(c, F.lit(default).cast("string"))
-        bad = new.filter(F.coalesce(F.trim("title"), F.lit("")) == "")
-        if not bad.isEmpty():
-            raise ValidationError("document title must be non-empty")  # document.py:47-53
         new = new.select(*self.documents.columns)
         # materialize generated ids so they are stable across re-evaluation
         # (uuid() is nondeterministic per-evaluation — SURVEY.md F9 note);
         # localCheckpoint pins the rows executor-side without a driver
-        # round-trip
+        # round-trip.  Validate AFTER pinning: one source scan, and the
+        # check aggregates in-memory blocks (document.py:47-53).
         new = new.localCheckpoint(eager=True)
+        n_bad = new.filter(F.coalesce(F.trim("title"), F.lit("")) == "").count()
+        if n_bad:
+            raise ValidationError("document title must be non-empty")  # document.py:47-53
         self.documents = self.documents.unionByName(new)
         return new
 
@@ -247,34 +257,7 @@ class LibraryStore:
         docs = self.documents.filter(F.col("library_id") == library_id).select(
             "document_id", F.lit(True).alias("__doc_ok")
         )
-        # single validation pass: one broadcast join + one aggregation
-        # instead of one job per rule
-        checked = rows.join(F.broadcast(docs), "document_id", "left")
-        agg = [
-            F.sum(F.when(F.col("__doc_ok").isNull(), 1).otherwise(0)).alias("dangling"),
-            F.sum(
-                F.when(F.coalesce(F.trim("text"), F.lit("")) == "", 1).otherwise(0)
-            ).alias("bad_text"),
-        ]
-        if "page" in rows.columns:
-            agg.append(F.sum(F.when(F.col("page") < 0, 1).otherwise(0)).alias("bad_page"))
-        if "embedding" in rows.columns:
-            agg.append(
-                F.sum(
-                    F.when(F.size(F.coalesce("embedding", F.array())) == 0, 1).otherwise(0)
-                ).alias("bad_emb")
-            )
-        stats = checked.agg(*agg).head().asDict()
-        if stats["dangling"]:
-            raise KeyError("batch references unknown document_id(s)")  # chunk_service.py:77-83
-        if stats["bad_text"]:
-            raise ValidationError("chunk text must be non-empty")  # chunk.py:55-61
-        if stats.get("bad_page"):
-            raise ValidationError("page must be >= 0")  # chunk.py:36-42
-        if stats.get("bad_emb"):
-            raise ValidationError("embedding must be non-empty")  # chunk.py:63-71
-
-        new = rows
+        new = rows.join(F.broadcast(docs), "document_id", "left")
         if "embedding" not in rows.columns:
             new = with_embeddings(new, text_col="text", dim=self.dim)
         new = (
@@ -288,8 +271,32 @@ class LibraryStore:
                        ("description", "string"), ("page", "int")):
             if c not in new.columns:
                 new = new.withColumn(c, F.lit(None).cast(typ))
-        new = new.select(*self.chunks.columns)
-        new = new.localCheckpoint(eager=True)  # pin uuids/embeddings once
+        new = new.select(*self.chunks.columns, "__doc_ok")
+        # ONE source scan: materialize ids + embeddings + the validation
+        # flag together, then validate on the pinned rows (a cheap second
+        # job over in-memory blocks).  The old shape ran a separate
+        # validation pass first — a full extra scan + embed of the batch.
+        new = new.localCheckpoint(eager=True)
+        agg = [
+            F.sum(F.when(F.col("__doc_ok").isNull(), 1).otherwise(0)).alias("dangling"),
+            F.sum(
+                F.when(F.coalesce(F.trim("text"), F.lit("")) == "", 1).otherwise(0)
+            ).alias("bad_text"),
+            F.sum(F.when(F.col("page") < 0, 1).otherwise(0)).alias("bad_page"),
+            F.sum(
+                F.when(F.size(F.coalesce("embedding", F.array())) == 0, 1).otherwise(0)
+            ).alias("bad_emb"),
+        ]
+        stats = new.agg(*agg).head().asDict()
+        if stats["dangling"]:
+            raise KeyError("batch references unknown document_id(s)")  # chunk_service.py:77-83
+        if stats["bad_text"]:
+            raise ValidationError("chunk text must be non-empty")  # chunk.py:55-61
+        if stats.get("bad_page"):
+            raise ValidationError("page must be >= 0")  # chunk.py:36-42
+        if stats.get("bad_emb"):
+            raise ValidationError("embedding must be non-empty")  # chunk.py:63-71
+        new = new.drop("__doc_ok")
         self.chunks = self.chunks.unionByName(new)
         return new
 
