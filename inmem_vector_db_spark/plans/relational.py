@@ -669,6 +669,87 @@ FROM hits GROUP BY 1, 2
 """
 
 
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase joined to the user's
+    latest click at-or-before it, within a 30-minute tolerance
+    (``operators.temporal.asof_join`` — single window shuffle, no theta
+    join).  Clicks are pre-aggregated to one row per (user, ts) so the
+    as-of match is deterministic."""
+    from inmem_vector_db_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_payload=("click_value",),
+        tolerance_seconds=1800,
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("asof_ts").alias("click_ts"),
+        F.round("asof_click_value", 4).alias("click_value"),
+    )
+
+
+PURCHASE_ASOF_SQL = """
+WITH c AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, round(p.value, 4) AS purchase_value,
+       c.ts AS click_ts, round(c.click_value, 4) AS click_value
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+WHERE p.ts - c.ts <= INTERVAL 30 MINUTE
+"""
+
+
+def click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join (attribution windows): every (click, purchase)
+    pair of the same user with the purchase in [click, click+15min],
+    aggregated per user.  ``operators.temporal.range_join`` buckets time
+    so this plans as a shuffle hash join, not a nested-loop theta join."""
+    from inmem_vector_db_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        clicks, purchases, on="user_id", lower_seconds=0, upper_seconds=900
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("r_value"), 4).alias("attributed_value"),
+    )
+
+
+CLICK_PURCHASE_PAIRS_SQL = """
+SELECT c.user_id, count(*) AS n_pairs, round(sum(p.value), 4) AS attributed_value
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -688,4 +769,6 @@ QUERIES = {
     "users_purchase_and_error": (users_purchase_and_error, USERS_INTERSECT_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "supplier_geomean_price": (supplier_geomean_price, SUPPLIER_GEOMEAN_SQL),
+    "purchase_attribution_asof": (purchase_attribution_asof, PURCHASE_ASOF_SQL),
+    "click_purchase_pairs": (click_purchase_pairs, CLICK_PURCHASE_PAIRS_SQL),
 }
