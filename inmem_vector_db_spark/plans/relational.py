@@ -669,6 +669,116 @@ FROM hits GROUP BY 1, 2
 """
 
 
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned goods and how much revenue walked
+    out — fact-fact join (lineitem x orders, shuffled on orderkey) with
+    the customer/nation dims broadcast, top-20 by lost revenue."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue ratio over one ship month.
+    part is a broadcast dim; the single aggregate is a partial+final
+    pair with no group keys (one-row result)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+def customers_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (completes the §2.6 family: union/intersect/
+    except): customers who placed orders but never an URGENT one, with
+    their order count and total spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_cust = orders.select("o_custkey").distinct()
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    never = all_cust.exceptAll(urgent)  # inputs distinct => set EXCEPT
+    return (
+        orders.join(never, "o_custkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+CUSTOMERS_NEVER_URGENT_SQL = """
+WITH never AS (
+  SELECT o_custkey FROM orders
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o.o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spend
+FROM orders o JOIN never USING (o_custkey)
+GROUP BY o.o_custkey
+"""
+
+
 def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time attribution: each purchase joined to the user's
     latest click at-or-before it, within a 30-minute tolerance
@@ -771,4 +881,7 @@ QUERIES = {
     "supplier_geomean_price": (supplier_geomean_price, SUPPLIER_GEOMEAN_SQL),
     "purchase_attribution_asof": (purchase_attribution_asof, PURCHASE_ASOF_SQL),
     "click_purchase_pairs": (click_purchase_pairs, CLICK_PURCHASE_PAIRS_SQL),
+    "q10_returned_customers": (q10_returned_customers, Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "customers_never_urgent": (customers_never_urgent, CUSTOMERS_NEVER_URGENT_SQL),
 }
