@@ -212,6 +212,50 @@ def simhash64(text: Column | str, shingle_n: int = 2) -> Column:
     return _sim(hashes)
 
 
+def simhash60(text: Column | str, shingle_n: int = 2) -> Column:
+    """Portable 60-bit SimHash over word shingles, as BIGINT — the
+    oracle-checkable sibling of :func:`simhash64`.
+
+    Same md5-derived 60-bit shingle hash as MinHash (``shingle_hash``),
+    then per-bit majority vote, all as nested higher-order functions —
+    one JVM expression, no UDF, no Python.  Bit b of the signature is 1
+    iff at least half the shingle hashes have bit b set.  DuckDB
+    recomputes it exactly with ``('0x'||substr(md5(s),1,15))::UBIGINT``
+    and list_transform/list_sum over generate_series(0,59).
+    """
+    sh = word_shingles(text, shingle_n)
+    hs = F.transform(sh, shingle_hash)
+    n = F.size(hs)
+    zeros = F.array_repeat(F.lit(0).cast("long"), 60)
+    # counts[b] = number of shingle hashes with bit b set; one pass over
+    # the hash array (shift amounts are lambda-bound columns, so the SQL
+    # shiftrightunsigned is invoked via call_function)
+    counts = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda c, i: c
+            + F.call_function("shiftrightunsigned", h, i).bitwiseAND(
+                F.lit(1).cast("long")
+            ),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda c, i: F.when(
+                c * 2 >= n, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(sh) == 0, F.lit(0).cast("long")).otherwise(sig)
+
+
 def hamming64(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between two 64-bit signatures (BIGINT columns) —
     popcount of XOR, JVM-side via bit_count."""

@@ -213,26 +213,42 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates via 4-band blocking (any
-    pair within Hamming distance 3 of a 64-bit signature agrees exactly
-    on at least one 16-bit quarter — pigeonhole), verified by popcount.
+    pair within Hamming distance 3 agrees exactly on at least one band —
+    pigeonhole), verified by popcount.
 
-    Output: (id_a, id_b, hamming).  Not oracle-expressible (xxhash64) =>
-    rows-only check + unit test vs pure-Python SimHash.
+    ``portable=False``: 64-bit xxhash64 signature (fastest, Spark-only,
+    rows-only oracle) with 4 x 16-bit bands.  ``portable=True``: 60-bit
+    md5 signature (``functions.text.simhash60``) with 4 x 15-bit bands —
+    bit-identical in DuckDB, so the whole pipeline sits under the
+    value-hash oracle.
+
+    Output: (id_a, id_b, hamming).
     """
+    from inmem_vector_db_spark.functions.text import simhash60
+
+    sig_expr = (
+        simhash60(F.col(text_col), shingle_n)
+        if portable
+        else simhash64(F.col(text_col), shingle_n)
+    )
+    band_bits = 15 if portable else 16
+    mask = (1 << band_bits) - 1
     nparts = df.sparkSession.sparkContext.defaultParallelism
     sig = df.repartition(nparts, F.col(id_col)).select(
-        F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sig")
-    ).persist()  # both self-join sides reuse the UDF output
-    # 4 x 16-bit bands via shift/mask (JVM-side)
+        F.col(id_col), sig_expr.alias("sig")
+    ).persist()  # both self-join sides reuse the signature computation
     bands = sig.select(
         F.col(id_col),
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("sig"), band_bits * i).bitwiseAND(
+                        F.lit(mask)
+                    )
                     for i in range(4)
                 ]
             )

@@ -257,11 +257,54 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
-# dedup: simhash (rows-only — xxhash64 not reproducible in DuckDB)
+# dedup: simhash (portable 60-bit md5 signature — full value-hash oracle;
+# the faster xxhash64 variant stays available via portable=False)
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=6, portable=True
+    )
+
+
+DEDUP_SIMHASH_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t)-1), i -> t[i]||' '||t[i+1])
+              ELSE [] END AS shingles
+  FROM d
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT) AS hs
+  FROM sh2
+),
+sig AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN 0::BIGINT ELSE
+           list_sum(list_transform(generate_series(0, 59), i ->
+             CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> i) & 1)::BIGINT)) >= len(hs)
+                  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+         END AS sig
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, sig, bb.b AS band_idx,
+         (sig >> (15 * bb.b)) & 32767 AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         a.sig AS sig_a, b2.sig AS sig_b
+  FROM bands a JOIN bands b2
+    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+   AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -378,7 +421,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_pairs": (dedup_minhash_pairs_q, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
-    "dedup_simhash": (dedup_simhash_q, None),
+    "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "dedup_canonical": (dedup_canonical_q, DEDUP_CANONICAL_SQL),

@@ -63,6 +63,41 @@ def test_simhash_pairs(corpus):
     assert (1, 4) not in pairs
 
 
+def _py_simhash60(text: str, n: int = 2) -> int:
+    import hashlib
+
+    t = text.lower().split(" ")
+    sh = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)] if len(t) >= n else []
+    if not sh:
+        return 0
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh]
+    sig = 0
+    for b in range(60):
+        if 2 * sum((h >> b) & 1 for h in hs) >= len(hs):
+            sig |= 1 << b
+    return sig
+
+
+def test_simhash60_matches_python_reference(corpus):
+    from pyspark.sql import functions as F
+
+    from inmem_vector_db_spark.functions.text import simhash60
+
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in corpus.select("doc_id", simhash60("text").alias("sig")).collect()
+    }
+    exp = {r["doc_id"]: _py_simhash60(r["text"]) for r in corpus.collect()}
+    assert got == exp
+
+
+def test_simhash_pairs_portable_agrees_on_planted_dups(corpus):
+    rows = D.simhash_pairs(corpus, max_hamming=10, portable=True).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs
+
+
 def test_embedding_near_dup_pairs(spark):
     df = spark.createDataFrame(
         [
