@@ -744,6 +744,37 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01'
 """
 
 
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    completes the grouping-sets family next to ROLLUP
+    (``revenue_rollup``).  NULL keys coalesced to 'ALL' for a NULL-free
+    hash compare."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORDER_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def customers_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT set op (completes the §2.6 family: union/intersect/
     except): customers who placed orders but never an URGENT one, with
@@ -884,4 +915,5 @@ QUERIES = {
     "q10_returned_customers": (q10_returned_customers, Q10_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "customers_never_urgent": (customers_never_urgent, CUSTOMERS_NEVER_URGENT_SQL),
+    "order_status_cube": (order_status_cube, ORDER_CUBE_SQL),
 }
