@@ -174,11 +174,15 @@ class RandomHyperplaneLSH:
         qsig_df = spark.createDataFrame(qsig_rows, qschema)
 
         # candidate ids: equi-join on (table_idx, sig), union across
-        # tables via distinct — only (id, qid) pairs move.
+        # tables via distinct — only (id, qid) pairs move.  Persisted:
+        # both the fallback-count action and the final re-rank consume
+        # it, and without the cache each would re-run the signature
+        # build (the expensive mapInPandas over the corpus) from scratch.
         cand = (
             index.join(F.broadcast(qsig_df), ["table_idx", "sig"])
             .select(query_id_col, id_col)
             .distinct()
+            .persist()
         )
 
         # exact re-rank of candidates under the requested metric
