@@ -744,6 +744,44 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01'
 """
 
 
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window frames: per-customer order sequence with
+    days-since-previous-order (lag) and a running spend total
+    (rows unbounded-preceding..current) — the navigation + cumulative
+    frame class the tumbling/session windows don't cover.  Limited to
+    the 50 lowest custkeys so the result stays comparison-sized; the
+    window partitions by custkey, so at scale no single partition is
+    hot."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    ).fillna(-1, ["days_since_prev"])
+
+
+CUSTOMER_ORDER_HISTORY_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       coalesce(date_diff('day',
+                lag(o_orderdate) OVER w, o_orderdate), -1)::INT AS days_since_prev,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+       row_number() OVER w AS order_seq
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 4 grouping sets in one pass —
     completes the grouping-sets family next to ROLLUP
@@ -916,4 +954,5 @@ QUERIES = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "customers_never_urgent": (customers_never_urgent, CUSTOMERS_NEVER_URGENT_SQL),
     "order_status_cube": (order_status_cube, ORDER_CUBE_SQL),
+    "customer_order_history": (customer_order_history, CUSTOMER_ORDER_HISTORY_SQL),
 }
