@@ -32,6 +32,13 @@ HEADLINERS = {
     "JVM-side; one shuffle for the aggregation.",
     "dedup_exact_summary": "hash-groupBy on md5(text) — the shuffle moves "
     "16-byte hashes, never document text.",
+    "purchase_attribution_asof": "as-of join with NO join node at all: "
+    "union of tagged sides -> one Exchange(user_id) -> window carries the "
+    "latest click forward. Never a nested-loop.",
+    "click_purchase_pairs": "inequality join planned as a hash EQUI-join "
+    "on (user_id, time-bucket) + residual range filter (broadcast at this "
+    "size, shuffled-hash/sort-merge at scale) — the bucketing is what "
+    "keeps it off the nested-loop path.",
 }
 
 
