@@ -409,13 +409,73 @@ def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string"
     ).parquet(staged)
-    return run_stream_to_memory(windowed_event_counts(stream_in))
+    # few windowed groups => few state rows; 4 state stores beat 32
+    # (same sizing note as _click_purchase_stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_stream_to_memory(windowed_event_counts(stream_in))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _EVENTS_HOURLY_STREAM_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2
+"""
+
+
+def _click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (the continuous form of
+    ``click_purchase_pairs``): stage events as a file stream, join the
+    click and purchase sub-streams on user + 15-minute range, drain the
+    bounded stream.  Same oracle SQL as the batch range join — proving
+    the streaming plan computes the batch answer."""
+    import tempfile
+
+    from inmem_vector_db_spark.streaming.ingest import (
+        run_stream_to_memory,
+        stream_stream_attribution,
+    )
+
+    staged = tempfile.mkdtemp(prefix="events_ssj_")
+    # stage only the two joined event types — the other types never
+    # reach the join, so writing them would be pure staging overhead
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).write.mode("append").parquet(staged)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(staged)
+    pairs = stream_stream_attribution(
+        stream_in.filter(F.col("event_type") == "click"),
+        stream_in.filter(F.col("event_type") == "purchase"),
+        window_seconds=900,
+    )
+    # stream-stream join state is one store per shuffle partition per
+    # side: at this volume 4 partitions beat 32 (fewer state-store
+    # commits dominate the bounded run; on a real cluster this knob is
+    # sized to key cardinality, not fixed)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = run_stream_to_memory(pairs, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        "user_id", "click_ts", "purchase_ts", F.round("value", 4).alias("value")
+    )
+
+
+_CLICK_PURCHASE_STREAM_ORACLE = """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+       round(p.value, 4) AS value
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
@@ -455,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_cosine": _lsh_knn_cosine,
         "store_search_pipeline": _store_search_pipeline,
         "events_hourly_stream": _events_hourly_stream,
+        "click_purchase_stream": _click_purchase_stream,
         "image_pixel_stats": _image_pixel_stats,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
@@ -479,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
+        "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,

@@ -131,6 +131,43 @@ def enrich_stream_with_dimension(
     return events.join(F.broadcast(dim), key, "left")
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 900,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase paired with
+    every click by the same user in the preceding ``window_seconds``.
+
+    The join state is bounded by the watermark + the time-range
+    condition: Spark keeps only clicks newer than
+    ``purchase watermark - window`` per key, so state size is
+    O(keys x window x rate), not O(stream).  This is the streaming form
+    of ``operators.temporal.range_join`` — same pair semantics, same
+    oracle SQL, continuous execution.
+    """
+    c = clicks.select(
+        "user_id", F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_ts", "purchase_ts", "value"
+    )
+
+
 def incremental_index_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -159,3 +159,38 @@ def test_stream_static_enrichment(spark, sf_dir, events_dir):
     one = got.head()
     want = dim.filter(F.col("user_id") == one["user_id"]).head()["user_total"]
     assert one["user_total"] == want
+
+
+def test_stream_stream_attribution_equals_batch(spark, sf_dir, events_dir):
+    """Watermarked stream-stream join produces exactly the batch
+    inequality-join pairs on the bounded input."""
+    from inmem_vector_db_spark.sources.loader import load_table
+    from inmem_vector_db_spark.streaming.ingest import (
+        run_stream_to_memory,
+        stream_stream_attribution,
+    )
+
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    clicks = stream_in.filter(F.col("event_type") == "click")
+    purchases = stream_in.filter(F.col("event_type") == "purchase")
+    got = run_stream_to_memory(
+        stream_stream_attribution(clicks, purchases, window_seconds=900),
+        output_mode="append",
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts"), "value"
+    )
+    want = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 900 SECONDS")),
+    ).select("user_id", "click_ts", "purchase_ts", "value")
+
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
