@@ -113,3 +113,18 @@ def test_range_join_plan_is_hash_join(spark):
     out = range_join(left, right, on="k", lower_seconds=0, upper_seconds=300)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_plan_single_shuffle_no_join(spark):
+    """The as-of join must plan as union + ONE exchange + window — no
+    join operator of any kind in the physical plan."""
+    left = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = left.select("k", "ts", F.col("lid").cast("double").alias("v"))
+    out = asof_join(left, right, on="k", right_payload=("v",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
