@@ -78,5 +78,10 @@ def knn_quantized_rerank(
         id_col=id_col,
         vec_col="__deq",
     ).select(id_col)
-    pruned = corpus_q.join(F.broadcast(approx), id_col).select(id_col, vec_col)
+    # the candidate set is k*oversample ids BY CONSTRUCTION — small at
+    # any corpus scale — so collect it and push an IN filter into the
+    # stage-2 scan (parquet row-group skipping on id) instead of paying
+    # a broadcast-exchange stage for a join against a tiny list
+    cand_ids = [r[0] for r in approx.collect()]
+    pruned = corpus_q.filter(F.col(id_col).isin(cand_ids)).select(id_col, vec_col)
     return knn(pruned, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
