@@ -744,6 +744,41 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01'
 """
 
 
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides.
+    Catalyst extracts the common join key and pushes the per-side
+    conjuncts (brand/size to the part scan, quantity to lineitem) while
+    keeping the cross-side disjunction as a post-join filter — the
+    disjunctive-pushdown case a naive planner misses entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 10)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+"""
+
+
 def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered window frames: per-customer order sequence with
     days-since-previous-order (lag) and a running spend total
@@ -955,4 +990,5 @@ QUERIES = {
     "customers_never_urgent": (customers_never_urgent, CUSTOMERS_NEVER_URGENT_SQL),
     "order_status_cube": (order_status_cube, ORDER_CUBE_SQL),
     "customer_order_history": (customer_order_history, CUSTOMER_ORDER_HISTORY_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
 }
