@@ -16,7 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from inmem_vector_db_spark.operators.knn import knn, knn_join
+from inmem_vector_db_spark.operators.knn import knn, knn_join_vectorized
 from inmem_vector_db_spark.sources.loader import load_table
 
 # ---------------------------------------------------------------------------
@@ -78,11 +78,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _knn_multi_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query kNN on the SCALE path (``knn_join_vectorized``):
+    numpy distance matrix per Arrow batch with map-side partial top-k,
+    so the shuffle carries N_partitions*k*|Q| rows instead of
+    |corpus|*|Q|.  Oracle-identical to the expression path (the
+    expression path remains covered by tests/test_knn.py parity)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return knn_join(emb, queries, k=5, metric="cosine").select(
+    return knn_join_vectorized(emb, queries, k=5, metric="cosine").select(
         "query_id", "vec_id", F.round("dist", 6).alias("dist")
     )
 
@@ -195,20 +200,77 @@ LIMIT 10
 
 
 def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded random-hyperplane LSH kNN (reference J2) — approximate;
-    deterministic (seed=42) but not SQL-expressible => rows-only check.
-    Exactness of the pipeline is covered by tests/test_lsh.py (fallback
-    equals exact scan; recall measured vs ground truth)."""
+    """Random-hyperplane LSH kNN (reference J2) under a REAL value
+    oracle: the hyperplane matrix is md5-derived (``md5_planes``), so
+    DuckDB recomputes the exact same signatures, candidate sets,
+    <k-candidate fallback, and exact cosine re-rank.  The seeded-
+    Gaussian scheme stays the default for parity with the reference;
+    recall equivalence of the two schemes is measured in
+    tests/test_lsh.py."""
     from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, seed=42)
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, plane_scheme="md5")
     return lsh.search(emb, queries_df, k=5, metric="cosine").select(
         "query_id", "vec_id", F.round("dist", 6).alias("dist")
     )
+
+
+_LSH_KNN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+planes AS (
+  SELECT j, list(val ORDER BY d) AS p
+  FROM (
+    SELECT j.j AS j, d.d AS d,
+           ((('0x'||substr(md5('lshplane|'||j.j||'|'||d.d),1,15))::UBIGINT % 2001)::BIGINT
+            - 1000) / 1000.0 AS val
+    FROM generate_series(0, 79) AS j(j), generate_series(0, 63) AS d(d)
+  )
+  GROUP BY j
+),
+csig AS (
+  SELECT e.vec_id, p.j // 4 AS table_idx,
+         string_agg(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.p) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.j // 4
+),
+qsig AS (
+  SELECT q.query_id, p.j // 4 AS table_idx,
+         string_agg(CASE WHEN list_inner_product(q.qv::DOUBLE[], p.p) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM q, planes p
+  GROUP BY q.query_id, p.j // 4
+),
+cand AS (
+  SELECT DISTINCT qs.query_id, cs.vec_id
+  FROM qsig qs JOIN csig cs USING (table_idx, sig)
+),
+full_q AS (SELECT query_id FROM cand GROUP BY query_id HAVING count(*) >= 5),
+approx AS (
+  SELECT c.query_id, c.vec_id,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE c.query_id IN (SELECT query_id FROM full_q)
+),
+fallback AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d
+  FROM q, embeddings e
+  WHERE q.query_id NOT IN (SELECT query_id FROM full_q)
+),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+  FROM (SELECT * FROM approx UNION ALL SELECT * FROM fallback)
+)
+SELECT query_id, vec_id, round(d, 6) AS dist FROM ranked WHERE rn <= 5
+"""
 
 
 def _store_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,7 +376,7 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_pos = exploded.groupBy("label", "pos").agg(
         F.round(F.avg(F.col("x").cast("double")), 6).alias("m")
     )
-    return (
+    cent = (
         per_pos.groupBy("label")
         .agg(
             F.transform(
@@ -324,20 +386,24 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors")), "label")
         .select("label", "n_vectors", "centroid")
     )
+    # The harness canonicalizer sorts columns with pandas, which cannot
+    # hash an array<double> cell — so explode the ASSEMBLED centroid back
+    # into sortable (label, n_vectors, pos, m) scalars.  The round-trip
+    # (assemble ordered array -> posexplode) also proves the array was
+    # built in position order.
+    return cent.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("pos", "m")
+    )
 
 
 _LABEL_CENTROIDS_ORACLE = """
 WITH pos AS (
-  SELECT e.label, t.i AS pos, avg(e.embedding[t.i]::DOUBLE) AS m
+  SELECT e.label, t.i - 1 AS pos, round(avg(e.embedding[t.i]::DOUBLE), 6) AS m
   FROM embeddings e, unnest(generate_series(1, 64)) AS t(i)
   GROUP BY e.label, t.i
-),
-cent AS (
-  SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
-  FROM pos GROUP BY label
 )
-SELECT c.label, n.n_vectors, c.centroid
-FROM cent c JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) n
+SELECT p.label, n.n_vectors, p.pos, p.m
+FROM pos p JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label) n
   USING (label)
 """
 
@@ -492,11 +558,14 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 
 
 def _image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing demo: treat each document's bytes as an opaque
-    image payload, decode with the deterministic stub, extract pixel
-    stats per Arrow batch.  Deterministic but not SQL-expressible
-    (sha256-derived fake pixels) => rows-only check; the decode contract
-    is unit-tested in tests/test_multimodal.py."""
+    """Multimodal plumbing under the value oracle: treat each document's
+    utf-8 bytes as an opaque image payload, decode with the
+    deterministic md5 stub (16 digest bytes tiled to 8x8 — mean/std over
+    the tile equal mean/std over the digest bytes), extract pixel stats
+    per Arrow batch.  DuckDB recomputes each digest byte as
+    ``('0x'||substr(md5(text),2i-1,2))::INT`` so the whole multimodal
+    path is hash-checked; the decode contract is also unit-tested in
+    tests/test_multimodal.py."""
     from inmem_vector_db_spark.multimodal.media import image_features
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -509,6 +578,21 @@ def _image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.round("mean_px", 6).alias("mean_px"),
         F.round("std_px", 6).alias("std_px"), "n_px",
     )
+
+
+_IMAGE_PIXEL_ORACLE = """
+WITH px AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         ('0x' || substr(md5(text), 2 * i.i - 1, 2))::BIGINT AS v
+  FROM documents, generate_series(1, 16) AS i(i)
+  WHERE doc_id < 50
+)
+SELECT media_id,
+       round(avg(v), 6) AS mean_px,
+       round(stddev_pop(v), 6) AS std_px,
+       CAST(64 AS INT) AS n_px
+FROM px GROUP BY media_id
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -550,9 +634,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_prefilter_label": _KNN_PREFILTER_ORACLE,
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
+        "lsh_knn_cosine": _LSH_KNN_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
+        "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,

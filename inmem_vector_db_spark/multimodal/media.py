@@ -64,8 +64,13 @@ def _decode_image_bytes(payload: bytes, mode: str) -> np.ndarray:
         raise NotImplementedError(
             "image decode requires Pillow; not available in this container"
         )
-    h = hashlib.sha256(payload).digest()
-    arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
+    # md5-derived fake pixels (16 digest bytes tiled 4x to 8x8): mean/std
+    # over the tiled image equal mean/std over the 16 digest bytes, and
+    # DuckDB recomputes each byte as ('0x'||substr(md5(t),2i-1,2))::INT —
+    # so pixel stats sit under the value-hash oracle (same portability
+    # trick as functions.text.simhash60)
+    h = hashlib.md5(payload).digest()
+    arr = np.frombuffer(h * 4, dtype=np.uint8).reshape(8, 8)
     return arr
 
 

@@ -111,7 +111,11 @@ def minhash_lsh_pairs(
             F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
         )
         .filter(F.size("shset") > 0)
-        .persist()
+        # localCheckpoint, not persist(): blocks are released when the
+        # DataFrame is GC'd, so repeated dedup runs in a long session
+        # don't accumulate cached partitions (at cluster scale this is a
+        # written signature table, M10)
+        .localCheckpoint(eager=False)
     )
 
     band_keys = sig.select(
@@ -179,10 +183,11 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
     ).filter(F.size("shset") > 0)
-    # persist: both self-join sides would otherwise re-shingle + re-md5
+    # materialize: both self-join sides would otherwise re-shingle +
+    # re-md5 (localCheckpoint for bounded cache lifetime, as above)
     keyed = base.withColumn(
         "block", F.array_min(F.transform("shset", lambda s: F.md5(s)))
-    ).persist()
+    ).localCheckpoint(eager=False)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -239,7 +244,8 @@ def simhash_pairs(
     nparts = df.sparkSession.sparkContext.defaultParallelism
     sig = df.repartition(nparts, F.col(id_col)).select(
         F.col(id_col), sig_expr.alias("sig")
-    ).persist()  # both self-join sides reuse the signature computation
+    ).localCheckpoint(eager=False)  # both self-join sides reuse the
+    # signature computation; checkpoint blocks free on GC
     bands = sig.select(
         F.col(id_col),
         "sig",
@@ -285,22 +291,29 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     max_cosine_dist: float = 0.2,
     vectorized: bool = True,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact (all N^2/2 comparisons).
+    """Embedding-cosine near-dup pairs, exact (all N^2/2 comparisons),
+    fully distributed — NOTHING is collected to the driver.
 
-    ``vectorized=True`` (default): broadcast the full id+vector matrix and
-    let each partition compute one numpy GEMM of its rows against the
-    whole corpus, emitting only pairs (id_a < id_b) under the threshold —
-    a broadcast nested-loop join where the "loop" is BLAS.  ~50x faster
-    than the per-pair expression path and shuffle-free (the output is the
-    only data that moves).
+    ``vectorized=True`` (default): **block-pair GEMM**.  Rows are hashed
+    into ``B`` blocks; each row is replicated to the B unordered block
+    pairs it participates in (shuffle volume N*B rows); one
+    ``applyInPandas`` task per block pair runs a numpy GEMM of block_i
+    against block_j (upper triangle when i == j) and emits only pairs
+    under the threshold.  Per-task memory is O(N/B * dim) — pick
+    ``blocks`` so two blocks fit an executor; total flops are the same
+    O(N^2 * dim) as any exact method, but spread over B*(B+1)/2
+    independent tasks with no driver collect and no full-corpus
+    broadcast (the previous design collected the corpus to the driver —
+    a guaranteed OOM at 100 TB).
 
     ``vectorized=False``: pure Column-expression self-join — the
     oracle-shaped reference path.
 
-    Either way O(N^2) work: affordable to ~10^6 vectors per blocking
-    group.  At 100 TB block first (``operators.lsh`` buckets or IVF
-    cluster ids) and run this within blocks as the exact verifier.
+    Exact = O(N^2) work by definition: affordable to ~10^6-10^7 vectors.
+    At 100 TB block first (``embedding_near_dup_pairs_lsh`` buckets or
+    IVF cluster ids) and use this as the exact within-bucket verifier.
     """
     if not vectorized:
         base = df.select(F.col(id_col), F.col(vec_col))
@@ -322,37 +335,63 @@ def embedding_near_dup_pairs(
     import numpy as np
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    all_ids = np.asarray([r[0] for r in rows])
-    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((all_ids, mat, norms))
+    B = blocks or max(2, min(16, spark.sparkContext.defaultParallelism))
     thresh = float(max_cosine_dist)
 
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, cos_dist double"
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, mat_b, norms_b = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy()
-            a_mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            a_norms = np.linalg.norm(a_mat, axis=1)
-            denom = a_norms[:, None] * norms_b[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = (a_mat @ mat_b.T) / denom
-            dist = np.round(np.where(denom == 0.0, 1.0, 1.0 - sim), 6)
-            keep = (dist <= thresh) & (a_ids[:, None] < ids_b[None, :])
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": ids_b[bi], "cos_dist": dist[ai, bi]}
-            )
+    # row in block b participates in block pair (min(b,o), max(b,o)) for
+    # every o — each unordered pair receives each of its rows exactly once
+    keyed = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn(
+            "__b", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B)).cast("int")
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__o")
+        )
+        .select(
+            F.least("__b", "__o").alias("__bi"),
+            F.greatest("__b", "__o").alias("__bj"),
+            "__b",
+            id_col,
+            vec_col,
+        )
+    )
 
-    return df.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+    def block_pair(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf[id_col].to_numpy()
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+
+        def pairs(ai, bi_):
+            denom = norms[ai][:, None] * norms[bi_][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = (mat[ai] @ mat[bi_].T) / denom
+            dist = np.round(np.where(denom == 0.0, 1.0, 1.0 - sim), 6)
+            keep = dist <= thresh
+            if bi == bj:
+                # same block on both sides: strict upper triangle by id
+                keep &= ids[ai][:, None] < ids[bi_][None, :]
+            ia, ib = np.nonzero(keep)
+            a_ids, b_ids = ids[ai][ia], ids[bi_][ib]
+            lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_dist": dist[ia, ib]})
+
+        if bi == bj:
+            idx = np.arange(len(ids))
+            return pairs(idx, idx)
+        side_a = np.nonzero(pdf["__b"].to_numpy() == bi)[0]
+        side_b = np.nonzero(pdf["__b"].to_numpy() == bj)[0]
+        if len(side_a) == 0 or len(side_b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_dist": []}).astype(
+                {"cos_dist": "float64"}
+            )
+        return pairs(side_a, side_b)
+
+    return keyed.groupBy("__bi", "__bj").applyInPandas(block_pair, schema=out_schema)
 
 
 def embedding_near_dup_pairs_lsh(

@@ -49,17 +49,21 @@ def _query_lit(query_vec: Sequence[float]):
 
 
 def _dim_guard(vec_col: str, dim: int) -> F.Column:
-    """Fail loudly on dimension mismatch.  ``zip_with`` pads the shorter
-    array with NULLs, which would otherwise propagate to a NULL distance
-    that sorts FIRST ascending — silently corrupting top-k.  The reference
-    validates dimensions at insert (``chunk.py:63-71``, ``hnsw.py:553-563``);
-    we validate at query time, JVM-side, with no extra pass."""
+    """Fail loudly on NULL or dimension-mismatched embeddings.
+    ``zip_with`` pads the shorter array with NULLs, which would otherwise
+    propagate to a NULL distance that sorts FIRST ascending — silently
+    corrupting top-k.  A NULL embedding is the same hazard: ``size(NULL)
+    != dim`` evaluates to NULL, the WHEN falls through, and the NULL
+    distance would rank the row first — so NULL is checked explicitly.
+    The reference validates at insert (``chunk.py:63-71``,
+    ``hnsw.py:553-563``); we validate at query time, JVM-side, with no
+    extra pass."""
     return F.when(
-        F.size(F.col(vec_col)) != dim,
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim),
         F.raise_error(
             F.concat(
                 F.lit(f"embedding dimension mismatch: query dim={dim}, corpus dim="),
-                F.size(F.col(vec_col)).cast("string"),
+                F.coalesce(F.size(F.col(vec_col)).cast("string"), F.lit("NULL")),
             )
         ),
     )
@@ -87,8 +91,14 @@ def knn(
     )
     cols = [F.col(id_col), *[F.col(c) for c in payload_cols], dist.alias("dist")]
     # orderBy + limit => TakeOrderedAndProject (partition-local top-k,
-    # driver merge): no corpus shuffle.
-    return corpus.select(*cols).orderBy("dist", id_col).limit(k)
+    # driver merge): no corpus shuffle.  asc_nulls_last: belt-and-braces
+    # so a NULL distance can never displace a true neighbor even if the
+    # guard is bypassed.
+    return (
+        corpus.select(*cols)
+        .orderBy(F.col("dist").asc_nulls_last(), id_col)
+        .limit(k)
+    )
 
 
 def knn_join(
@@ -118,7 +128,9 @@ def knn_join(
         F.col(id_col),
         dist.alias("dist"),
     )
-    w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), id_col
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -165,6 +177,11 @@ def knn_join_vectorized(
         for pdf in batches:
             if pdf.empty:
                 continue
+            if pdf[vec_col].isna().any():
+                # same failure contract as _dim_guard's NULL branch
+                raise ValueError(
+                    "embedding dimension mismatch: NULL embedding in corpus"
+                )
             vmat = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )  # (N, D)
@@ -199,7 +216,12 @@ def knn_join_vectorized(
             ids = pdf[id_col].to_numpy()
             frames = []
             for qi, qid in enumerate(qids_):
-                idx = np.argpartition(dmat[qi], take - 1)[:take]
+                # lexicographic (dist, id) selection so tied distances at
+                # the per-batch cut keep the LOWEST ids — map-side pruning
+                # must preserve the documented (dist, id) order or tied
+                # duplicate vectors (common in dedup corpora) would make
+                # the k-th neighbor partition-layout-dependent.
+                idx = np.lexsort((ids, dmat[qi]))[:take]
                 frames.append(
                     pd.DataFrame(
                         {

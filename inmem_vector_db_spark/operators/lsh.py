@@ -43,6 +43,28 @@ from inmem_vector_db_spark.functions.distance import distance
 from inmem_vector_db_spark.operators.knn import knn_join_vectorized
 
 
+def md5_planes(n_planes: int, dim: int) -> np.ndarray:
+    """Engine-portable hyperplane matrix: entry (j, d) is derived from
+    ``md5(f"lshplane|{j}|{d}")`` exactly as DuckDB can recompute it —
+    ``(('0x'||substr(md5('lshplane|'||j||'|'||d),1,15))::UBIGINT % 2001 -
+    1000) / 1000.0`` — i.e. uniform on [-1, 1] in steps of 1e-3.
+    Sign-bit LSH only consumes ``sign(dot(v, plane))``, so plane entries
+    need symmetry around 0, not Gaussianity; recall vs the seeded-
+    Gaussian scheme is measured equal in tests/test_lsh.py.  This is the
+    same md5-portability trick as ``functions.text.simhash60`` and makes
+    the ENTIRE LSH search pipeline value-hash-oracle-checkable."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"lshplane|{j}|{d}".encode()).hexdigest()[:15], 16
+            )
+            out[j, d] = (h % 2001 - 1000) / 1000.0
+    return out
+
+
 class RandomHyperplaneLSH:
     """Seeded sign-bit LSH over an embedding column.
 
@@ -58,14 +80,21 @@ class RandomHyperplaneLSH:
         num_tables: int = 10,
         hash_size: int = 8,
         seed: int = 42,
+        plane_scheme: str = "gaussian",
     ) -> None:
         self.dim = dim
         self.num_tables = num_tables
         self.hash_size = hash_size
         self.seed = seed
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((num_tables * hash_size, dim))
-        planes /= np.linalg.norm(planes, axis=1, keepdims=True)  # lsh.py:325-326
+        self.plane_scheme = plane_scheme
+        if plane_scheme == "gaussian":
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((num_tables * hash_size, dim))
+            planes /= np.linalg.norm(planes, axis=1, keepdims=True)  # lsh.py:325-326
+        elif plane_scheme == "md5":
+            planes = md5_planes(num_tables * hash_size, dim)
+        else:
+            raise ValueError(f"unknown plane_scheme {plane_scheme!r}")
         self._planes = planes  # (L*k, dim) float64
 
     # -- signature computation -------------------------------------------
@@ -112,7 +141,13 @@ class RandomHyperplaneLSH:
                 pdf[sig_col] = sigs
                 yield pdf
 
-        schema = df.schema.simpleString()[7:-1] + f",{sig_col} array<string>"
+        # programmatic schema (copy + add) — simpleString surgery breaks
+        # on nested struct/map columns
+        from pyspark.sql.types import ArrayType, StringType, StructType
+
+        schema = StructType(list(df.schema.fields)).add(
+            sig_col, ArrayType(StringType())
+        )
         return df.mapInPandas(part, schema=schema)
 
     def build_index(
@@ -174,15 +209,20 @@ class RandomHyperplaneLSH:
         qsig_df = spark.createDataFrame(qsig_rows, qschema)
 
         # candidate ids: equi-join on (table_idx, sig), union across
-        # tables via distinct — only (id, qid) pairs move.  Persisted:
-        # both the fallback-count action and the final re-rank consume
-        # it, and without the cache each would re-run the signature
-        # build (the expensive mapInPandas over the corpus) from scratch.
+        # tables via distinct — only (id, qid) pairs move.
+        # localCheckpoint: both the fallback-count branch and the final
+        # re-rank consume it, and without materialization each would
+        # re-run the signature build (the expensive mapInPandas over the
+        # corpus) from scratch.  Unlike persist(), checkpoint blocks are
+        # released when the DataFrame is garbage-collected, so repeated
+        # searches in a long-lived session don't accumulate cached
+        # partitions.  (On a cluster this is a written signature table —
+        # the reference's index artifact, M10 — not a cache at all.)
         cand = (
             index.join(F.broadcast(qsig_df), ["table_idx", "sig"])
             .select(query_id_col, id_col)
             .distinct()
-            .persist()
+            .localCheckpoint(eager=False)
         )
 
         # exact re-rank of candidates under the requested metric
@@ -209,21 +249,27 @@ class RandomHyperplaneLSH:
             return approx
 
         # reference lsh.py:199-202: queries with < k candidates fall back
-        # to the exact scan.  Count per query, split, union.
-        counts = {
-            r[0]: r[1]
-            for r in cand.groupBy(query_id_col).agg(F.count("*").alias("n")).collect()
-        }
-        short_qids = [q for q in qids if counts.get(q, 0) < k]
-        if not short_qids:
+        # to the exact scan.  The full/short split is computed
+        # DISTRIBUTIVELY (groupBy-count + semi/anti joins on query_id) —
+        # no per-query driver dict — so the split scales past thousands
+        # of queries.  Only the short queries themselves are collected,
+        # inside knn_join_vectorized, which broadcasts its query matrix
+        # by design.
+        full = F.broadcast(
+            cand.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= k)
+            .select(query_id_col)
+        )
+        short_queries = queries.join(full, query_id_col, "left_anti")
+        if short_queries.isEmpty():
             return approx
-        short_queries = queries.filter(F.col(query_id_col).isin(short_qids))
         exact = knn_join_vectorized(
             corpus, short_queries, k=k, metric=metric,
             id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )
-        kept = approx.filter(~F.col(query_id_col).isin(short_qids))
+        kept = approx.join(full, query_id_col, "left_semi")
         return kept.unionByName(exact)
 
 

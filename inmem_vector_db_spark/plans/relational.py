@@ -243,7 +243,7 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1, 2
 """
@@ -274,7 +274,7 @@ SELECT user_id,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
 FROM events
 GROUP BY user_id
 ORDER BY purchase_value DESC, user_id
@@ -592,11 +592,11 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_PIVOT_SQL = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
 """
 

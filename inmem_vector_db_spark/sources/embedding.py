@@ -74,7 +74,11 @@ def with_embeddings(
             pdf[out_col] = fn(pdf[text_col])
             yield pdf
 
-    schema = df.schema.simpleString()[7:-1] + f",{out_col} array<float>"
+    # programmatic schema (copy + add) — simpleString surgery breaks on
+    # nested struct/map columns
+    from pyspark.sql.types import ArrayType, FloatType, StructType
+
+    schema = StructType(list(df.schema.fields)).add(out_col, ArrayType(FloatType()))
     out = df.mapInPandas(part, schema=schema)
     return out.select(*cols, out_col)
 
@@ -94,12 +98,19 @@ class EmbeddingCache:
         self.dim = dim
 
     def _read(self, spark) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
-            return spark.read.parquet(self.path)
-        except Exception:
+            cache = spark.read.parquet(self.path)
+        except AnalysisException:  # cache not created yet (missing path
+            # only — corruption must surface, not silently empty the cache)
             return spark.createDataFrame(
                 [], "text_hash string, embedding array<float>"
             )
+        # read-side dedup: concurrent/interleaved writers may append the
+        # same text_hash twice; without this the left join would fan out
+        # one output row per duplicate cache entry
+        return cache.dropDuplicates(["text_hash"])
 
     def get_or_compute(
         self,

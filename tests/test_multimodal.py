@@ -44,9 +44,10 @@ def test_schema_and_modalities(media):
 def test_image_features_deterministic(media):
     feats = {r["media_id"]: r for r in image_features(media).collect()}
     assert set(feats) == {"img1", "img2"}
-    # recompute the fake decode in-process: sha256-derived 8x8 grayscale
-    h = hashlib.sha256(b"\x01\x02fakejpeg").digest()
-    want = np.frombuffer((h * 2)[:64], dtype=np.uint8).reshape(8, 8)
+    # recompute the fake decode in-process: md5-derived 8x8 grayscale
+    # (16 digest bytes tiled 4x — DuckDB-reproducible, see media.py)
+    h = hashlib.md5(b"\x01\x02fakejpeg").digest()
+    want = np.frombuffer(h * 4, dtype=np.uint8).reshape(8, 8)
     assert feats["img1"]["mean_px"] == pytest.approx(float(want.mean()))
     assert feats["img1"]["std_px"] == pytest.approx(float(want.std()))
     assert feats["img1"]["n_px"] == 64
