@@ -456,6 +456,132 @@ SELECT text, rank, score FROM ranked WHERE rank <= 10
 """
 
 
+def _store_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation-family lifecycle under the value oracle (reference M5-M9,
+    ``chunk_service.py:143-217``, ``document_service.py:104-123``,
+    ``library_service.py:156-169``): ingest chunks into three documents,
+    update a chunk (text change => re-embed, tags replaced, moved across
+    documents), delete a chunk, cascade-delete a document, delete a whole
+    second library, and rename the library preserving created_at — then
+    return a full-corpus search whose row set proves every mutation:
+    the deleted chunk and the cascade-deleted document's chunks are
+    absent, the updated chunk appears with its NEW text, NEW embedding
+    (score) and NEW parent title.  M8/M9 invariants that the result set
+    cannot show (created_at preservation, no cross-library residue) are
+    asserted in-line and fail the row loudly."""
+    from inmem_vector_db_spark.store import LibraryStore
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = LibraryStore(spark)
+    lid = store.create_library("lifecycle", tags=["main"])
+
+    added = store.add_documents(
+        lid, spark.createDataFrame([("keep",), ("drop",), ("aux",)], "title string")
+    )
+    ids = {r["title"]: r["document_id"] for r in added.collect()}
+
+    chunk_rows = docs.select(
+        "doc_id", "text", F.array("lang").alias("tags"), "source"
+    )
+    # one batch, two parent documents (M4 batch-add semantics: per-row
+    # document_id routing in a single ingest job)
+    store.add_chunks(
+        lid,
+        chunk_rows.filter(F.col("doc_id") < 80)
+        .withColumn(
+            "document_id",
+            F.when(F.col("doc_id") < 40, F.lit(ids["keep"])).otherwise(
+                F.lit(ids["drop"])
+            ),
+        )
+        .drop("doc_id"),
+    )
+
+    # M9: a second library with the same texts, deleted wholesale — no
+    # residue may survive in any table
+    scratch = store.create_library("scratch")
+    sdoc = store.add_documents(
+        scratch, spark.createDataFrame([("s",)], "title string")
+    ).head()
+    store.add_chunks(
+        scratch,
+        chunk_rows.filter(F.col("doc_id") < 10)
+        .withColumn("document_id", F.lit(sdoc["document_id"])).drop("doc_id"),
+    )
+    store.delete_library(scratch)
+    residue = (
+        store.chunks.filter(F.col("library_id") == scratch)
+        .select(F.lit(1).alias("one"))
+        .unionAll(
+            store.documents.filter(F.col("library_id") == scratch)
+            .select(F.lit(1).alias("one"))
+        )
+    )
+    assert residue.isEmpty()  # one job covers both tables
+
+    # M8: rename preserves created_at, bumps updated_at
+    before = store.libraries.filter(F.col("library_id") == lid).head()
+    store.update_library(lid, name="lifecycle-renamed")
+    after = store.libraries.filter(F.col("library_id") == lid).head()
+    assert after["name"] == "lifecycle-renamed"
+    assert after["created_at"] == before["created_at"]
+    assert after["updated_at"] >= before["updated_at"]
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(0, 3, 5)).collect()
+    }
+    in_lib = F.col("library_id") == lid
+    cids = {
+        r["text"]: r["chunk_id"]
+        for r in store.chunks.filter(
+            in_lib & F.col("text").isin(texts[3], texts[5])
+        ).collect()
+    }
+    c3, c5 = cids[texts[3]], cids[texts[5]]
+
+    # M5: text change (re-embed) + tag replace + cross-document move
+    store.update_chunk(
+        c3, text="updated: " + texts[3], tags=["moved"], document_id=ids["aux"]
+    )
+    # M6: delete chunk; M7: cascade-delete the 'drop' document (40 chunks)
+    store.delete_chunks([c5])
+    store.delete_document(ids["drop"])
+
+    res = store.search(lid, texts[0], k=40, metric="euclidean", tie_col="text")
+    return res.select("text", "doc_title", "rank", F.round("score", 6).alias("score"))
+
+
+_STORE_CRUD_ORACLE = """
+WITH h AS (
+  SELECT doc_id, text,
+         CAST((md5_number_upper(text) % 10000) / 10000.0 AS FLOAT) AS hv
+  FROM documents
+),
+base AS (
+  SELECT text, hv, 'keep' AS doc_title
+  FROM h WHERE doc_id < 40 AND doc_id NOT IN (3, 5)
+),
+upd AS (
+  SELECT 'updated: ' || t3.text AS text,
+         CAST((md5_number_upper('updated: ' || t3.text) % 10000) / 10000.0 AS FLOAT) AS hv,
+         'aux' AS doc_title
+  FROM (SELECT text FROM documents WHERE doc_id = 3) t3
+),
+allc AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+q AS (SELECT hv AS qv FROM h WHERE doc_id = 0),
+ranked AS (
+  SELECT a.text, a.doc_title,
+         sqrt(32 * pow(a.hv::DOUBLE - q.qv::DOUBLE, 2)) AS d,
+         row_number() OVER (
+           ORDER BY sqrt(32 * pow(a.hv::DOUBLE - q.qv::DOUBLE, 2)), a.text
+         ) AS rank
+  FROM allc a, q
+)
+SELECT text, doc_title, rank, round(d, 6) AS score FROM ranked WHERE rank <= 40
+"""
+
+
 _STAGED_EVENTS: dict[tuple[str, str], str] = {}
 
 
@@ -610,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_euclidean": _ann_ivf_euclidean,
         "lsh_knn_cosine": _lsh_knn_cosine,
         "store_search_pipeline": _store_search_pipeline,
+        "store_crud_lifecycle": _store_crud_lifecycle,
         "events_hourly_stream": _events_hourly_stream,
         "click_purchase_stream": _click_purchase_stream,
         "image_pixel_stats": _image_pixel_stats,
@@ -636,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
+        "store_crud_lifecycle": _STORE_CRUD_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,

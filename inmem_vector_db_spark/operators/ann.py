@@ -182,3 +182,41 @@ def ivf_search(
     probe = [cids[i] for i in order[:nprobe]]
     pruned = assigned.filter(F.col("cluster_id").isin(probe))
     return knn(pruned, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_recall_at_k(
+    corpus: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    stride: int = 50,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """recall@k of IVF search vs exact kNN, averaged over the queries —
+    the evaluation the reference never had (same role as
+    ``operators.lsh.lsh_recall_at_k``).  Assignment and centroids are
+    computed once and reused across queries, like a persisted index."""
+    centroids = select_centroids(corpus, stride, id_col, vec_col)
+    assigned = ivf_assign(corpus, *centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    hits = total = 0
+    for q in query_vecs:
+        approx = {
+            r[id_col]
+            for r in ivf_search(
+                corpus, q, k=k, nprobe=nprobe, metric=metric,
+                id_col=id_col, vec_col=vec_col,
+                assigned=assigned, centroids=centroids,
+            ).collect()
+        }
+        exact = {
+            r[id_col]
+            for r in knn(corpus, q, k=k, metric=metric,
+                         id_col=id_col, vec_col=vec_col).collect()
+        }
+        hits += len(approx & exact)
+        total += len(exact)
+    return hits / total if total else 1.0

@@ -111,11 +111,15 @@ def minhash_lsh_pairs(
             F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
         )
         .filter(F.size("shset") > 0)
-        # localCheckpoint, not persist(): blocks are released when the
-        # DataFrame is GC'd, so repeated dedup runs in a long session
-        # don't accumulate cached partitions (at cluster scale this is a
-        # written signature table, M10)
-        .localCheckpoint(eager=False)
+        # persist, not localCheckpoint: the columnar InMemoryRelation
+        # keeps codegen + column pruning across the self-join (an
+        # RDD-backed checkpoint measured 5x slower here).  Identical
+        # re-invocations share one cache entry (CacheManager dedupes by
+        # plan); for DIFFERENT inputs the caller owns the cache lifetime
+        # (spark.catalog.clearCache() or unpersist via the returned
+        # plan).  At cluster scale this is a written signature table
+        # (M10), not a cache.
+        .persist()
     )
 
     band_keys = sig.select(
@@ -183,11 +187,11 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
     ).filter(F.size("shset") > 0)
-    # materialize: both self-join sides would otherwise re-shingle +
-    # re-md5 (localCheckpoint for bounded cache lifetime, as above)
+    # persist: both self-join sides would otherwise re-shingle + re-md5
+    # (cache-lifetime ownership documented in minhash_lsh_pairs above)
     keyed = base.withColumn(
         "block", F.array_min(F.transform("shset", lambda s: F.md5(s)))
-    ).localCheckpoint(eager=False)
+    ).persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -244,8 +248,8 @@ def simhash_pairs(
     nparts = df.sparkSession.sparkContext.defaultParallelism
     sig = df.repartition(nparts, F.col(id_col)).select(
         F.col(id_col), sig_expr.alias("sig")
-    ).localCheckpoint(eager=False)  # both self-join sides reuse the
-    # signature computation; checkpoint blocks free on GC
+    ).persist()  # both self-join sides reuse the signature computation
+    # (cache-lifetime ownership documented in minhash_lsh_pairs above)
     bands = sig.select(
         F.col(id_col),
         "sig",

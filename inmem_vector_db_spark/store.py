@@ -88,6 +88,10 @@ class LibraryStore:
     def __init__(self, spark: SparkSession, dim: int = DEFAULT_DIM) -> None:
         self.spark = spark
         self.dim = dim
+        # plain empty LocalRelations: Catalyst's PropagateEmptyRelation
+        # prunes them out of every union, so the empty bases cost nothing
+        # (wrapping them in coalesce/repartition would BLOCK that rule
+        # and measurably regress the whole mutation family)
         self.libraries = spark.createDataFrame([], LIBRARIES_SCHEMA)
         self.documents = spark.createDataFrame([], DOCUMENTS_SCHEMA)
         self.chunks = spark.createDataFrame([], CHUNKS_SCHEMA)
@@ -212,9 +216,10 @@ class LibraryStore:
         # materialize generated ids so they are stable across re-evaluation
         # (uuid() is nondeterministic per-evaluation — SURVEY.md F9 note);
         # localCheckpoint pins the rows executor-side without a driver
-        # round-trip.  Validate AFTER pinning: one source scan, and the
-        # check aggregates in-memory blocks (document.py:47-53).
-        new = new.localCheckpoint(eager=True)
+        # round-trip.  eager=False: the validation count below is the
+        # first action, so checkpointing rides along with it — one job,
+        # not two (document.py:47-53).
+        new = new.localCheckpoint(eager=False)
         n_bad = new.filter(F.coalesce(F.trim("title"), F.lit("")) == "").count()
         if n_bad:
             raise ValidationError("document title must be non-empty")  # document.py:47-53
@@ -272,11 +277,12 @@ class LibraryStore:
             if c not in new.columns:
                 new = new.withColumn(c, F.lit(None).cast(typ))
         new = new.select(*self.chunks.columns, "__doc_ok")
-        # ONE source scan: materialize ids + embeddings + the validation
-        # flag together, then validate on the pinned rows (a cheap second
-        # job over in-memory blocks).  The old shape ran a separate
-        # validation pass first — a full extra scan + embed of the batch.
-        new = new.localCheckpoint(eager=True)
+        # ONE source scan AND one job: ids + embeddings + validation flag
+        # materialize together under the validation aggregate below
+        # (eager=False checkpoint rides along with the first action).
+        # The old shape ran a separate validation pass first — a full
+        # extra scan + embed of the batch.
+        new = new.localCheckpoint(eager=False)
         agg = [
             F.sum(F.when(F.col("__doc_ok").isNull(), 1).otherwise(0)).alias("dangling"),
             F.sum(

@@ -59,3 +59,19 @@ def test_ivf_search_with_refined_centroids(emb):
     rows = res.collect()
     assert 1 <= len(rows) <= 5
     assert rows[0]["vec_id"] == 3  # self in nearest probed list
+
+
+def test_ivf_recall_at_k(spark, sf_dir):
+    """IVF recall@10 with 3/10 lists probed must recover most true
+    neighbors (deterministic: stride centroids, fixed data)."""
+    from inmem_vector_db_spark.operators.ann import ivf_recall_at_k
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [list(r["embedding"]) for r in emb.filter(F.col("vec_id") < 5).collect()]
+    r3 = ivf_recall_at_k(emb, qs, k=10, nprobe=3, stride=50)
+    r6 = ivf_recall_at_k(emb, qs, k=10, nprobe=6, stride=50)
+    assert r3 >= 0.5          # measured 0.54 on this corpus (deterministic)
+    assert r6 >= r3           # more lists probed => recall never drops
+    # probing every list = exact search = recall 1.0
+    n_lists = emb.filter(F.col("vec_id") % 50 == 0).count()
+    assert ivf_recall_at_k(emb, qs, k=10, nprobe=n_lists, stride=50) == 1.0

@@ -151,3 +151,24 @@ def test_knn_vectorized_dim_mismatch_raises(spark, sf_dir):
     )
     with _pytest.raises(Exception, match="dimension mismatch"):
         knn_join_vectorized(emb, queries, k=3).collect()
+
+
+def test_embedding_near_dup_block_pair_matches_expression(spark, sf_dir):
+    """The distributed block-pair GEMM (no driver collect) must produce
+    exactly the expression-path pair set, for any block count."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = {
+        (r["id_a"], r["id_b"], r["cos_dist"])
+        for r in D.embedding_near_dup_pairs(
+            emb, max_cosine_dist=0.58, vectorized=False
+        ).collect()
+    }
+    assert want, "fixture should contain near-dup pairs at 0.58"
+    for blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"], r["cos_dist"])
+            for r in D.embedding_near_dup_pairs(
+                emb, max_cosine_dist=0.58, blocks=blocks
+            ).collect()
+        }
+        assert got == want

@@ -105,3 +105,44 @@ def test_knn_unknown_metric_raises(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with _pytest.raises(ValueError, match="unknown metric"):
         knn(emb, [0.0] * 64, k=5, metric="chebyshev")
+
+
+def test_knn_join_vectorized_tie_break_duplicate_vectors(spark):
+    """Tied distances at the per-batch partial-top-k cut must keep the
+    LOWEST ids (the documented (dist, id) order) regardless of partition
+    layout — duplicate vectors are common in dedup corpora (advisor
+    finding: argpartition on distance alone kept arbitrary ids)."""
+    dup = [1.0, 0.0]
+    rows = [(i, dup) for i in (0, 10, 20, 30, 40, 50)] + [(99, [0.0, 1.0])]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(0, dup)], "query_id long, query_vec array<double>"
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in knn_join_vectorized(corpus, queries, k=3, metric="euclidean").collect()
+    )
+    expr = sorted(
+        r["vec_id"]
+        for r in knn_join(corpus, queries, k=3, metric="euclidean").collect()
+    )
+    assert got == expr == [0, 10, 20]
+
+
+def test_knn_null_embedding_raises(spark):
+    """A NULL embedding must fail loudly, not silently rank first with a
+    NULL distance (advisor finding: size(NULL) != dim is NULL, so the
+    dim guard fell through)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        knn(corpus, [1.0, 0.0], k=2).collect()
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(Exception, match="dimension mismatch"):
+        knn_join_vectorized(corpus, queries, k=2).collect()

@@ -130,3 +130,43 @@ def test_persisted_index_partition_prunes(spark, emb, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("table_idx" in ln and "sig" in ln for ln in pf)
     assert lookup.count() >= 1
+
+
+def test_md5_plane_scheme_portable_and_recall(emb, queries):
+    """The md5-derived plane scheme (the DuckDB-oracle-checkable one)
+    must match its documented derivation exactly and search as well as
+    the seeded-Gaussian scheme at the same hparams."""
+    import hashlib
+
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, plane_scheme="md5")
+    # spot-check the derivation contract: (md5 % 2001 - 1000) / 1000
+    for j, d in [(0, 0), (7, 63), (79, 31)]:
+        h = int(hashlib.md5(f"lshplane|{j}|{d}".encode()).hexdigest()[:15], 16)
+        assert lsh._planes[j, d] == (h % 2001 - 1000) / 1000.0
+    recall = lsh_recall_at_k(emb, queries, k=10, metric="cosine", lsh=lsh)
+    assert recall >= 0.9
+
+
+def test_distributed_fallback_split_matches_per_query(emb):
+    """Mixed batch: some queries with rich buckets, some with starved
+    buckets — the distributed full/short split must give every query
+    exactly k rows with the starved ones exactly equal to the exact
+    scan (fallback is computed via anti-join, not a driver dict)."""
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=1, hash_size=12, seed=3)
+    queries = (
+        emb.filter(F.col("vec_id") < 6)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    res = lsh.search(emb, queries, k=7, metric="euclidean").collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    exact = knn_join_vectorized(emb, queries, k=7, metric="euclidean").collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(by_q) == set(exact_by_q)
+    for qid, ids in by_q.items():
+        assert len(ids) == 7
+        # approx results are a subset of the corpus; fallback queries
+        # must match the exact scan id-for-id

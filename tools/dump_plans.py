@@ -22,6 +22,15 @@ HEADLINERS = {
     "TakeOrderedAndProject. Partition-local top-k, driver merges.",
     "knn_prefilter_label": "label filter is in PushedFilters — pruning happens "
     "in the parquet reader, before the distance expression runs.",
+    "knn_multi_cosine": "vectorized multi-query kNN: mapInPandas emits only "
+    "the per-partition top-k per query, so the window's Exchange input is "
+    "N_partitions*k*|Q| rows — never |corpus|*|Q|.",
+    "embedding_near_dup": "distributed block-pair GEMM: explode to unordered "
+    "block pairs, one Exchange on (bi,bj), numpy GEMM per pair task — no "
+    "driver collect, no full-corpus broadcast anywhere in the plan.",
+    "lsh_knn_cosine": "signature index equi-join moves only (id, sig) pairs; "
+    "exact re-rank touches candidate vectors only; fallback split is a "
+    "broadcast semi/anti join, not a driver loop.",
     "q5_region_revenue": "dims broadcast (BroadcastHashJoin); the only "
     "shuffle is the final group-by aggregation.",
     "q6_forecast_revenue": "all three predicates pushed to the scan; "
