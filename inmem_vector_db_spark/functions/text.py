@@ -262,3 +262,52 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.bit_count(ca.bitwiseXOR(cb))
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + PII redaction (training-data pipeline ops)
+
+SAMPLE_BUCKETS = 10_000
+
+
+def hash_bucket(text: Column | str, buckets: int = SAMPLE_BUCKETS) -> Column:
+    """Deterministic sampling bucket in [0, buckets): the 60-bit md5
+    hash (``shingle_hash``) mod buckets.  The standard reproducible
+    corpus-sampling primitive at 100 TB — unlike ``F.rand()``, the same
+    row lands in the same bucket on every run, every engine, every
+    partition layout (DuckDB: ``('0x'||substr(md5(t),1,15))::UBIGINT %
+    buckets``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return shingle_hash(c) % buckets
+
+
+def hash_sample(df, rate: float, key_col: str = "text"):
+    """Keep a deterministic ``rate`` fraction of rows by hash bucket.
+    Pure filter — pipelines with the scan, no shuffle, reproducible."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    thresh = int(rate * SAMPLE_BUCKETS)
+    return df.filter(hash_bucket(F.col(key_col)) < thresh)
+
+
+# Email/phone patterns restricted to constructs Java regex and RE2
+# (DuckDB) interpret identically: char classes, +/?, bounded repeats.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3} [0-9]{3} [0-9]{4}"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails/phone numbers with typed placeholders — the
+    PII-scrubbing pass an LLM training pipeline runs before anything
+    else sees the text.  Pure JVM regexp_replace (codegen), one pass
+    per pattern; DuckDB mirrors with ``regexp_replace(..., 'g')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text — the audit metric that
+    pairs with :func:`redact_pii`."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(EMAIL_RE)), F.regexp_count(c, F.lit(PHONE_RE))

@@ -9,13 +9,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.functions.text import (
+    EMAIL_RE,
     LANG_STOPWORDS,
     LANGS,
+    PHONE_RE,
     STOPWORDS_EN,
+    bpe_token_count,
     distinct_ratio,
     fingerprint,
+    hash_bucket,
+    hash_sample,
     lang_id,
+    pii_counts,
     quality_score,
+    redact_pii,
     stopword_ratio,
     token_count,
 )
@@ -412,6 +419,132 @@ FROM c WHERE chunk_text != ''
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (reproducible corpus subsetting at 100 TB —
+# unlike F.rand(), identical on every run/engine/partition layout)
+
+
+def corpus_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.1, "text").select(
+        "doc_id", "lang", hash_bucket(F.col("text")).alias("bucket")
+    )
+
+
+CORPUS_SAMPLE_SQL = """
+SELECT doc_id, lang,
+       (('0x' || substr(md5(text), 1, 15))::UBIGINT % 10000)::BIGINT AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(text), 1, 15))::UBIGINT % 10000 < 1000
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails/phones planted deterministically per doc so the
+# operator is exercised on every row; patterns restricted to the
+# Java-regex/RE2 common subset)
+
+
+def pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    n_emails, n_phones = pii_counts("text")
+    return aug.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+PII_REDACTION_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example or +1 555 '
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}'))::INT AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: the composed LLM-training-data pipeline — language
+# filter -> quality filter -> exact dedup (keep lowest id) -> token
+# budget, in ONE pass over the documents table (each stage is also
+# individually oracle-checked above)
+
+
+def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        bpe_token_count("text").alias("bpe"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.45))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = kept.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, F.col("bpe")).otherwise(0))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.round(F.avg(F.when(F.col("rn") == 1, F.col("q"))), 6).alias("avg_quality"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dups_dropped"),
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id, text, t,
+         {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
+  FROM d
+),
+s AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+              WHEN best = 0 THEN 'unknown'
+              {_case}
+         END AS lang_pred,
+         round(0.4 * least(1.0, len(t) / 128.0)
+               + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+               + 0.2 * (1.0 - abs((len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS_EN)}, x)))::DOUBLE / len(t)) - 0.3) / 0.7),
+               6) AS q,
+         len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS bpe
+  FROM (SELECT *, {_best} AS best FROM h)
+),
+k AS (SELECT * FROM s WHERE lang_pred = 'en' AND q >= 0.45),
+r AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM k)
+SELECT CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN bpe ELSE 0 END) AS BIGINT) AS bpe_tokens,
+       round(avg(CASE WHEN rn = 1 THEN q END), 6) AS avg_quality,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped
+FROM r
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -425,4 +558,7 @@ QUERIES: dict[str, tuple] = {
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "dedup_canonical": (dedup_canonical_q, DEDUP_CANONICAL_SQL),
+    "corpus_sample": (corpus_sample_q, CORPUS_SAMPLE_SQL),
+    "pii_redaction": (pii_redaction_q, PII_REDACTION_SQL),
+    "corpus_curation": (corpus_curation_q, CORPUS_CURATION_SQL),
 }

@@ -136,3 +136,41 @@ def test_sentence_splitter_udtf(spark):
         "SELECT * FROM sentence_splitter('Hello world. Bye.')"
     ).collect()
     assert [r["sentence"] for r in got] == ["Hello world", "Bye"]
+
+
+def test_hash_sample_deterministic_and_rate(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in T.hash_sample(docs, 0.1).select("doc_id").collect()}
+    b = {r["doc_id"] for r in T.hash_sample(docs, 0.1).select("doc_id").collect()}
+    assert a == b  # same rows every run, unlike F.rand()
+    n = docs.count()
+    assert 0.05 * n <= len(a) <= 0.15 * n  # ~10% by hash bucket
+    # a larger rate strictly contains a smaller one (bucket threshold)
+    c = {r["doc_id"] for r in T.hash_sample(docs, 0.3).select("doc_id").collect()}
+    assert a <= c
+    with pytest.raises(ValueError):
+        T.hash_sample(docs, 1.5)
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example or call +44 123 4567 now"),
+            (2, "no pii here"),
+        ],
+        "id int, text string",
+    )
+    n_emails, n_phones = T.pii_counts("text")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.redact_pii("text").alias("red"),
+            n_emails.alias("ne"),
+            n_phones.alias("np"),
+        ).collect()
+    }
+    assert rows[1]["red"] == "mail me at <EMAIL> or call <PHONE> now"
+    assert rows[1]["ne"] == 1 and rows[1]["np"] == 1
+    assert rows[2]["red"] == "no pii here"
+    assert rows[2]["ne"] == 0 and rows[2]["np"] == 0
