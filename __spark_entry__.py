@@ -683,6 +683,45 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+_STAGED_DOCS: dict[str, str] = {}
+
+
+def _docs_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of a document feed (the continuous form of
+    ``dedup_exact_*``): stage the documents table as a file stream,
+    drop duplicate (md5(text), lang) keys with streaming state, drain
+    the bounded stream.  Oracle = batch SELECT DISTINCT — proving the
+    streaming dedup state machine computes the batch answer."""
+    import tempfile
+
+    from inmem_vector_db_spark.streaming.ingest import (
+        run_stream_to_memory,
+        stream_exact_dedup,
+    )
+
+    if sf_dir not in _STAGED_DOCS:
+        staged = tempfile.mkdtemp(prefix="docs_stream_")
+        load_table(spark, sf_dir, "documents").write.mode("append").parquet(staged)
+        _STAGED_DOCS[sf_dir] = staged
+    stream_in = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(_STAGED_DOCS[sf_dir])
+    keyed = stream_in.select(F.md5("text").alias("h"), "lang")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_stream_to_memory(
+            stream_exact_dedup(keyed, ["h", "lang"]), output_mode="append"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_DOCS_DEDUP_STREAM_ORACLE = """
+SELECT DISTINCT md5(text) AS h, lang FROM documents
+"""
+
+
 def _image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the value oracle: treat each document's
     utf-8 bytes as an opaque image payload, decode with the
@@ -739,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_crud_lifecycle": _store_crud_lifecycle,
         "events_hourly_stream": _events_hourly_stream,
         "click_purchase_stream": _click_purchase_stream,
+        "docs_dedup_stream": _docs_dedup_stream,
         "image_pixel_stats": _image_pixel_stats,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
@@ -766,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
+        "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,

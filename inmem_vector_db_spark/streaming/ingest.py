@@ -202,3 +202,30 @@ def incremental_index_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_exact_dedup(
+    sdf: DataFrame,
+    key_cols: list[str],
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication — the continuous form of
+    ``operators.dedup.exact_dedup`` ("have I ingested this document
+    hash before?"), the first stage of a streaming training-data
+    pipeline.
+
+    ``watermark=None``: ``dropDuplicates`` over the key projection —
+    exact across the whole stream; state = one entry per distinct key,
+    which is the right shape for bounded replays and for key spaces
+    (content hashes) that fit state stores.  With ``watermark``:
+    ``dropDuplicatesWithinWatermark`` — state is EVICTED once the
+    watermark passes, so unbounded streams run in bounded state, at the
+    cost of readmitting a duplicate that arrives later than the
+    watermark delay (the standard at-scale tradeoff).
+    """
+    if watermark is not None:
+        return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return sdf.select(*key_cols).dropDuplicates(key_cols)

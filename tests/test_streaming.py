@@ -194,3 +194,43 @@ def test_stream_stream_attribution_equals_batch(spark, sf_dir, events_dir):
 
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, sf_dir, events_dir):
+    from inmem_vector_db_spark.sources.loader import load_table
+    from inmem_vector_db_spark.streaming.ingest import stream_exact_dedup
+
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    out = run_stream_to_memory(
+        stream_exact_dedup(stream_in, ["user_id", "event_type"]),
+        output_mode="append",
+    )
+    got = {(r["user_id"], r["event_type"]) for r in out.collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_within_watermark_drops_in_window_dups(spark, events_dir):
+    """The bounded-state variant must emit each key at most once within
+    the watermark window (state present), i.e. strictly fewer rows than
+    the raw stream when duplicates exist."""
+    from inmem_vector_db_spark.streaming.ingest import stream_exact_dedup
+
+    stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    raw_n = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir).count()
+    dd = stream_exact_dedup(
+        stream_in, ["user_id", "event_type"], watermark="10 years"
+    )
+    out = run_stream_to_memory(dd, output_mode="append")
+    n = out.count()
+    distinct_n = (
+        spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+        .select("user_id", "event_type").distinct().count()
+    )
+    # with an effectively-infinite watermark the state never evicts, so
+    # the streaming result equals exact distinct
+    assert n == distinct_n < raw_n
