@@ -683,6 +683,59 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+_STAGED_FMT: dict[tuple[str, str], str] = {}
+
+
+def _stage_docs_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the documents table once per (sf_dir, format) so format
+    round-trip queries don't re-write on repeat invocations."""
+    import tempfile
+
+    key = (sf_dir, fmt)
+    if key not in _STAGED_FMT:
+        staged = tempfile.mkdtemp(prefix=f"docs_{fmt}_")
+        w = load_table(spark, sf_dir, "documents").write.mode("overwrite")
+        getattr(w, "json" if fmt == "jsonl" else fmt)(staged)
+        _STAGED_FMT[key] = staged
+    return _STAGED_FMT[key]
+
+
+_DOCS_AGG_ORACLE = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round-trip (S4 widened to the LLM-corpus standard
+    format): stage documents as line-delimited JSON, read back with an
+    explicit schema, aggregate.  Oracle = the same aggregate straight
+    off the parquet table — proving the JSON reader preserves values."""
+    from inmem_vector_db_spark.sources.loader import load_jsonl
+
+    staged = _stage_docs_as(spark, sf_dir, "jsonl")
+    docs = load_jsonl(
+        spark, staged,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip: same contract as the JSONL entry, over
+    the other columnar format the Hive/Trino ecosystem lands."""
+    from inmem_vector_db_spark.sources.loader import load_orc
+
+    staged = _stage_docs_as(spark, sf_dir, "orc")
+    return load_orc(spark, staged).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 _STAGED_DOCS: dict[str, str] = {}
 
 
@@ -779,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": _events_hourly_stream,
         "click_purchase_stream": _click_purchase_stream,
         "docs_dedup_stream": _docs_dedup_stream,
+        "jsonl_source_agg": _jsonl_source_agg,
+        "orc_source_agg": _orc_source_agg,
         "image_pixel_stats": _image_pixel_stats,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
@@ -807,6 +862,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,
+        "jsonl_source_agg": _DOCS_AGG_ORACLE,
+        "orc_source_agg": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,

@@ -67,3 +67,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works on them."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def load_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSONL source — the lingua franca of LLM training corpora.  An
+    EXPLICIT schema is required: schema inference reads the data twice
+    and types drift between files; at 100 TB the schema is a contract,
+    not a guess.  Line-delimited (the default), so splits parallelize
+    by line offset without parsing state."""
+    return spark.read.schema(schema).json(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning properties as
+    parquet; included so a corpus landed by an ORC-writing pipeline
+    (Hive/Trino ecosystems) reads natively."""
+    return spark.read.orc(path)

@@ -122,3 +122,24 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     ids = [r["vec_id"] for r in after.collect()]
     # repartitionByRange(1 file) + sortWithinPartitions => globally sorted read
     assert ids == sorted(ids) or stats["files_after"] > 1
+
+
+def test_jsonl_and_orc_sources_roundtrip(spark, sf_dir, tmp_path):
+    from inmem_vector_db_spark.sources.loader import load_jsonl, load_orc, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.count()
+    jdir, odir = str(tmp_path / "j"), str(tmp_path / "o")
+    docs.write.json(jdir)
+    docs.write.orc(odir)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    js = load_jsonl(spark, jdir, schema)
+    assert js.count() == want
+    assert js.schema.simpleString() == docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).schema.simpleString()
+    assert load_orc(spark, odir).count() == want
+    # values survive the round trip, not just counts
+    a = {r["doc_id"]: r["text"] for r in js.collect()}
+    b = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert a == b
