@@ -50,6 +50,28 @@ def hash_embed_texts(texts: "pd.Series", dim: int = DEFAULT_DIM) -> list[list[fl
     return out
 
 
+def hash_embedding_expr(text_col: str = "text", dim: int = DEFAULT_DIM):
+    """The md5 mock embedding as a PURE JVM Column — bit-identical to
+    :func:`hash_embed_texts` but with no Python stage at all.
+
+    The little-endian 8-byte md5 read mod 10000 is computed with
+    modular arithmetic over the hex pairs (``sum(byte_i * (256^i mod
+    10000)) mod 10000``) so nothing overflows int64; the division and
+    float32 cast then match numpy's ``float32((h % 10000) / 10000.0)``
+    IEEE-exactly.  Whole-stage codegen — ingest-time embedding costs no
+    Python worker spin-up per stage, which dominates small mutation
+    batches."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(F.col(text_col))
+    acc = F.lit(0).cast("long")
+    for i in range(8):
+        byte_i = F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("long")
+        acc = acc + byte_i * F.lit(pow(256, i, 10000)).cast("long")
+    val = ((acc % 10000) / F.lit(10000.0)).cast("float")
+    return F.array_repeat(val, dim)
+
+
 def with_embeddings(
     df: DataFrame,
     text_col: str = "text",
@@ -62,8 +84,16 @@ def with_embeddings(
     This is the ingest-time "batch embed" stage (reference M1
     ``library_service.py:121-140``); on a cluster each executor embeds
     its partitions independently — no shuffle, no driver round-trip.
+
+    With the default (deterministic md5) provider the embedding is a
+    pure JVM expression (:func:`hash_embedding_expr`) — no Python stage.
+    A real model provider takes the Arrow-batched ``mapInPandas`` path.
     """
-    fn = provider or (lambda s: hash_embed_texts(s, dim))
+    if provider is None:
+        from pyspark.sql import functions as F
+
+        return df.withColumn(out_col, hash_embedding_expr(text_col, dim))
+    fn = provider
     cols = df.columns
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
