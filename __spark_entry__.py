@@ -199,6 +199,54 @@ LIMIT 10
 """
 
 
+def _ann_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN: 3 queries, each probing its 3 nearest of the
+    deterministic stride-50 lists, one distributed pass (broadcast
+    (query, cluster) allowlist joined into the assigned corpus)."""
+    from inmem_vector_db_spark.operators.ann import ivf_search_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_search_batch(
+        emb, queries, k=5, nprobe=3, stride=50, metric="euclidean"
+    ).select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+_ANN_IVF_MULTI_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid
+           ) AS rn
+    FROM cents c, q
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+         ) AS rn
+  FROM assigned a
+  JOIN probe p ON a.cluster_id = p.cid
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, round(d, 6) AS dist FROM scored WHERE rn <= 5
+"""
+
+
 def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH kNN (reference J2) under a REAL value
     oracle: the hyperplane matrix is md5-derived (``md5_planes``), so
@@ -826,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_prefilter_label": _knn_prefilter_label,
         "knn_postfilter_parity": _knn_postfilter_parity,
         "ann_ivf_euclidean": _ann_ivf_euclidean,
+        "ann_ivf_multi": _ann_ivf_multi,
         "lsh_knn_cosine": _lsh_knn_cosine,
         "store_search_pipeline": _store_search_pipeline,
         "store_crud_lifecycle": _store_crud_lifecycle,
@@ -856,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_prefilter_label": _KNN_PREFILTER_ORACLE,
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
+        "ann_ivf_multi": _ANN_IVF_MULTI_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,

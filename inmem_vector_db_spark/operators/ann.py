@@ -220,3 +220,82 @@ def ivf_recall_at_k(
         hits += len(approx & exact)
         total += len(exact)
     return hits / total if total else 1.0
+
+
+def ivf_search_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    stride: int = 50,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    assigned: DataFrame | None = None,
+    centroids: tuple[list, np.ndarray] | None = None,
+) -> DataFrame:
+    """Multi-query IVF: every query searches only its ``nprobe`` nearest
+    inverted lists, in ONE distributed pass for the whole query batch.
+
+    The (query, allowed-cluster) list is tiny (Q * nprobe rows) and
+    broadcast; joining it against the assigned corpus on ``cluster_id``
+    restricts each query's candidates to its probed lists BEFORE any
+    distance is computed — the shuffle carries only probed (query, row)
+    pairs, never the full cross product.  Exact re-rank inside the
+    probed lists, window top-k per query.  Output matches ``knn_join``:
+    (query_id, id, dist, rank).
+    """
+    from pyspark.sql import Window
+
+    from inmem_vector_db_spark.functions.distance import distance
+
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    cids, cmat = centroids if centroids is not None else select_centroids(
+        corpus, stride, id_col, vec_col
+    )
+    if assigned is None:
+        assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
+
+    # per-query probe lists: Q x n_centroids distances, driver-side —
+    # the same small-side contract as knn_join_vectorized's query matrix
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    cid_arr = np.asarray(cids)
+    allow = []
+    for r in qrows:
+        q = np.asarray(list(r[1]), dtype=np.float64)
+        cd = np.linalg.norm(cmat - q[None, :], axis=1)
+        order = np.lexsort((cid_arr, cd))
+        allow += [(r[0], cids[i]) for i in order[:nprobe]]
+    spark = corpus.sparkSession
+    allow_df = F.broadcast(
+        spark.createDataFrame(
+            allow,
+            f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+            f"cluster_id {assigned.schema['cluster_id'].dataType.simpleString()}",
+        )
+    )
+    qvec_df = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        assigned.join(allow_df, "cluster_id")
+        .join(qvec_df, query_id_col)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            distance(metric, F.col("__qvec"), F.col(vec_col)).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc_nulls_last(), id_col
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

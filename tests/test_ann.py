@@ -75,3 +75,28 @@ def test_ivf_recall_at_k(spark, sf_dir):
     # probing every list = exact search = recall 1.0
     n_lists = emb.filter(F.col("vec_id") % 50 == 0).count()
     assert ivf_recall_at_k(emb, qs, k=10, nprobe=n_lists, stride=50) == 1.0
+
+
+def test_ivf_search_batch_matches_single(spark, sf_dir):
+    """The batched IVF pass must agree with per-query ivf_search
+    (same centroids, same probes, same exact re-rank)."""
+    from inmem_vector_db_spark.operators.ann import ivf_search_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id") < 4).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in qrows],
+        "query_id long, query_vec array<double>",
+    )
+    batch = ivf_search_batch(emb, queries, k=5, nprobe=3, stride=50)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["dist"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    for r in qrows:
+        single = ivf_search(
+            emb, list(r["embedding"]), k=5, nprobe=3, stride=50
+        ).collect()
+        got = [v for _, v, _ in sorted(by_q[r["vec_id"]])]
+        want = [s["vec_id"] for s in single]
+        assert got == want
