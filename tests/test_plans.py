@@ -142,3 +142,44 @@ def test_q6_pushes_all_filters_to_scan(spark, sf_dir):
     line = pushed[0]
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in line
+
+
+def test_knn_join_vectorized_plan_partial_topk(emb):
+    """The vectorized multi-query path: a MapInPandas stage emits the
+    per-partition partial top-k, and the only Exchange below the final
+    window is over those partial rows — no CartesianProduct of the
+    corpus against the queries."""
+    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(knn_join_vectorized(emb, queries, k=3))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_near_dup_plan_block_pairs(emb):
+    """Block-pair GEMM: one Exchange on the (block_i, block_j) pair key
+    feeding FlatMapGroupsInPandas — no broadcast of the corpus, no
+    nested-loop join anywhere."""
+    from inmem_vector_db_spark.operators.dedup import embedding_near_dup_pairs
+
+    plan = _plan(embedding_near_dup_pairs(emb, max_cosine_dist=0.2, blocks=4))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "__bi" in plan and "__bj" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_batch_plan_broadcasts_allowlist(emb):
+    """Batched IVF: the (query, cluster) allowlist joins in as a
+    BroadcastHashJoin on cluster_id — probed rows only, never a corpus
+    cross product."""
+    from inmem_vector_db_spark.operators.ann import ivf_search_batch
+
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(ivf_search_batch(emb, queries, k=3, nprobe=2, stride=100))
+    assert "BroadcastHashJoin" in plan and "cluster_id" in plan
+    assert "CartesianProduct" not in plan
