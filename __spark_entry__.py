@@ -864,6 +864,7 @@ FROM px GROUP BY media_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
+    from inmem_vector_db_spark.plans.tpch_extra import QUERIES as EXTRA
 
     out = {
         "knn_cosine": _knn_query("cosine"),
@@ -890,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
+    out.update({name: fn for name, (fn, _sql) in EXTRA.items()})
     return out
 
 
@@ -921,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
+    from inmem_vector_db_spark.plans.tpch_extra import QUERIES as EXTRA
 
     out.update({name: sql for name, (_fn, sql) in TXT.items() if sql is not None})
+    out.update({name: sql for name, (_fn, sql) in EXTRA.items()})
     return out
