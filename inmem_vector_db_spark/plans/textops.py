@@ -25,6 +25,8 @@ from inmem_vector_db_spark.functions.text import (
     redact_pii,
     stopword_ratio,
     token_count,
+    tokens,
+    word_shingles,
 )
 from inmem_vector_db_spark.operators.dedup import (
     embedding_near_dup_pairs,
@@ -545,6 +547,140 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics / TF-IDF / benchmark decontamination
+
+
+def top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 bigrams: the classic one-shuffle wordcount.
+    Partial (map-side) aggregation shrinks the shuffle to |distinct
+    bigrams per partition|; the top-k is a TakeOrdered over group
+    counts.  Tie-break (count desc, ngram asc) pins the result set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_shingles("text", 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(25)
+    )
+
+
+TOP_NGRAMS_SQL = """
+WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS ngram
+  FROM d WHERE len(t) >= 2
+)
+SELECT ngram, count(*) AS n
+FROM b GROUP BY 1
+ORDER BY n DESC, ngram
+LIMIT 25
+"""
+
+
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF.  The document-frequency table
+    is |vocab| rows — tiny next to the token stream — so Catalyst's
+    stats pick a broadcast join here; at a 100 TB corpus with a huge
+    vocab AQE falls back to a shuffle join on term, which is the right
+    plan there too (no hint pinned on purpose).  The corpus size scalar
+    is a 1-row broadcast.  Score rounded to 6 dp BEFORE ranking so the
+    tie-break (score desc, term asc) is engine-stable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term)::INT AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def decontam_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct 3-word shingles also appear in the held-out eval set
+    (doc_id % 50 == 0 stands in for the benchmark corpus).  This is the
+    production decontamination shape: shingle -> semi-join against the
+    (small) eval shingle set -> per-doc overlap ratio.  The eval side is
+    distinct-ed first so it stays broadcastable; the corpus side is
+    never collected or re-shuffled beyond its own per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    shared = (
+        corpus.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_shared = F.coalesce("n_shared", F.lit(0))
+    return totals.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_shared.alias("n_shared"),
+        F.round(n_shared / F.col("n_shingles"), 6).alias("contamination"),
+    )
+
+
+DECONTAM_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM d WHERE len(t) >= 3
+),
+eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared FROM corpus
+  WHERE sh IN (SELECT sh FROM eval_sh) GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1)
+SELECT totals.doc_id, n_shingles,
+       coalesce(n_shared, 0) AS n_shared,
+       round(coalesce(n_shared, 0) / n_shingles, 6) AS contamination
+FROM totals LEFT JOIN shared USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -561,4 +697,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_sample": (corpus_sample_q, CORPUS_SAMPLE_SQL),
     "pii_redaction": (pii_redaction_q, PII_REDACTION_SQL),
     "corpus_curation": (corpus_curation_q, CORPUS_CURATION_SQL),
+    "top_ngrams": (top_ngrams_q, TOP_NGRAMS_SQL),
+    "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
+    "decontam_overlap": (decontam_overlap_q, DECONTAM_SQL),
 }
