@@ -48,6 +48,25 @@ HEADLINERS = {
     "on (user_id, time-bucket) + residual range filter (broadcast at this "
     "size, shuffled-hash/sort-merge at scale) — the bucketing is what "
     "keeps it off the nested-loop path.",
+    "q8_market_share": "8-way join, every dim a BroadcastHashJoin; the "
+    "market-share ratio is a one-pass conditional aggregate — no "
+    "self-join, one big shuffle (lineitem->orders at scale).",
+    "q17_small_quantity_revenue": "correlated scalar subquery decorrelated "
+    "by construction: per-part avg is a grouped aggregate joined back "
+    "(broadcast) — never a per-row re-scan, no nested-loop.",
+    "q21_waiting_suppliers": "exists/not-exists as a per-order census: "
+    "lineitem shuffles once on orderkey; the census joins back on the "
+    "same key (sort-merge, co-partitioned).",
+    "events_gapfill": "dense hour spine built from sequence()+explode on "
+    "per-type bounds (tiny), broadcast-joined to the aggregate; LOCF is "
+    "a window last(ignorenulls) — one shuffle for the agg, one for the "
+    "window, both on event_type.",
+    "decontam_overlap": "eval-set shingles distinct-ed then broadcast; "
+    "corpus side is semi-joined and aggregated once — contamination "
+    "check without shuffling the corpus by shingle.",
+    "tfidf_top_terms": "document-frequency table joined without a forced "
+    "hint (stats pick broadcast here, shuffle-on-term at huge vocab); "
+    "top-3 per doc is a window over the scored rows.",
 }
 
 
