@@ -861,6 +861,70 @@ FROM px GROUP BY media_id
 """
 
 
+def _synthetic_media(spark: SparkSession, sf_dir: str, modality: str):
+    """Deterministic media table derived from documents: payload = the
+    utf-8 text bytes, duration keyed off n_chars, sample rate off
+    doc_id — every field recomputable in SQL, so the multimodal
+    plumbing sits under the value oracle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("synthetic").alias("source"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("n_chars") % 20) + 1).cast("double").alias("duration_s"),
+            (F.lit(8000) * (F.col("doc_id") % 3 + 1)).cast("int").alias("sample_rate"),
+            F.lit("stub").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def _video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling under the value oracle: frame timestamps are
+    computed JVM-side from metadata (sequence + posexplode — rows
+    multiply, payload bytes stay put until a downstream decode), so the
+    sampling plan itself is exact and engine-checkable."""
+    from inmem_vector_db_spark.multimodal.media import sample_video_frames
+
+    media = _synthetic_media(spark, sf_dir, "video")
+    return sample_video_frames(media, fps=0.5, max_frames=8).select(
+        "media_id", "frame_idx", "frame_ts"
+    )
+
+
+_VIDEO_FRAME_ORACLE = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         least(8, greatest(1, floor(((n_chars % 20) + 1) * 0.5)::BIGINT)) AS nf
+  FROM documents WHERE doc_id < 30
+)
+SELECT media_id, i::INT AS frame_idx, round(i / 0.5, 6) AS frame_ts
+FROM (SELECT media_id, unnest(generate_series(0, nf - 1)) AS i FROM v)
+"""
+
+
+def _audio_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio profile by sample rate — metadata-only: the plan never
+    touches the binary payload column (column pruning keeps the scan
+    cheap; pinned by tests/test_multimodal.py)."""
+    from inmem_vector_db_spark.multimodal.media import audio_stats
+
+    media = _synthetic_media(spark, sf_dir, "audio")
+    return audio_stats(media)
+
+
+_AUDIO_STATS_ORACLE = """
+SELECT (8000 * (doc_id % 3 + 1))::INT AS sample_rate,
+       count(*) AS n_clips,
+       round(sum(((n_chars % 20) + 1)::DOUBLE), 6) AS total_s
+FROM documents WHERE doc_id < 30
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
@@ -885,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_source_agg": _jsonl_source_agg,
         "orc_source_agg": _orc_source_agg,
         "image_pixel_stats": _image_pixel_stats,
+        "video_frame_sample": _video_frame_sample,
+        "audio_meta_stats": _audio_meta_stats,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
         "label_centroids": _label_centroids,
@@ -917,6 +983,8 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
+        "video_frame_sample": _VIDEO_FRAME_ORACLE,
+        "audio_meta_stats": _AUDIO_STATS_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
