@@ -681,6 +681,36 @@ FROM totals LEFT JOIN shared USING (doc_id)
 """
 
 
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas (training-mix
+    rebalancing): up to 5 documents per (lang, source) stratum, chosen
+    by md5 order so the draw is reproducible across runs, engines, and
+    partition layouts (F.rand is none of those).  The window partitions
+    by stratum, so parallelism = |strata| and a single hot stratum is
+    the skew unit; at 100 TB with few huge strata, switch to the
+    hash-threshold form (filter md5 < quota/|stratum| from a first-pass
+    count — one scan, no window) and accept +-1% quota error."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "source", "doc_id", "rn")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, source, doc_id, rn FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (
+           PARTITION BY lang, source ORDER BY md5(text), doc_id)::INT AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -700,4 +730,5 @@ QUERIES: dict[str, tuple] = {
     "top_ngrams": (top_ngrams_q, TOP_NGRAMS_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
     "decontam_overlap": (decontam_overlap_q, DECONTAM_SQL),
+    "stratified_sample": (stratified_sample_q, STRATIFIED_SAMPLE_SQL),
 }
