@@ -57,3 +57,32 @@ def compact(
         "files_after": len(_list_files(path)),
         "bytes": total_bytes,
     }
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+):
+    """Persist a DataFrame as a hash-bucketed (and optionally
+    sort-clustered) managed table.
+
+    Bucketing is the pre-computed half of a shuffle: rows are hash
+    partitioned by ``bucket_cols`` AT WRITE TIME, so every later join or
+    aggregation on those keys reads co-located partitions and skips the
+    Exchange entirely.  For a 100 TB store where the same fact-fact join
+    runs every day (chunks x signatures, lineitem x orders), paying the
+    shuffle once at ingest instead of per-query is the single biggest
+    repeated-cost win — pinned by
+    tests/test_sources_and_indexer.py::test_bucketed_join_eliminates_shuffle.
+
+    Both sides of a join must agree on bucket count and keys; keep
+    num_buckets a multiple of the cluster's parallelism unit.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -143,3 +143,36 @@ def test_jsonl_and_orc_sources_roundtrip(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: r["text"] for r in js.collect()}
     b = {r["doc_id"]: r["text"] for r in docs.collect()}
     assert a == b
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Two tables bucketed on the same key join with NO Exchange —
+    the write-time hash partitioning replaces the per-query shuffle."""
+    from pyspark.sql import functions as F
+
+    from inmem_vector_db_spark.sources.maintenance import write_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    write_bucketed(emb.select("vec_id", "label"), "bkt_a", ["vec_id"], 4)
+    write_bucketed(emb.select("vec_id", "embedding"), "bkt_b", ["vec_id"], 4)
+    try:
+        with_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "vec_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert joined.count() == emb.count()
+            # same join WITHOUT bucketing does shuffle both sides
+            plain = emb.select("vec_id", "label").join(
+                emb.select("vec_id", "embedding").withColumn(
+                    "embedding", F.col("embedding")
+                ),
+                "vec_id",
+            )
+            assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
