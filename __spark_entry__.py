@@ -412,6 +412,63 @@ LIMIT 10
 """
 
 
+def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ kNN: 4 sub-codes over 16 stride-sampled codebook entries (64x
+    narrower candidate scan than float32), ADC candidate top-50 via
+    literal-LUT lookups, exact euclidean re-rank to top-10.  Codes and
+    candidate set are deterministic (sequential-order accumulation), so
+    the whole two-stage path value-hash matches DuckDB."""
+    from inmem_vector_db_spark.operators.pq import pq_codebooks, pq_encode, pq_search
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_codebooks(emb, m=4, k=16, stride=25)
+    codes = pq_encode(emb, cb)
+    q = _query_vec(spark, sf_dir, 7)
+    return pq_search(emb, codes, q, cb, k=10, oversample=5).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_KNN_PQ_ORACLE = """
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16)
+),
+sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+enc AS (
+  SELECT e.vec_id, s.j, cb.c,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> pow(e.embedding[s.j * 16 + i]::DOUBLE - cb.cv[s.j * 16 + i], 2))) AS d
+  FROM embeddings e, sub s, cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+lut AS (
+  SELECT s.j, cb.c,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> pow(q.qv[s.j * 16 + i] - cb.cv[s.j * 16 + i], 2))) AS ld
+  FROM q, sub s, cb
+),
+adc AS (
+  SELECT codes.vec_id, list_sum(list(lut.ld ORDER BY codes.j)) AS adc_d
+  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+  GROUP BY codes.vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_d, vec_id LIMIT 50)
+SELECT e.vec_id,
+       round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+LIMIT 10
+"""
+
+
 def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregation: per-label centroid embedding (posexplode ->
     per-position mean -> re-assemble ordered array).  The primitive
@@ -953,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta_stats": _audio_meta_stats,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
+        "knn_pq": _knn_pq,
         "label_centroids": _label_centroids,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
@@ -987,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta_stats": _AUDIO_STATS_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
+        "knn_pq": _KNN_PQ_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})
