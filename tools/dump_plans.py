@@ -67,6 +67,10 @@ HEADLINERS = {
     "tfidf_top_terms": "document-frequency table joined without a forced "
     "hint (stats pick broadcast here, shuffle-on-term at huge vocab); "
     "top-3 per doc is a window over the scored rows.",
+    "knn_pq": "PQ stage 1 is a TakeOrderedAndProject over the m-int codes "
+    "projection — ADC distance is 4 literal-LUT element_at lookups in "
+    "whole-stage codegen, no join, no Exchange; stage 2 exact re-rank "
+    "reads only the IN-pushed candidate ids.",
 }
 
 
