@@ -321,6 +321,84 @@ SELECT query_id, vec_id, round(d, 6) AS dist FROM ranked WHERE rn <= 5
 """
 
 
+def _lsh_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (radius-1 bit flips): probes 1+hash_size buckets
+    per (query, table) instead of one, buying recall without more
+    tables.  The reference sketched this but never wired it in
+    (``lsh.py:355-376`` is dead code); here it is live AND under the
+    value oracle — DuckDB reproduces the probe set as a hamming<=1
+    signature join."""
+    from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(
+        (F.col("vec_id") >= 4) & (F.col("vec_id") < 8)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=10, hash_size=4, plane_scheme="md5")
+    return lsh.search(
+        emb, queries_df, k=5, metric="cosine", probe_radius=1
+    ).select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+_LSH_MULTIPROBE_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id >= 4 AND vec_id < 8),
+planes AS (
+  SELECT j, list(val ORDER BY d) AS p
+  FROM (
+    SELECT j.j AS j, d.d AS d,
+           ((('0x'||substr(md5('lshplane|'||j.j||'|'||d.d),1,15))::UBIGINT % 2001)::BIGINT
+            - 1000) / 1000.0 AS val
+    FROM generate_series(0, 39) AS j(j), generate_series(0, 63) AS d(d)
+  )
+  GROUP BY j
+),
+csig AS (
+  SELECT e.vec_id, p.j // 4 AS table_idx,
+         string_agg(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.p) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.j // 4
+),
+qsig AS (
+  SELECT q.query_id, p.j // 4 AS table_idx,
+         string_agg(CASE WHEN list_inner_product(q.qv::DOUBLE[], p.p) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM q, planes p
+  GROUP BY q.query_id, p.j // 4
+),
+cand AS (
+  SELECT DISTINCT qs.query_id, cs.vec_id
+  FROM qsig qs JOIN csig cs ON qs.table_idx = cs.table_idx
+   AND len(list_filter([1, 2, 3, 4],
+           i -> substr(qs.sig, i, 1) <> substr(cs.sig, i, 1))) <= 1
+),
+full_q AS (SELECT query_id FROM cand GROUP BY query_id HAVING count(*) >= 5),
+approx AS (
+  SELECT c.query_id, c.vec_id,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE c.query_id IN (SELECT query_id FROM full_q)
+),
+fallback AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d
+  FROM q, embeddings e
+  WHERE q.query_id NOT IN (SELECT query_id FROM full_q)
+),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+  FROM (SELECT * FROM approx UNION ALL SELECT * FROM fallback)
+)
+SELECT query_id, vec_id, round(d, 6) AS dist FROM ranked WHERE rn <= 5
+"""
+
+
 def _store_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LibraryStore lifecycle (reference §3.1/§3.2): create a
     library, ingest every document row as a chunk (tags = [lang]),
@@ -998,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_euclidean": _ann_ivf_euclidean,
         "ann_ivf_multi": _ann_ivf_multi,
         "lsh_knn_cosine": _lsh_knn_cosine,
+        "lsh_knn_multiprobe": _lsh_knn_multiprobe,
         "store_search_pipeline": _store_search_pipeline,
         "store_crud_lifecycle": _store_crud_lifecycle,
         "events_hourly_stream": _events_hourly_stream,
@@ -1033,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "ann_ivf_multi": _ANN_IVF_MULTI_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
+        "lsh_knn_multiprobe": _LSH_MULTIPROBE_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,

@@ -179,12 +179,26 @@ class RandomHyperplaneLSH:
         query_vec_col: str = "query_vec",
         index: DataFrame | None = None,
         exact_fallback: bool = True,
+        probe_radius: int = 0,
     ) -> DataFrame:
         """Approximate top-k with the reference's exact-scan fallback.
+
+        ``probe_radius=1`` enables multi-probe: each query also probes
+        every bucket whose signature differs by one bit — the
+        recall-vs-tables trade the reference sketched but never wired in
+        (its ``_multi_probe``, ``lsh.py:355-376``, is dead code).  Here
+        it is live: the probe set is expanded on the (tiny) query side
+        before the same equi-join, so the index, the join shape, and the
+        scale posture are unchanged — k extra probe rows per (query,
+        table), zero extra corpus work.  Candidates are a superset of
+        the exact-bucket candidates, so recall is monotonically >= the
+        single-probe search (asserted in tests/test_lsh.py).
 
         Output: (query_id, vec_id, dist, rank) — rank 1..k per query,
         ascending (dist, id), distances exact under ``metric``.
         """
+        if probe_radius not in (0, 1):
+            raise ValueError("probe_radius supports 0 (off) or 1 (bit flips)")
         if k <= 0:
             raise ValueError("k must be > 0")
         spark = corpus.sparkSession
@@ -202,6 +216,12 @@ class RandomHyperplaneLSH:
             for qid, sigs in zip(qids, qsigs)
             for t, sig in enumerate(sigs)
         ]
+        if probe_radius == 1:
+            qsig_rows += [
+                (qid, t, sig[:i] + ("1" if sig[i] == "0" else "0") + sig[i + 1 :])
+                for qid, t, sig in list(qsig_rows)
+                for i in range(len(sig))
+            ]
         qschema = (
             f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
             "table_idx int, sig string"
@@ -289,7 +309,7 @@ def lsh_recall_at_k(
         lsh = RandomHyperplaneLSH(dim)
     approx = lsh.search(corpus, queries, k=k, metric=metric, **kw)
     exact = knn_join_vectorized(corpus, queries, k=k, metric=metric, **{
-        kk: v for kk, v in kw.items() if kk != "exact_fallback"
+        kk: v for kk, v in kw.items() if kk not in ("exact_fallback", "probe_radius")
     })
     a = approx.select("query_id", "vec_id")
     e = exact.select("query_id", "vec_id")

@@ -170,3 +170,22 @@ def test_distributed_fallback_split_matches_per_query(emb):
         assert len(ids) == 7
         # approx results are a subset of the corpus; fallback queries
         # must match the exact scan id-for-id
+
+
+def test_multiprobe_recall_monotone_and_candidates_superset(emb, queries):
+    """Radius-1 multi-probe candidates strictly contain the exact-bucket
+    candidates (same planes), so recall@k never drops; with starved
+    8-bit buckets the extra probes must raise candidate counts."""
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=10, hash_size=8, seed=7)
+    base = lsh_recall_at_k(emb, queries, k=10, metric="cosine",
+                           lsh=lsh, exact_fallback=False)
+    probed = lsh_recall_at_k(emb, queries, k=10, metric="cosine",
+                             lsh=lsh, exact_fallback=False, probe_radius=1)
+    assert probed >= base
+    # candidate sets: superset per query (no fallback, no k cut)
+    kw = dict(k=10**6, metric="cosine", exact_fallback=False)
+    a = {(r["query_id"], r["vec_id"])
+         for r in lsh.search(emb, queries, **kw).collect()}
+    b = {(r["query_id"], r["vec_id"])
+         for r in lsh.search(emb, queries, probe_radius=1, **kw).collect()}
+    assert a <= b and len(b) > len(a)
