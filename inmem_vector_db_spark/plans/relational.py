@@ -964,6 +964,103 @@ GROUP BY c.user_id
 """
 
 
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first click -> first purchase AFTER
+    that click -> conversion; aggregated to funnel-step counts and
+    median hours-to-convert.  One scan, one shuffle on user_id (the
+    conditional-min aggregation), a 20-row aggregate on top — the
+    ordered-sequence shape every event pipeline needs, without a
+    self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        )
+        .join(ev, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_click").isNotNull()
+            & (F.col("ts") >= F.col("first_click"))
+        )
+        .groupBy("user_id", "first_click")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    return (
+        clickers.join(per_user, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_clickers"),
+            F.count("first_purchase").alias("n_converted"),
+            F.round(
+                F.avg(
+                    (F.col("first_purchase").cast("double") - F.col("first_click").cast("double"))
+                    / 3600.0
+                ),
+                4,
+            ).alias("avg_hours_to_convert"),
+        )
+    )
+
+
+PURCHASE_FUNNEL_SQL = """
+WITH fc AS (
+  SELECT user_id, min(ts) FILTER (event_type = 'click') AS first_click
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, fc.first_click, min(e.ts) AS first_purchase
+  FROM events e JOIN fc USING (user_id)
+  WHERE e.event_type = 'purchase' AND fc.first_click IS NOT NULL
+    AND e.ts >= fc.first_click
+  GROUP BY e.user_id, fc.first_click
+),
+clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT count(*) AS n_clickers,
+       count(first_purchase) AS n_converted,
+       round(avg(epoch(first_purchase - first_click) / 3600.0), 4)
+         AS avg_hours_to_convert
+FROM clickers LEFT JOIN conv USING (user_id)
+"""
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    by how many distinct later weeks they were active in (0 = only the
+    cohort week).  Two cascaded aggregations on user_id then (cohort,
+    weeks) — the retention-triangle shape without a per-week self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    per_user = (
+        ev.select("user_id", wk.alias("week"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.min("week").alias("cohort_week"),
+            (F.count(F.lit(1)) - 1).alias("later_weeks"),
+        )
+    )
+    return (
+        per_user.groupBy("cohort_week", "later_weeks")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events
+),
+per_user AS (
+  SELECT user_id, min(week) AS cohort_week,
+         CAST(count(*) - 1 AS BIGINT) AS later_weeks
+  FROM uw GROUP BY user_id
+)
+SELECT cohort_week, later_weeks, count(*) AS n_users
+FROM per_user GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -991,4 +1088,6 @@ QUERIES = {
     "order_status_cube": (order_status_cube, ORDER_CUBE_SQL),
     "customer_order_history": (customer_order_history, CUSTOMER_ORDER_HISTORY_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "purchase_funnel": (purchase_funnel, PURCHASE_FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, RETENTION_SQL),
 }
