@@ -185,8 +185,8 @@ def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH {_SH_CTE},
+# everything through `pairs` is shared with the cluster query below
+_MINHASH_PAIRS_CTE = f"""{_SH_CTE},
 sig AS (
   -- one md5 per shingle -> 60-bit int, then 12 universal-hash
   -- permutations mod P = 2^31-1 (mirrors functions.text.minhash_signature)
@@ -216,8 +216,91 @@ verified AS (
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b
+),
+pairs AS (SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5)"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_MINHASH_PAIRS_CTE}
+SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: near-dup CLUSTERS — pairs alone under-remove (A~B, B~C but not
+# A~C); connected components over the pair graph gives the transitive
+# dup groups, then one canonical doc (longest text, id tie-break) is
+# kept per cluster. Spark side: alternating large-star/small-star
+# (operators.components, O(log^2 n) rounds); oracle side: recursive-CTE
+# transitive closure + min-reachable label — different algorithms, same
+# fixpoint, which is exactly what the value-hash should pin.
+
+
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from inmem_vector_db_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    members = labels.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            F.length("text").cast("long").alias("n_chars"),
+        ),
+        "node",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.desc("n_chars"), F.asc("node")
+        )
+    )
+    return (
+        members.withColumn("rk", rk)
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias(
+                "canonical_doc"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "canonical_chars"
+            ),
+            (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+),
+labels AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+members AS (
+  SELECT l.node, l.component, length(d.text)::BIGINT AS n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, node) AS rk
+  FROM members
 )
-SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+SELECT component,
+       count(*) AS n_docs,
+       max(CASE WHEN rk = 1 THEN node END) AS canonical_doc,
+       max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+       (count(*) - 1)::BIGINT AS n_removed
+FROM ranked GROUP BY component
 """
 
 
@@ -718,6 +801,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
     "dedup_exact_pairs": (dedup_exact_pairs_q, DEDUP_EXACT_PAIRS_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs_q, DEDUP_MINHASH_SQL),
+    "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),

@@ -1,0 +1,91 @@
+"""Connected components (operators.components) vs a driver-side
+union-find ground truth, plus shape/convergence invariants."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from inmem_vector_db_spark.operators.components import connected_components
+
+
+def _union_find(edges, nodes=None):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = {}
+    for n in nodes if nodes is not None else list(parent):
+        out[n] = find(n)
+    # min-relabel: component id = min node in component
+    comp_min = {}
+    for n, r in out.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[r] for n, r in out.items()}
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    edges = [(i, i + 1) for i in range(1, 8)]
+    got = _labels(spark, edges)
+    assert got == {i: 1 for i in range(1, 9)}
+
+
+def test_disjoint_cliques(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]
+    got = _labels(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_duplicate_reversed_and_self_edges(spark):
+    edges = [(2, 1), (1, 2), (2, 2), (3, 2), (1, 3)]
+    got = _labels(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src LONG, dst LONG")
+    assert connected_components(df).count() == 0
+
+
+def test_self_loops_only(spark):
+    df = spark.createDataFrame([(5, 5), (7, 7)], "src LONG, dst LONG")
+    assert connected_components(df).count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graph_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 80
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(60)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    got = _labels(spark, edges)
+    touched = sorted({x for e in edges for x in e})
+    assert got == _union_find(edges, touched)
+
+
+def test_long_chain_within_round_budget(spark):
+    # 64-node chain: diameter 63, but star contraction must converge
+    # inside the default 25-round budget (O(log^2 n), not O(diameter))
+    edges = [(i, i + 1) for i in range(64)]
+    got = _labels(spark, edges)
+    assert set(got.values()) == {0}
