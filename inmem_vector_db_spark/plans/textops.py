@@ -794,6 +794,107 @@ SELECT lang, source, doc_id, rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental corpus maintenance: MERGE a simulated re-crawl batch into
+# the documents table (updates + unchanged resends + inserts + deletes)
+# and prove the per-action row accounting. One full-outer shuffle on the
+# key (broadcast-eligible when the batch is small). operators/merge.py.
+
+
+def corpus_merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.merge import merge_upsert
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    updates = base.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 3).alias("n_chars"),
+        F.lit(False).alias("_deleted"),
+    )
+    resends = base.where(F.col("doc_id") % 10 == 1).select(
+        "*", F.lit(False).alias("_deleted")
+    )
+    inserts = base.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        F.lit("en").alias("lang"),
+        F.lit("crawl2").alias("source"),
+        F.length(
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string"))
+        )
+        .cast("long")
+        .alias("n_chars"),
+        F.lit(False).alias("_deleted"),
+    )
+    deletes = base.where(F.col("doc_id") % 10 == 5).select(
+        "*", F.lit(True).alias("_deleted")
+    )
+    batch = updates.unionByName(resends).unionByName(inserts).unionByName(
+        deletes
+    )
+    merged = merge_upsert(
+        base, batch, ["doc_id"], delete_col="_deleted", tag_col="action"
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+CORPUS_MERGE_SQL = """
+WITH batch AS (
+  SELECT doc_id, 'v2 ' || text AS text, lang, source,
+         n_chars + 3 AS n_chars, false AS del
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, false
+  FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, 'new doc ' || doc_id, 'en', 'crawl2',
+         length('new doc ' || doc_id), false
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars, true
+  FROM documents WHERE doc_id % 10 = 5
+),
+m AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN coalesce(b.del, false) THEN 'delete'
+              WHEN b.doc_id IS NOT NULL AND t.doc_id IS NULL THEN 'insert'
+              WHEN b.doc_id IS NOT NULL
+                   AND (t.text IS DISTINCT FROM b.text
+                        OR t.lang IS DISTINCT FROM b.lang
+                        OR t.source IS DISTINCT FROM b.source
+                        OR t.n_chars IS DISTINCT FROM b.n_chars)
+                THEN 'update'
+              WHEN b.doc_id IS NOT NULL THEN 'unchanged'
+              ELSE 'kept' END AS action,
+         CASE WHEN b.doc_id IS NOT NULL AND NOT coalesce(b.del, false)
+                   AND (t.doc_id IS NULL
+                        OR t.text IS DISTINCT FROM b.text
+                        OR t.lang IS DISTINCT FROM b.lang
+                        OR t.source IS DISTINCT FROM b.source
+                        OR t.n_chars IS DISTINCT FROM b.n_chars)
+              THEN b.text ELSE t.text END AS text
+  FROM documents t FULL OUTER JOIN batch b ON t.doc_id = b.doc_id
+)
+SELECT action,
+       count(*) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM m WHERE action != 'delete'
+GROUP BY action
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -802,6 +903,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_pairs": (dedup_exact_pairs_q, DEDUP_EXACT_PAIRS_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs_q, DEDUP_MINHASH_SQL),
     "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
+    "corpus_merge_upsert": (corpus_merge_upsert_q, CORPUS_MERGE_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
