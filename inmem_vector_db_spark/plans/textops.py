@@ -895,6 +895,89 @@ GROUP BY action
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic sketches (functions/sketches.py): approximate operators
+# whose md5-based hashing DuckDB recomputes bit-identically, so even
+# the APPROXIMATE answers sit under the exact value-hash oracle.
+
+
+def approx_distinct_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.functions.sketches import kmv_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    est = kmv_estimate(events, "user_id", k=64)
+    exact = events.agg(F.count_distinct("user_id").alias("exact_users"))
+    return est.crossJoin(exact)
+
+
+APPROX_DISTINCT_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT AS hv
+  FROM events
+),
+bk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+est AS (
+  SELECT count(*) AS n_kept,
+         round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+               ELSE 63.0 / (max(hv) / 1152921504606846976.0) END, 6)
+           AS estimate
+  FROM bk
+),
+ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events)
+SELECT n_kept, estimate, exact_users FROM est, ex
+"""
+
+
+def heavy_hitters_cms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.functions.sketches import (
+        countmin_build,
+        countmin_lookup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cms = countmin_build(events, "user_id", depth=4, width=256)
+    keys = events.select("user_id").distinct()
+    looked = countmin_lookup(cms, keys, "user_id", depth=4, width=256)
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    return exact.join(looked, "user_id").select(
+        "user_id", "exact_n", "cms_n"
+    )
+
+
+HEAVY_HITTERS_CMS_SQL = """
+WITH h AS (
+  SELECT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT
+           % 2147483647 AS hv
+  FROM events
+),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+cells AS (
+  SELECT r.r AS row,
+         (((507952114 * (r.r + 1)) % 2147483647) * hv + 40503 * (r.r + 7))
+           % 2147483647 % 256 AS bucket,
+         count(*) AS cnt
+  FROM h, rows_ r GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT user_id, hv FROM h),
+probes AS (
+  SELECT user_id, r.r AS row,
+         (((507952114 * (r.r + 1)) % 2147483647) * hv + 40503 * (r.r + 7))
+           % 2147483647 % 256 AS bucket
+  FROM keys, rows_ r
+),
+lookup AS (
+  SELECT user_id, min(coalesce(cnt, 0))::BIGINT AS cms_n
+  FROM probes LEFT JOIN cells USING (row, bucket)
+  GROUP BY user_id
+),
+exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id)
+SELECT user_id, exact_n, cms_n FROM exact JOIN lookup USING (user_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -904,6 +987,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_pairs": (dedup_minhash_pairs_q, DEDUP_MINHASH_SQL),
     "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "corpus_merge_upsert": (corpus_merge_upsert_q, CORPUS_MERGE_SQL),
+    "approx_distinct_kmv": (approx_distinct_kmv_q, APPROX_DISTINCT_KMV_SQL),
+    "heavy_hitters_cms": (heavy_hitters_cms_q, HEAVY_HITTERS_CMS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
