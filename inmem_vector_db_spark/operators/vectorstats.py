@@ -1,0 +1,88 @@
+"""Distributed second-moment statistics over an embedding column.
+
+The Gramian G = X^T X is the workhorse precursor for PCA, whitening,
+and linear probes over a 100 TB embedding corpus: d x d numbers
+summarize an arbitrarily large matrix, and the eigen-decomposition that
+follows is a driver-side d x d problem (d ~ 10^2..10^3), not a cluster
+problem. The scalable shape — the same one MLlib's RowMatrix
+``computeGramianMatrix`` uses — is a per-partition GEMM followed by a
+matrix-sum reduce:
+
+  mapInPandas: each Arrow batch contributes X_b^T X_b (one BLAS call,
+  float64) accumulated per partition -> upper-triangle (i, j, partial)
+  cells -> groupBy(i, j).sum — the shuffle moves n_partitions * d(d+1)/2
+  small rows, never the vectors themselves.
+
+``covariance_from_gramian`` turns (G, mean, n) into the covariance
+matrix with one more tiny agg; no second pass over the data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_CELL_SCHEMA = "i INT, j INT, g DOUBLE"
+
+
+def gramian(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle Gramian cells ``(i, j, g)`` (0-based, i <= j),
+    g = sum over rows of x_i * x_j in float64."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            g = x.T @ x
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "g": acc[iu, ju],
+                }
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(part, _CELL_SCHEMA)
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def column_means(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean as ``(i, mean)`` — posexplode + agg, one pass."""
+    return (
+        df.select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg(F.col("v").cast("double")).alias("mean"))
+    )
+
+
+def covariance_from_gramian(
+    gram: DataFrame, means: DataFrame, n: int
+) -> DataFrame:
+    """cov_ij = G_ij / n - mean_i * mean_j (population covariance),
+    assembled by broadcasting the d-row means table onto the d^2 cells."""
+    mi = means.select(F.col("i"), F.col("mean").alias("mean_i"))
+    mj = means.select(
+        F.col("i").alias("j"), F.col("mean").alias("mean_j")
+    )
+    return (
+        gram.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("g") / F.lit(float(n))
+             - F.col("mean_i") * F.col("mean_j")).alias("cov"),
+        )
+    )

@@ -978,6 +978,30 @@ SELECT user_id, exact_n, cms_n FROM exact JOIN lookup USING (user_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# embedding second moments: distributed Gramian (PCA precursor) —
+# per-partition GEMM + d^2-cell matrix-sum reduce (operators/vectorstats)
+
+
+def embedding_gramian_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.vectorstats import gramian
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gramian(emb, "embedding").select(
+        "i", "j", F.round("g", 6).alias("g")
+    )
+
+
+EMBEDDING_GRAMIAN_SQL = """
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS k)
+SELECT (i.k - 1)::INT AS i, (j.k - 1)::INT AS j,
+       round(sum(e.embedding[i.k]::DOUBLE * e.embedding[j.k]::DOUBLE), 6) AS g
+FROM embeddings e, idx i, idx j
+WHERE i.k <= j.k
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -989,6 +1013,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_merge_upsert": (corpus_merge_upsert_q, CORPUS_MERGE_SQL),
     "approx_distinct_kmv": (approx_distinct_kmv_q, APPROX_DISTINCT_KMV_SQL),
     "heavy_hitters_cms": (heavy_hitters_cms_q, HEAVY_HITTERS_CMS_SQL),
+    "embedding_gramian": (embedding_gramian_q, EMBEDDING_GRAMIAN_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
