@@ -464,17 +464,25 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("late"),
         )
     )
-    census = lines.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    # distinct (order, supplier) pairs first: a plain partial-aggregable
+    # groupBy instead of count_distinct's Expand double-pass, and the
+    # per-order census can then capture the sole late supplier inline
+    # (max over a 0/1-supplier set) — no join back to the fact at all
+    pairs = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    census = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("any_late"), True)).alias("n_late"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
     )
     return (
-        lines.filter(F.col("late"))
-        .join(census, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .groupBy("l_suppkey")
-        .agg(F.count_distinct("l_orderkey").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        census.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
         .select("s_name", "numwait")
     )
 
