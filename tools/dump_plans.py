@@ -54,9 +54,29 @@ HEADLINERS = {
     "q17_small_quantity_revenue": "correlated scalar subquery decorrelated "
     "by construction: per-part avg is a grouped aggregate joined back "
     "(broadcast) — never a per-row re-scan, no nested-loop.",
-    "q21_waiting_suppliers": "exists/not-exists as a per-order census: "
-    "lineitem shuffles once on orderkey; the census joins back on the "
-    "same key (sort-merge, co-partitioned).",
+    "q21_waiting_suppliers": "exists/not-exists as a dedup-first per-order "
+    "census: distinct (order,supplier) pairs via plain partial-aggregable "
+    "groupBy (no count_distinct Expand), sole late supplier captured "
+    "inline by max(when(late,suppkey)) — zero Expand nodes, no join back "
+    "to the fact.",
+    "dedup_clusters": "pairs -> components via large-star/small-star "
+    "contraction: each round is one groupBy(min)+join keyed on node id, "
+    "O(log^2 n) rounds, no collect_set (high-degree nodes never "
+    "materialize a neighbor list), lineage truncated per round.",
+    "corpus_merge_upsert": "MERGE without shuffling the corpus: full outer "
+    "is not broadcastable, so the small-batch shape is three joins that "
+    "each broadcast the batch (inner matched / left_anti kept / anti "
+    "inserts) — zero Exchange of corpus data, pinned by test_merge.",
+    "approx_distinct_kmv": "KMV sketch state is bottom-k of a distinct "
+    "hash set: partial distinct then TakeOrderedAndProject — O(k) driver "
+    "footprint at any corpus size, mergeable across shards.",
+    "heavy_hitters_cms": "count-min build is ONE partial-aggregated "
+    "groupBy over depth*width cells; lookup broadcasts the d*w-row "
+    "sketch — per-key frequency at 100 TB without per-key state.",
+    "embedding_gramian": "per-partition float64 GEMM (mapInPandas) then a "
+    "matrix-sum reduce keyed on (i,j): the shuffle carries "
+    "n_partitions*d(d+1)/2 cells, never embeddings — PCA becomes a "
+    "driver-side d x d eigen problem.",
     "events_gapfill": "dense hour spine built from sequence()+explode on "
     "per-type bounds (tiny), broadcast-joined to the aggregate; LOCF is "
     "a window last(ignorenulls) — one shuffle for the agg, one for the "
