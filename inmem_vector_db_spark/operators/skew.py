@@ -56,6 +56,50 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*aggs)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    buckets: int = 16,
+    hot_keys: Sequence | None = None,
+) -> DataFrame:
+    """Skew-safe INNER equi-join for large-large joins where one ``key``
+    value holds far more than a partition's worth of ``left`` rows and
+    ``right`` is too big to broadcast.
+
+    Pattern: salt the left side into ``buckets`` sub-keys and replicate
+    the right side once per bucket (explode of a literal range), joining
+    on ``(key, salt)`` — a hot key's rows land on ``buckets`` tasks
+    instead of one. Row-for-row identical to the plain join (salt only
+    affects placement), verified by tests.
+
+    With ``hot_keys`` given (from ``top_values_per_key``), only those
+    keys pay the replication: hot rows take the salted path, the rest
+    take the plain join, results unioned. That keeps the replication
+    cost at |hot slice of right| * buckets instead of |right| * buckets
+    — at 100 TB you always pass ``hot_keys``; full salting is the
+    fallback when the profile isn't known.
+    """
+    salt = (F.rand(seed=42) * buckets).cast("int")
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(buckets - 1))
+    ).alias("__salt")
+
+    def _salted(lf: DataFrame, rf: DataFrame) -> DataFrame:
+        lfs = lf.withColumn("__salt", salt)
+        rfs = rf.select("*", salts)
+        out = lfs.join(rfs, [key, "__salt"], "inner")
+        return out.drop("__salt")
+
+    if hot_keys is None:
+        return _salted(left, right)
+    hot = F.col(key).isin(list(hot_keys))
+    plain = left.where(~hot).join(right.where(~hot), key, "inner")
+    return plain.unionByName(
+        _salted(left.where(hot), right.where(hot))
+    )
+
+
 def top_values_per_key(
     df: DataFrame, key: str, threshold: float = 0.01
 ) -> DataFrame:

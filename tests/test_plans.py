@@ -80,6 +80,48 @@ def test_salted_agg_equals_direct(spark, sf_dir):
     assert salted == direct
 
 
+def _join_rows(df, key, val_l, val_r):
+    return sorted(
+        (r[key], r[val_l], r[val_r]) for r in df.collect()
+    )
+
+
+def test_salted_join_equals_plain(spark):
+    # 1 hot key (80% of rows) + long tail on both sides
+    left = spark.createDataFrame(
+        [(0 if i % 5 else i % 40, i) for i in range(2000)], "k LONG, lv LONG"
+    )
+    right = spark.createDataFrame(
+        [(i % 40, i * 10) for i in range(400)], "k LONG, rv LONG"
+    )
+    plain = _join_rows(left.join(right, "k"), "k", "lv", "rv")
+    from inmem_vector_db_spark.operators.skew import salted_join
+
+    full = _join_rows(salted_join(left, right, "k", buckets=8), "k", "lv", "rv")
+    assert full == plain
+    split = _join_rows(
+        salted_join(left, right, "k", buckets=8, hot_keys=[0]),
+        "k",
+        "lv",
+        "rv",
+    )
+    assert split == plain
+
+
+def test_salted_join_salts_the_join_key(spark):
+    left = spark.createDataFrame([(1, 2)], "k LONG, lv LONG")
+    right = spark.createDataFrame([(1, 3)], "k LONG, rv LONG")
+    from inmem_vector_db_spark.operators.skew import salted_join
+
+    plan = (
+        salted_join(left, right, "k", buckets=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__salt" in plan  # join condition includes the salt sub-key
+
+
 def test_top_values_per_key_profile(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     prof = top_values_per_key(events, "l_returnflag", threshold=0.1).collect()
