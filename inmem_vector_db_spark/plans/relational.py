@@ -1061,6 +1061,100 @@ FROM per_user GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# ranked decile stats: the ntile/percent_rank/cume_dist window family.
+# Windows are PARTITIONED by o_orderpriority — an unpartitioned ntile
+# would funnel the whole table through one task at 100 TB; per-priority
+# partitions keep each window a bounded sort.
+
+
+def order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+        F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+        F.round(F.max("pr"), 6).alias("max_pctrank"),
+        F.round(F.max("cd"), 6).alias("max_cumedist"),
+    )
+
+
+ORDER_RANK_STATS_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER w AS decile,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, decile,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo_price,
+       round(max(o_totalprice), 2) AS hi_price,
+       round(max(pr), 6) AS max_pctrank,
+       round(max(cd), 6) AS max_cumedist
+FROM ranked GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# time-series anomaly detection: per-type hourly volume z-scores.
+# One shuffle for the hourly rollup; the per-type window is bounded by
+# hours-per-type, so no single-task funnel at scale.
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        (
+            (F.col("n") - F.avg("n").over(w))
+            / F.stddev_pop("n").over(w)
+        ).alias("z"),
+    )
+    return scored.where(F.abs(F.col("z")) > 2.0).select(
+        "event_type", "hour", "n", F.round("z", 6).alias("z")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, n,
+         (n - avg(n) OVER (PARTITION BY event_type))
+           / stddev_pop(n) OVER (PARTITION BY event_type) AS z
+  FROM hourly
+)
+SELECT event_type, hour, n, round(z, 6) AS z
+FROM scored WHERE abs(z) > 2.0
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1090,4 +1184,6 @@ QUERIES = {
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "purchase_funnel": (purchase_funnel, PURCHASE_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "order_rank_stats": (order_rank_stats, ORDER_RANK_STATS_SQL),
+    "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
 }
