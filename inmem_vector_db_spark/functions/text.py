@@ -290,6 +290,31 @@ def hash_sample(df, rate: float, key_col: str = "text"):
     return df.filter(hash_bucket(F.col(key_col)) < thresh)
 
 
+def weighted_hash_sample(
+    df,
+    weight: Column,
+    multiplier: int,
+    key_col: str = "text",
+    space: int = 1_000_000,
+):
+    """Deterministic WEIGHTED Bernoulli sample: keep a row with
+    probability min(1, weight * multiplier / space).
+
+    Token-weighted corpus sampling ("sample 0.1% of TOKENS, not 0.1% of
+    documents") is the standard way to subsample training data without
+    skewing the token distribution toward short documents. All-integer
+    math — ``hash % space < least(space, weight * multiplier)`` — so the
+    sample is reproducible across runs, engines, and partition layouts
+    (same md5 scheme as ``hash_sample``), and a DuckDB oracle can
+    recompute membership exactly. A pure filter: pipelines with the
+    scan, no shuffle, no ``F.rand``.
+    """
+    thresh = F.least(F.lit(space).cast("long"), weight * F.lit(multiplier))
+    return df.filter(
+        (shingle_hash(F.col(key_col)) % space) < thresh
+    )
+
+
 # Email/phone patterns restricted to constructs Java regex and RE2
 # (DuckDB) interpret identically: char classes, +/?, bounded repeats.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -1002,6 +1002,94 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# token-weighted deterministic sampling: sample ~tokens/500 of documents
+# with probability proportional to token count — subsampling that does
+# not skew toward short documents, reproducible across engines.
+
+
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.functions.text import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = weighted_hash_sample(
+        docs, token_count("text").cast("long"), multiplier=2000
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(token_count("text").cast("long")).alias("sum_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' '))::BIGINT AS w,
+         ('0x' || substr(md5(text), 1, 15))::UBIGINT % 1000000 AS hv
+  FROM documents
+)
+SELECT count(*) AS n_sampled,
+       CAST(sum(w) AS BIGINT) AS sum_tokens,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM d WHERE hv < least(1000000, w * 2000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# table profiling (data-QA gate): one-scan per-column null counts,
+# cardinalities, portable min/max — operators/profile.py
+
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_quantity",
+    "l_returnflag",
+    "l_shipdate",
+]
+
+
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.profile import table_profile
+
+    return table_profile(
+        load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS
+    )
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'l_orderkey' AS "column",
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT l_orderkey) AS n_distinct,
+       min(l_orderkey::DECIMAL(18,2)::VARCHAR) AS min_s,
+       max(l_orderkey::DECIMAL(18,2)::VARCHAR) AS max_s
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity',
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_quantity),
+       min(l_quantity::DECIMAL(18,2)::VARCHAR),
+       max(l_quantity::DECIMAL(18,2)::VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag',
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_returnflag),
+       min(l_returnflag),
+       max(l_returnflag)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT l_shipdate),
+       min(l_shipdate::VARCHAR),
+       max(l_shipdate::VARCHAR)
+FROM lineitem
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1014,6 +1102,8 @@ QUERIES: dict[str, tuple] = {
     "approx_distinct_kmv": (approx_distinct_kmv_q, APPROX_DISTINCT_KMV_SQL),
     "heavy_hitters_cms": (heavy_hitters_cms_q, HEAVY_HITTERS_CMS_SQL),
     "embedding_gramian": (embedding_gramian_q, EMBEDDING_GRAMIAN_SQL),
+    "weighted_sample": (weighted_sample_q, WEIGHTED_SAMPLE_SQL),
+    "table_profile": (table_profile_q, TABLE_PROFILE_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),

@@ -152,6 +152,58 @@ def test_hash_sample_deterministic_and_rate(spark, sf_dir):
         T.hash_sample(docs, 1.5)
 
 
+def test_weighted_hash_sample_prefers_heavy_rows(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = T.token_count("text").cast("long")
+    a = {
+        r["doc_id"]
+        for r in T.weighted_hash_sample(docs, w, multiplier=2000)
+        .select("doc_id")
+        .collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in T.weighted_hash_sample(docs, w, multiplier=2000)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and a  # deterministic, non-empty
+    # inclusion probability ~ tokens/500: the sampled docs must be
+    # heavier on average than the corpus
+    stats = docs.select(
+        F.avg(w).alias("all_avg"),
+    ).first()
+    samp = (
+        docs.where(F.col("doc_id").isin(list(a)))
+        .select(F.avg(w).alias("s_avg"))
+        .first()
+    )
+    assert samp["s_avg"] > stats["all_avg"]
+    # multiplier monotonicity: bigger multiplier => superset
+    c = {
+        r["doc_id"]
+        for r in T.weighted_hash_sample(docs, w, multiplier=4000)
+        .select("doc_id")
+        .collect()
+    }
+    assert a <= c
+
+
+def test_table_profile_one_scan(spark, sf_dir):
+    from inmem_vector_db_spark.operators.profile import table_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = {r["column"]: r for r in table_profile(
+        li, ["l_orderkey", "l_returnflag"]
+    ).collect()}
+    assert prof["l_orderkey"]["n_null"] == 0
+    assert prof["l_returnflag"]["n_distinct"] == 3
+    assert prof["l_returnflag"]["min_s"] == "A"
+    assert prof["l_returnflag"]["max_s"] == "R"
+    exp = li.agg(F.count_distinct("l_orderkey")).first()[0]
+    assert prof["l_orderkey"]["n_distinct"] == exp
+
+
 def test_redact_pii_and_counts(spark):
     df = spark.createDataFrame(
         [
