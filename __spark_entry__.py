@@ -958,6 +958,49 @@ SELECT DISTINCT md5(text) AS h, lang FROM documents
 """
 
 
+def _user_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-user estimation: the events table replayed
+    as a file stream, each micro-batch's distributed bottom-k merged
+    into O(k) driver state (streaming/ingest.stream_kmv_distinct).
+    Oracle = the BATCH KMV SQL — mergeability makes the streaming
+    sketch land on exactly the batch sketch, and the estimate is
+    computed with the same Spark expressions either way."""
+    from inmem_vector_db_spark.streaming.ingest import (
+        kmv_state_estimate,
+        stream_kmv_distinct,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).option("maxFilesPerTrigger", "8").parquet(staged)
+    state = stream_kmv_distinct(stream_in, "user_id", k=64)
+    est = kmv_state_estimate(spark, state, k=64)
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.crossJoin(exact)
+
+
+_USER_DISTINCT_STREAM_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT AS hv
+  FROM events
+),
+bk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+est AS (
+  SELECT count(*) AS n_kept,
+         round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+               ELSE 63.0 / (max(hv) / 1152921504606846976.0) END, 6)
+           AS estimate
+  FROM bk
+),
+ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events)
+SELECT n_kept, estimate, exact_users FROM est, ex
+"""
+
+
 def _image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the value oracle: treat each document's
     utf-8 bytes as an opaque image payload, decode with the
@@ -1084,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_stream": _docs_dedup_stream,
         "jsonl_source_agg": _jsonl_source_agg,
         "orc_source_agg": _orc_source_agg,
+        "user_distinct_stream": _user_distinct_stream,
         "image_pixel_stats": _image_pixel_stats,
         "video_frame_sample": _video_frame_sample,
         "audio_meta_stats": _audio_meta_stats,
@@ -1118,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,
+        "user_distinct_stream": _USER_DISTINCT_STREAM_ORACLE,
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,

@@ -1090,6 +1090,87 @@ FROM lineitem
 """
 
 
+# ---------------------------------------------------------------------------
+# BM25 full-text ranking: top-10 documents for a fixed query. The
+# scale-critical move is pruning the token stream to QUERY TERMS before
+# any shuffle (an isin filter at the scan edge) — per-term postings for
+# 4 terms, not the whole vocabulary, reach the per-doc aggregation.
+# Okapi BM25, k1=1.2 b=0.75 (Robertson & Zaragoza 2009).
+
+_BM25_TERMS = ["data", "model", "training", "quality"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        token_count("text").cast("double").alias("dl"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    hits = toks.where(F.col("term").isin(_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count("text").cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "s", idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+BM25_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM d
+),
+hits AS (
+  SELECT * FROM toks WHERE term IN ('data', 'model', 'training', 'quality')
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+  FROM hits GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scalars AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split(lower(text), ' '))::DOUBLE) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl)) AS s
+  FROM tf JOIN dfreq USING (term), scalars
+)
+SELECT doc_id, round(sum(s), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1104,6 +1185,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_gramian": (embedding_gramian_q, EMBEDDING_GRAMIAN_SQL),
     "weighted_sample": (weighted_sample_q, WEIGHTED_SAMPLE_SQL),
     "table_profile": (table_profile_q, TABLE_PROFILE_SQL),
+    "bm25_search": (bm25_search_q, BM25_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),

@@ -229,3 +229,60 @@ def stream_exact_dedup(
             key_cols
         )
     return sdf.select(*key_cols).dropDuplicates(key_cols)
+
+
+def stream_kmv_distinct(
+    sdf: DataFrame, col: str, k: int = 64
+) -> list[int]:
+    """Maintain a KMV distinct-count sketch over a stream: each
+    micro-batch contributes its bottom-k hash set (computed
+    distributively by ``functions.sketches.kmv_bottom_k``), merged into
+    O(k) driver-held state — the streaming counterpart of the batch
+    sketch, with state that never grows past k longs no matter how many
+    events flow. Mergeability is the KMV property the batch tests pin;
+    here it is what makes the operator a streaming one.
+
+    Returns the final sorted bottom-k hash list; feed it to
+    ``kmv_state_estimate`` for the estimate under the same expressions
+    as the batch path. Drains with availableNow (bounded replay); on an
+    unbounded stream the same handler runs per trigger indefinitely.
+    """
+    from inmem_vector_db_spark.functions.sketches import kmv_bottom_k
+
+    state: set[int] = set()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_bk = kmv_bottom_k(batch_df, col, k).collect()
+        merged = sorted(state | {r["hv"] for r in batch_bk})[:k]
+        state.clear()
+        state.update(merged)
+
+    checkpoint = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(state)
+
+
+def kmv_state_estimate(
+    spark: SparkSession, state: list[int], k: int
+) -> DataFrame:
+    """One-row (n_kept, estimate) from a bottom-k hash list, using the
+    SAME Spark expressions as the batch ``kmv_estimate`` so streaming
+    and batch agree bit-for-bit."""
+    df = spark.createDataFrame([(h,) for h in state], "hv LONG")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise(
+                F.lit(float(k - 1)) / (F.max("hv") / F.lit(float(1 << 60)))
+            ),
+            6,
+        ).alias("estimate"),
+    )

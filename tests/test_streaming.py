@@ -234,3 +234,27 @@ def test_stream_dedup_within_watermark_drops_in_window_dups(spark, events_dir):
     # with an effectively-infinite watermark the state never evicts, so
     # the streaming result equals exact distinct
     assert n == distinct_n < raw_n
+
+
+def test_stream_kmv_equals_batch_sketch(spark, sf_dir, events_dir):
+    """The streaming KMV (per-batch bottom-k merged into O(k) driver
+    state) must land on exactly the batch sketch — the mergeability
+    property doing real work."""
+    from inmem_vector_db_spark.functions.sketches import kmv_bottom_k
+    from inmem_vector_db_spark.streaming.ingest import stream_kmv_distinct
+
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(events_dir)
+    )
+    got = stream_kmv_distinct(stream_in, "user_id", k=16)
+    batch = [
+        r["hv"]
+        for r in kmv_bottom_k(
+            spark.read.schema(EVENTS_SCHEMA).parquet(events_dir),
+            "user_id",
+            16,
+        ).collect()
+    ]
+    assert got == sorted(batch)
