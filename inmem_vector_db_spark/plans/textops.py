@@ -1101,7 +1101,7 @@ _BM25_TERMS = ["data", "model", "training", "quality"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -1130,9 +1130,14 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s", idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("bm25")
+    )
+
+
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
@@ -1171,6 +1176,119 @@ ORDER BY bm25 DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid search: BM25 lexical leg + cosine vector leg fused by
+# Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09:
+# rrf = sum over legs 1/(c + rank), c = 60). Each leg is top-50 with an
+# engine-stable tie-break (score rounded BEFORE ranking, id ascending);
+# the fusion is a tiny full-outer join of two 50-row lists — the legs
+# do all the distributed work, fusion cost is nil at any scale.
+
+
+def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from inmem_vector_db_spark.functions.distance import cosine
+    from inmem_vector_db_spark.sources.loader import load_table as _lt
+
+    # each leg: top-50 via orderBy+limit (TakeOrderedAndProject — a
+    # distributed partial top-k, NOT a single-task global window), then
+    # row_number over the 50 surviving rows only
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(50)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    # vector leg: cosine distance to the vec_id=0 embedding
+    emb = _lt(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.lit(qv), F.col("embedding")), 6).alias("d"),
+    )
+    vec = (
+        scored.orderBy("d", "doc_id")
+        .limit(50)
+        .withColumn(
+            "vec_rank", F.row_number().over(Window.orderBy("d", "doc_id"))
+        )
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM d
+),
+hits AS (
+  SELECT * FROM toks WHERE term IN ('data', 'model', 'training', 'quality')
+),
+tf AS (
+  SELECT doc_id, term, dl, count(*)::DOUBLE AS tf
+  FROM hits GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scalars AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split(lower(text), ' '))::DOUBLE) AS avgdl
+  FROM documents
+),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / avgdl))), 6) AS bm25
+  FROM tf JOIN dfreq USING (term), scalars
+  GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM bm QUALIFY lex_rank <= 50
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vd AS (
+  SELECT e.vec_id AS doc_id,
+         round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qv::DOUBLE[]), 6) AS dd
+  FROM embeddings e, q
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dd, doc_id) AS vec_rank
+  FROM vd QUALIFY vec_rank <= 50
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         round(coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0)
+               + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0), 6) AS rrf,
+         coalesce(lex_rank, 0) AS lex_rank,
+         coalesce(vec_rank, 0) AS vec_rank
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, rrf, lex_rank, vec_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1186,6 +1304,7 @@ QUERIES: dict[str, tuple] = {
     "weighted_sample": (weighted_sample_q, WEIGHTED_SAMPLE_SQL),
     "table_profile": (table_profile_q, TABLE_PROFILE_SQL),
     "bm25_search": (bm25_search_q, BM25_SQL),
+    "hybrid_search": (hybrid_search_q, HYBRID_SEARCH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
