@@ -77,6 +77,21 @@ HEADLINERS = {
     "matrix-sum reduce keyed on (i,j): the shuffle carries "
     "n_partitions*d(d+1)/2 cells, never embeddings — PCA becomes a "
     "driver-side d x d eigen problem.",
+    "bm25_search": "token stream pruned to the query's terms at the scan "
+    "edge (isin filter) — postings for 4 terms reach the per-doc agg, "
+    "not the vocabulary; df table and corpus scalars broadcast.",
+    "hybrid_search": "both legs are TakeOrderedAndProject partial top-50s "
+    "(no global-sort window over the corpus); RRF fusion is a full-outer "
+    "join of two 50-row lists — leg cost dominates, fusion cost is nil.",
+    "weighted_sample": "token-weighted Bernoulli membership is a pure "
+    "integer filter pipelined with the scan — no shuffle, no F.rand, "
+    "reproducible across engines and layouts.",
+    "table_profile": "every per-column statistic is a column of ONE "
+    "aggregation (single table scan), unpivoted by stack after the agg.",
+    "order_rank_stats": "ntile/percent_rank/cume_dist windows partitioned "
+    "by priority — bounded per-partition sorts, no single-task funnel.",
+    "events_anomaly_zscore": "hourly rollup shuffles once; z-scores are a "
+    "window over the per-type hourly series (bounded by hours-per-type).",
     "events_gapfill": "dense hour spine built from sequence()+explode on "
     "per-type bounds (tiny), broadcast-joined to the aggregate; LOCF is "
     "a window last(ignorenulls) — one shuffle for the agg, one for the "
