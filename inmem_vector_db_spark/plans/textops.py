@@ -1289,6 +1289,73 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 corpus history: two crawl batches folded in with close-and-append
+# versioning; the oracle reconstructs every (version, is_current,
+# valid_to_batch) class from the deterministic batch derivation.
+
+
+def corpus_scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.merge import merge_scd2, scd2_seed
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = scd2_seed(base, batch_id=0)
+    batch1 = base.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat(F.lit("v2 "), F.col("text")).alias("text")
+    ).unionByName(
+        base.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("new doc "), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    t1 = merge_scd2(t0, batch1, ["doc_id"], batch_id=1)
+    batch2 = base.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id", F.concat(F.lit("v3 "), F.col("text")).alias("text")
+    )
+    t2 = merge_scd2(t1, batch2, ["doc_id"], batch_id=2)
+    return t2.groupBy(
+        F.col("version").cast("long").alias("version"),
+        "is_current",
+        F.col("valid_to_batch").cast("long").alias("valid_to_batch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    )
+
+
+CORPUS_SCD2_SQL = """
+WITH base AS (SELECT doc_id, text FROM documents),
+hist AS (
+  -- v1 of every original doc: closed at batch 1 iff updated there
+  SELECT doc_id, text, 1 AS version,
+         (doc_id % 10 != 0) AS is_current,
+         CASE WHEN doc_id % 10 = 0 THEN 1 ELSE NULL END AS valid_to_batch
+  FROM base
+  UNION ALL
+  -- batch-1 inserts: current v1
+  SELECT doc_id + 1000000, 'new doc ' || doc_id, 1, true, NULL
+  FROM base WHERE doc_id % 25 = 0
+  UNION ALL
+  -- batch-1 updates: v2, closed at batch 2 iff updated again
+  SELECT doc_id, 'v2 ' || text, 2,
+         (doc_id % 20 != 0),
+         CASE WHEN doc_id % 20 = 0 THEN 2 ELSE NULL END
+  FROM base WHERE doc_id % 10 = 0
+  UNION ALL
+  -- batch-2 updates: current v3
+  SELECT doc_id, 'v3 ' || text, 3, true, NULL
+  FROM base WHERE doc_id % 20 = 0
+)
+SELECT version::BIGINT AS version, is_current,
+       valid_to_batch::BIGINT AS valid_to_batch,
+       count(*) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM hist GROUP BY 1, 2, 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1305,6 +1372,7 @@ QUERIES: dict[str, tuple] = {
     "table_profile": (table_profile_q, TABLE_PROFILE_SQL),
     "bm25_search": (bm25_search_q, BM25_SQL),
     "hybrid_search": (hybrid_search_q, HYBRID_SEARCH_SQL),
+    "corpus_scd2_history": (corpus_scd2_history_q, CORPUS_SCD2_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
