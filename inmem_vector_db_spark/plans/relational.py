@@ -1112,6 +1112,43 @@ FROM ranked GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# semi-structured extraction: typed JSON parse of the events.props
+# payload (from_json — JVM-side, whole-stage codegen; schema declared so
+# Catalyst prunes to the one referenced field). The standard shape for
+# event-property pipelines: parse once, then plain columnar aggregation.
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum((F.col("k") > 50).cast("long")).alias("n_high"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM p GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # time-series anomaly detection: per-type hourly volume z-scores.
 # One shuffle for the hourly rollup; the per-type window is bounded by
 # hours-per-type, so no single-task funnel at scale.
@@ -1185,5 +1222,6 @@ QUERIES = {
     "purchase_funnel": (purchase_funnel, PURCHASE_FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "order_rank_stats": (order_rank_stats, ORDER_RANK_STATS_SQL),
+    "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
 }
