@@ -1104,6 +1104,7 @@ GROUP BY 1
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from inmem_vector_db_spark.plans.packing import QUERIES as PACK
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
     from inmem_vector_db_spark.plans.tpch_extra import QUERIES as EXTRA
@@ -1139,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in REL.items()})
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
     out.update({name: fn for name, (fn, _sql) in EXTRA.items()})
+    out.update({name: fn for name, (fn, _sql) in PACK.items()})
     return out
 
 
@@ -1179,4 +1181,7 @@ def oracle_sql() -> dict[str, str]:
 
     out.update({name: sql for name, (_fn, sql) in TXT.items() if sql is not None})
     out.update({name: sql for name, (_fn, sql) in EXTRA.items()})
+    from inmem_vector_db_spark.plans.packing import QUERIES as PACK
+
+    out.update({name: sql for name, (_fn, sql) in PACK.items()})
     return out

@@ -1,0 +1,293 @@
+"""Training-example assembly: the last mile of an LLM data pipeline.
+
+After curation/dedup (``plans.textops``), a corpus becomes training
+input through three steps this module implements Spark-first:
+
+* **sequence packing** — concatenate the token stream in a canonical
+  document order and split it at a fixed token budget (GPT-style
+  concat-and-chunk).  The global running token offset is computed as a
+  DISTRIBUTED prefix sum: per-range-bucket totals (one partial-agg
+  shuffle over ~N/W rows), a window cumsum over that tiny per-bucket
+  table, then a broadcast join back and a per-bucket window — no
+  global single-partition ``ORDER BY`` window anywhere, so the plan
+  holds at 100 TB where a naive ``Window.orderBy(doc_id)`` would pull
+  the whole corpus through one task.
+* **boilerplate n-gram detection** — C4-style removal of text that
+  repeats across many documents.  Corpus-frequent shingles are found
+  with one partial-aggregable groupBy on the shingle itself; docs are
+  re-scored with a semi join against that (by construction small)
+  boilerplate set.  Candidates-then-verify shape; no all-pairs work.
+* **shard assignment** — deterministic md5-derived shard ids for the
+  training-data write (``functions.text.hash_bucket``): the same doc
+  lands in the same shard on every run and every engine, unlike
+  ``F.rand()`` or ``spark_partition_id()``.  The balance profile
+  (per-shard doc/token counts) is the QA artifact a 1000-executor
+  write job checks before committing output.
+
+Reference parity note: the reference engine (grajat90/inmem-vector-db)
+stops at chunk storage + vector search; these operators extend the
+corpus side the same way ``plans.textops`` does, per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from inmem_vector_db_spark.functions.text import (
+    hash_bucket,
+    token_count,
+    word_shingles,
+)
+from inmem_vector_db_spark.sources.loader import load_table
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk at a fixed token budget)
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+_BUCKET_W = 128  # doc_ids per prefix-sum range bucket
+
+
+def pack_sequences(docs: DataFrame, budget: int = SEQ_BUDGET) -> DataFrame:
+    """Pack the corpus token stream into ``budget``-token sequences.
+
+    Returns one row per packed sequence: ``(seq_id, n_docs, n_tokens)``
+    where ``n_docs`` counts documents contributing ≥1 token to the
+    sequence and ``n_tokens`` sums the contributed spans (== budget for
+    every sequence except possibly the last).  Canonical order is
+    ascending ``doc_id``; zero-token docs contribute nothing and are
+    dropped before packing.
+
+    The prefix sum is two-phase: per-bucket token totals (partial-agg
+    shuffle), cumsum over the tiny bucket table, broadcast join back,
+    then a window partitioned BY BUCKET — every window partition holds
+    ≤ ``_BUCKET_W`` rows regardless of corpus size.
+    """
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count("text").cast("long").alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    toks = toks.withColumn("bucket", F.floor(F.col("doc_id") / _BUCKET_W))
+
+    bsum = toks.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).cast("long").alias("bucket_off"),
+    )
+
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = toks.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("bucket_off")
+            + F.coalesce(F.sum("n_tok").over(wd), F.lit(0))
+        ).alias("start_off"),
+    )
+
+    b = F.lit(int(budget))
+    exploded = spans.select(
+        "start_off",
+        "n_tok",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_off") / b),
+                F.floor((F.col("start_off") + F.col("n_tok") - 1) / b),
+            )
+        ).alias("seq_id"),
+    ).withColumn(
+        "tok_in_seq",
+        F.least(F.col("start_off") + F.col("n_tok"), (F.col("seq_id") + 1) * b)
+        - F.greatest(F.col("start_off"), F.col("seq_id") * b),
+    )
+    return (
+        exploded.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_in_seq").cast("long").alias("n_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM toks WHERE n_tok > 0
+),
+ex AS (
+  SELECT unnest(generate_series(start_off // {SEQ_BUDGET},
+                                (start_off + n_tok - 1) // {SEQ_BUDGET}))
+           AS seq_id,
+         start_off, n_tok
+  FROM cum
+)
+SELECT seq_id,
+       count(*) AS n_docs,
+       CAST(sum(least(start_off + n_tok, (seq_id + 1) * {SEQ_BUDGET})
+                - greatest(start_off, seq_id * {SEQ_BUDGET})) AS BIGINT)
+         AS n_tokens
+FROM ex GROUP BY seq_id ORDER BY seq_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram detection (C4-style repeated-text scoring)
+
+_BOILER_N = 3  # shingle width (words)
+_BOILER_DF = 3  # "boilerplate" = shingle seen in >= this many docs
+
+
+def boilerplate_profile(
+    docs: DataFrame, n: int = _BOILER_N, min_df: int = _BOILER_DF
+) -> DataFrame:
+    """Per-source boilerplate profile ``(source, n_docs,
+    docs_with_boiler, avg_boiler_ratio, total_boiler)``.
+
+    A shingle is boilerplate when it occurs in ≥ ``min_df`` DISTINCT
+    documents.  Document frequency is one groupBy over exploded
+    per-doc-distinct shingles (partial-agg; the dedup-first
+    ``array_distinct`` keeps within-doc repeats from inflating df).
+    Docs are scored with a LEFT SEMI join against the boilerplate set —
+    high-df shingles are rare by definition, so that side stays small
+    at any corpus size.
+    """
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(word_shingles(F.col("text"), n)).alias("shset"),
+    ).where(F.size("shset") > 0)
+    exp = d.select("doc_id", F.explode("shset").alias("shingle"))
+    boiler = (
+        exp.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))  # rows are per-doc distinct
+        .where(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    n_boiler = (
+        exp.join(boiler, "shingle", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    per_doc = (
+        d.select("doc_id", "source", F.size("shset").cast("long").alias("n_sh"))
+        .join(n_boiler, "doc_id", "left")
+        .na.fill({"n_boiler": 0})
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_boiler") > 0).cast("long"))
+            .cast("long")
+            .alias("docs_with_boiler"),
+            F.round(F.avg(F.col("n_boiler") / F.col("n_sh")), 6).alias(
+                "avg_boiler_ratio"
+            ),
+            F.sum("n_boiler").cast("long").alias("total_boiler"),
+        )
+        .orderBy("source")
+    )
+
+
+def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_profile(load_table(spark, sf_dir, "documents"))
+
+
+BOILERPLATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shset
+  FROM d WHERE len(t) >= 3
+),
+exp AS (SELECT doc_id, unnest(shset) AS shingle FROM sh),
+boiler AS (
+  SELECT shingle FROM exp GROUP BY shingle
+  HAVING count(*) >= {_BOILER_DF}
+),
+nb AS (
+  SELECT e.doc_id, count(*) AS n_boiler
+  FROM exp e JOIN boiler b USING (shingle) GROUP BY e.doc_id
+),
+per_doc AS (
+  SELECT s.doc_id, s.source, len(shset) AS n_sh,
+         COALESCE(nb.n_boiler, 0) AS n_boiler
+  FROM sh s LEFT JOIN nb ON s.doc_id = nb.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_boiler,
+       round(avg(n_boiler::DOUBLE / n_sh), 6) AS avg_boiler_ratio,
+       CAST(sum(n_boiler) AS BIGINT) AS total_boiler
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard assignment for the training-data write
+
+N_SHARDS = 16
+
+
+def shard_profile(docs: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """Per-shard balance profile ``(shard, n_docs, n_tokens)`` under
+    md5-derived shard assignment of ``doc_id``.
+
+    ``repartition(n_shards, shard)`` + ``write.partitionBy`` is the
+    production write; this profile is its pre-commit QA — one
+    partial-agg shuffle over ``n_shards`` keys, reproducible across
+    engines and partition layouts (unlike ``F.rand()`` salting).
+    """
+    return (
+        docs.select(
+            hash_bucket(F.col("doc_id").cast("string"), n_shards).alias("shard"),
+            token_count("text").cast("long").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_profile(load_table(spark, sf_dir, "documents"))
+
+
+TRAINING_SHARDS_SQL = f"""
+SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
+            % {N_SHARDS} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY shard ORDER BY shard
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "sequence_packing": (sequence_packing_q, SEQUENCE_PACKING_SQL),
+    "boilerplate_ngrams": (boilerplate_ngrams_q, BOILERPLATE_SQL),
+    "training_shards": (training_shards_q, TRAINING_SHARDS_SQL),
+}
