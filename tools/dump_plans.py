@@ -106,6 +106,16 @@ HEADLINERS = {
     "projection — ADC distance is 4 literal-LUT element_at lookups in "
     "whole-stage codegen, no join, no Exchange; stage 2 exact re-rank "
     "reads only the IN-pushed candidate ids.",
+    "sequence_packing": "global token offsets via DISTRIBUTED prefix sum: "
+    "per-bucket totals (partial agg), cumsum over the tiny bucket table, "
+    "broadcast join back, per-bucket window (<=128 rows/partition) — no "
+    "global ORDER BY window, so no single-task funnel at any corpus size.",
+    "boilerplate_ngrams": "df census is one partial-aggregable groupBy on "
+    "the shingle; docs re-scored by a semi join against the (small by "
+    "definition) high-df set — candidates-then-verify, no all-pairs.",
+    "training_shards": "md5-derived shard key evaluated in whole-stage "
+    "codegen; one partial-agg shuffle over n_shards keys — the balance QA "
+    "for a partitioned training-data write, reproducible across engines.",
 }
 
 
