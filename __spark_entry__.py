@@ -247,6 +247,93 @@ SELECT query_id, vec_id, round(d, 6) AS dist FROM scored WHERE rn <= 5
 """
 
 
+def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index vs the exact scan, per query — the
+    quality metric that decides nprobe on a real corpus.  Both legs are
+    the scale paths (batched IVF probe join; vectorized exact with
+    map-side partial top-k); the recall join moves only 2*Q*k id pairs.
+    """
+    from inmem_vector_db_spark.operators.ann import ivf_search_batch
+    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_search_batch(
+        emb, queries, k=10, nprobe=3, stride=50, metric="euclidean"
+    ).select("query_id", "vec_id")
+    exact = knn_join_vectorized(emb, queries, k=10, metric="euclidean").select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            "query_id",
+            F.round(F.col("n_hit") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_ANN_IVF_RECALL_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid
+           ) AS rn
+    FROM cents c, q
+  ) WHERE rn <= 3
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+           ) AS rn
+    FROM assigned a
+    JOIN probe p ON a.cluster_id = p.cid
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+           ) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id, round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
 def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH kNN (reference J2) under a REAL value
     oracle: the hyperplane matrix is md5-derived (``md5_planes``), so
@@ -1119,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_postfilter_parity": _knn_postfilter_parity,
         "ann_ivf_euclidean": _ann_ivf_euclidean,
         "ann_ivf_multi": _ann_ivf_multi,
+        "ann_ivf_recall": _ann_ivf_recall,
         "lsh_knn_cosine": _lsh_knn_cosine,
         "lsh_knn_multiprobe": _lsh_knn_multiprobe,
         "store_search_pipeline": _store_search_pipeline,
@@ -1157,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_postfilter_parity": _KNN_POSTFILTER_ORACLE,
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "ann_ivf_multi": _ANN_IVF_MULTI_ORACLE,
+        "ann_ivf_recall": _ANN_IVF_RECALL_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
         "lsh_knn_multiprobe": _LSH_MULTIPROBE_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
