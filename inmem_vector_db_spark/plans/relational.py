@@ -1192,6 +1192,51 @@ FROM scored WHERE abs(z) > 2.0
 """
 
 
+# ---------------------------------------------------------------------------
+# fuzzy string self-join: PassJoin segment filter + exact verify.  The
+# oracle below is the NAIVE O(N^2) cross join — the value-hash match
+# proves the segment blocking is LOSSLESS, not just plausible.  The
+# entry aggregates pairs into a per-distance histogram with an
+# order-insensitive pair checksum so the row set stays small while
+# remaining pair-exact in practice.
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.fuzzy import fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_self_join(part, "p_partkey", "p_name", max_dist=2)
+    return (
+        pairs.select(
+            F.col("dist").cast("long").alias("dist"),
+            (F.col("id_a").cast("long") * F.lit(1000003) + F.col("id_b"))
+            .cast("long")
+            .alias("ck"),
+        )
+        .groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("ck").cast("long").alias("pair_checksum"),
+        )
+        .orderBy("dist")
+    )
+
+
+FUZZY_NAME_SQL = """
+WITH p AS (SELECT p_partkey, p_name FROM part),
+pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+)
+SELECT CAST(dist AS BIGINT) AS dist,
+       count(*) AS n_pairs,
+       CAST(sum(id_a * 1000003 + id_b) AS BIGINT) AS pair_checksum
+FROM pairs WHERE dist <= 2
+GROUP BY dist ORDER BY dist
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1224,4 +1269,5 @@ QUERIES = {
     "order_rank_stats": (order_rank_stats, ORDER_RANK_STATS_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
+    "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_SQL),
 }

@@ -116,6 +116,11 @@ HEADLINERS = {
     "training_shards": "md5-derived shard key evaluated in whole-stage "
     "codegen; one partial-agg shuffle over n_shards keys — the balance QA "
     "for a partitioned training-data write, reproducible across engines.",
+    "fuzzy_name_pairs": "PassJoin segment filter: segments and substring "
+    "windows are expression-only exploded projections (constant factor per "
+    "row, never N^2); candidates come from ONE equi-join on segment "
+    "content; exact levenshtein verify after distinct. Oracle is the "
+    "naive cross join — the hash match proves the blocking lossless.",
 }
 
 
