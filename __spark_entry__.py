@@ -965,6 +965,8 @@ def _stage_docs_as(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     if key not in _STAGED_FMT:
         staged = tempfile.mkdtemp(prefix=f"docs_{fmt}_")
         w = load_table(spark, sf_dir, "documents").write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true").option("escape", '"')
         getattr(w, "json" if fmt == "jsonl" else fmt)(staged)
         _STAGED_FMT[key] = staged
     return _STAGED_FMT[key]
@@ -985,6 +987,25 @@ def _jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _stage_docs_as(spark, sf_dir, "jsonl")
     docs = load_jsonl(
+        spark, staged,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip (reference S4, generalized from the chunk
+    corpus): stage documents as quoted/escaped CSV with header, read
+    back with an explicit schema, aggregate.  Same oracle as the JSONL
+    and ORC entries — the three format readers must agree with the
+    parquet truth bit-for-bit."""
+    from inmem_vector_db_spark.sources.loader import load_csv
+
+    staged = _stage_docs_as(spark, sf_dir, "csv")
+    docs = load_csv(
         spark, staged,
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
@@ -1216,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_stream": _docs_dedup_stream,
         "jsonl_source_agg": _jsonl_source_agg,
         "orc_source_agg": _orc_source_agg,
+        "csv_source_agg": _csv_source_agg,
         "user_distinct_stream": _user_distinct_stream,
         "image_pixel_stats": _image_pixel_stats,
         "video_frame_sample": _video_frame_sample,
@@ -1256,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "user_distinct_stream": _USER_DISTINCT_STREAM_ORACLE,
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
+        "csv_source_agg": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_ORACLE,
         "audio_meta_stats": _AUDIO_STATS_ORACLE,

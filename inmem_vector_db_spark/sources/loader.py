@@ -78,6 +78,20 @@ def load_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def load_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """General CSV source (S4 beyond the chunk corpus): header +
+    EXPLICIT schema (inference double-reads and drifts, same contract
+    as ``load_jsonl``), quoted/escaped fields so embedded delimiters
+    and newlines round-trip."""
+    return (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema(schema)
+        .csv(path)
+    )
+
+
 def load_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — same columnar pushdown/pruning properties as
     parquet; included so a corpus landed by an ORC-writing pipeline
