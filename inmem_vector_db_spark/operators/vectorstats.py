@@ -58,6 +58,38 @@ def gramian(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def power_iteration(cells, d: int, iters: int = 12) -> np.ndarray:
+    """Dominant eigenvector of a Gramian given its upper-triangle cells
+    ``(i, j, g)`` — the driver-side half of distributed PCA.
+
+    Deterministic: fixed uniform init, fixed iteration count, L2
+    renormalization each step.  The corpus-size-independent d x d
+    problem stays on the driver; only the d-vector goes back out (as a
+    broadcast literal) for the projection pass.
+    """
+    g = np.zeros((d, d), dtype=np.float64)
+    for i, j, v in cells:
+        g[i, j] = v
+        g[j, i] = v
+    x = np.ones(d, dtype=np.float64) / np.sqrt(d)
+    for _ in range(iters):
+        y = g @ x
+        x = y / np.linalg.norm(y)
+    return x
+
+
+def project(df: DataFrame, v: np.ndarray, vec_col: str = "embedding"):
+    """Projection of ``vec_col`` onto the literal direction ``v`` as a
+    Column — a pure zip_with/aggregate expression (whole-stage codegen,
+    no UDF, no shuffle)."""
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), lit_v, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
 def column_means(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-dimension mean as ``(i, mean)`` — posexplode + agg, one pass."""
     return (

@@ -1003,6 +1003,90 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# distributed PCA, end to end under the oracle: Gramian via the
+# per-partition GEMM reduce, dominant eigenvector via FIXED-SEED power
+# iteration on the driver (a d x d problem at any corpus size), then a
+# distributed projection pass whose per-label variance is the output.
+# The DuckDB oracle runs the SAME power iteration as unrolled matvec
+# CTEs over the long-form Gramian — an iterative algorithm reproduced
+# bit-comparably in pure SQL.  Per-label VARIANCE is sign-invariant,
+# so the one non-deterministic artifact of power iteration (eigvec
+# sign) cancels on both sides.
+
+_PCA_D = 64
+_PCA_ITERS = 12
+
+
+def embedding_pca_var_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.vectorstats import (
+        gramian,
+        power_iteration,
+        project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = [(r.i, r.j, r.g) for r in gramian(emb, "embedding").collect()]
+    v = power_iteration(cells, _PCA_D, _PCA_ITERS)
+    return (
+        emb.select("label", project(emb, v).alias("p"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.var_pop("p"), 6).alias("var_pc1"),
+        )
+        .orderBy("label")
+    )
+
+
+def _pca_sql() -> str:
+    # Every CTE is AS MATERIALIZED and referenced WITHOUT scalar
+    # subqueries (normalization via sum() OVER ()): with plain CTEs
+    # DuckDB inlines each reference, and a y{t} referenced twice per
+    # iteration doubles the expression tree each step — a 2^iters
+    # re-computation of the Gramian that hangs the oracle.  Materialized,
+    # each step is one 4096-row join: the whole chain is milliseconds.
+    d, iters = _PCA_D, _PCA_ITERS
+    ctes = [
+        f"idx AS MATERIALIZED (SELECT unnest(generate_series(1, {d})) AS k)",
+        f"""gf AS MATERIALIZED (
+  SELECT (i.k - 1)::INT AS i, (j.k - 1)::INT AS j,
+         sum(e.embedding[i.k]::DOUBLE * e.embedding[j.k]::DOUBLE) AS g
+  FROM embeddings e, idx i, idx j
+  GROUP BY 1, 2
+)""",
+        "x0 AS MATERIALIZED (SELECT (k - 1)::INT AS i, "
+        f"1.0::DOUBLE / sqrt({d}) AS v FROM idx)",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f"y{t} AS MATERIALIZED (SELECT gf.i, sum(gf.g * x{p}.v) AS v "
+            f"FROM gf JOIN x{p} ON gf.j = x{p}.i GROUP BY gf.i)"
+        )
+        ctes.append(
+            f"x{t} AS MATERIALIZED (SELECT i, "
+            f"v / sqrt(sum(v * v) OVER ()) AS v FROM y{t})"
+        )
+    ctes.append(
+        f"""proj AS (
+  SELECT e.vec_id, e.label,
+         sum(e.embedding[x.i + 1]::DOUBLE * x.v) AS p
+  FROM embeddings e, x{iters} x
+  GROUP BY e.vec_id, e.label
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT label, count(*) AS n_vecs, round(var_pop(p), 6) AS var_pc1
+FROM proj GROUP BY label ORDER BY label
+"""
+    )
+
+
+EMBEDDING_PCA_SQL = _pca_sql()
+
+
+# ---------------------------------------------------------------------------
 # token-weighted deterministic sampling: sample ~tokens/500 of documents
 # with probability proportional to token count — subsampling that does
 # not skew toward short documents, reproducible across engines.
@@ -1368,6 +1452,7 @@ QUERIES: dict[str, tuple] = {
     "approx_distinct_kmv": (approx_distinct_kmv_q, APPROX_DISTINCT_KMV_SQL),
     "heavy_hitters_cms": (heavy_hitters_cms_q, HEAVY_HITTERS_CMS_SQL),
     "embedding_gramian": (embedding_gramian_q, EMBEDDING_GRAMIAN_SQL),
+    "embedding_pca_var": (embedding_pca_var_q, EMBEDDING_PCA_SQL),
     "weighted_sample": (weighted_sample_q, WEIGHTED_SAMPLE_SQL),
     "table_profile": (table_profile_q, TABLE_PROFILE_SQL),
     "bm25_search": (bm25_search_q, BM25_SQL),

@@ -9,6 +9,8 @@ from inmem_vector_db_spark.operators.vectorstats import (
     column_means,
     covariance_from_gramian,
     gramian,
+    power_iteration,
+    project,
 )
 
 
@@ -71,3 +73,30 @@ def test_pca_from_gramian_recovers_principal_axis(spark):
     top = v[:, np.argmax(w)]
     expect = axis / np.linalg.norm(axis)
     assert abs(abs(top @ expect) - 1.0) < 1e-2
+
+
+def test_power_iteration_matches_eigh(spark):
+    rng = np.random.default_rng(11)
+    # dominant axis => large eigengap => fast, testable convergence
+    axis = np.array([2.0, -1.0, 0.5, 0.0, 1.0])
+    x = rng.normal(size=(120, 1)) * axis + rng.normal(size=(120, 5)) * 0.1
+    cells = [(r["i"], r["j"], r["g"]) for r in gramian(_df(spark, x)).collect()]
+    v = power_iteration(cells, 5, iters=60)
+    g = x.T @ x
+    w, vecs = np.linalg.eigh(g)
+    top = vecs[:, np.argmax(w)]
+    # eigenvector up to sign
+    assert abs(abs(v @ top) - 1.0) < 1e-9
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_project_matches_numpy_dot(spark):
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(40, 6))
+    v = rng.normal(size=6)
+    v /= np.linalg.norm(v)
+    df = _df(spark, x)
+    rows = df.select("id", project(df, v).alias("p")).collect()
+    got = {r["id"]: r["p"] for r in rows}
+    for i, row in enumerate(x):
+        assert abs(got[i] - float(row @ v)) < 1e-9
