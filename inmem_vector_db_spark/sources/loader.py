@@ -26,13 +26,32 @@ TABLES = (
 )
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ, session tz = UTC).
+
+    The driver's parquet stores untagged timestamps, which Spark 4's
+    reader infers as TIMESTAMP_NTZ.  NTZ supports no numeric casts
+    (``cast(ts AS double)`` is a type error), so temporal arithmetic all
+    over the engine would break; LTZ under a UTC session carries the
+    identical wall-clock values DuckDB sees for the naive timestamps.
+    """
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz_cols:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columnar parquet => column pruning + filter pushdown.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which the Spark parquet
-    reader rejects; read it as long nanos and convert (integer div, no
-    double round-trip) to a microsecond TIMESTAMP — same truncation DuckDB
-    applies, so oracle comparisons agree.
+    ``events.ts`` has been written as TIMESTAMP(NANOS) by some driver
+    generations, which the Spark parquet reader rejects; read it as long
+    nanos and convert (integer div, no double round-trip) to a
+    microsecond TIMESTAMP — same truncation DuckDB applies, so oracle
+    comparisons agree.  Untagged microsecond timestamps (current driver
+    output) arrive as TIMESTAMP_NTZ and are normalized to LTZ.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -41,8 +60,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_chunk_csv(spark: SparkSession, path: str) -> DataFrame:
