@@ -442,3 +442,55 @@ def embedding_near_dup_pairs_lsh(
         .filter(F.col("cos_dist") <= max_cosine_dist)
         .select("id_a", "id_b", "cos_dist")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stride: int = 37,
+    max_cosine_dist: float = 0.2,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster first, exact cosine only
+    WITHIN clusters (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication").
+
+    Clustering uses the engine's deterministic IVF machinery
+    (``operators.ann``): stride-sampled centroids + nearest-centroid
+    assignment, so results are exactly reproducible and the DuckDB
+    oracle can replay the assignment with ``arg_min``.  The pair join is
+    an equi-join on ``cluster_id`` — shuffle volume N rows, quadratic
+    work bounded per cluster.  Because centroid count scales as N/stride,
+    expected cluster size stays ~stride regardless of corpus size: the
+    per-cluster GEMM/join cost is constant at 100 TB, which is the whole
+    point of cluster-then-dedup over the global O(N^2) exact path
+    (``embedding_near_dup_pairs``).
+
+    Returns (cluster_id, id_a, id_b, cos_dist): near-dup pairs with both
+    members in the same cluster — a high-recall subset of the exact
+    global pairs (cross-cluster dups are the recall loss; SemDeDup
+    accepts this by construction).
+    """
+    from inmem_vector_db_spark.operators.ann import ivf_assign, select_centroids
+
+    cids, cmat = select_centroids(df, stride=stride, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(df, cids, cmat, id_col=id_col, vec_col=vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cos_dist",
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6),
+        )
+        .filter(F.col("cos_dist") <= max_cosine_dist)
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cos_dist",
+        )
+    )

@@ -1440,6 +1440,184 @@ FROM hist GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# repetition filters (Gopher-style quality signals, Rae et al. 2021 §A1.1:
+# documents dominated by a few repeated n-grams are low-quality model food)
+
+
+def repetition_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition stats: token-fraction covered by the most
+    frequent bigram and the duplicate-trigram rate, plus the keep/drop
+    verdict at Gopher-ish thresholds.
+
+    Shape for scale: one explode (both gram sizes tagged into a single
+    pass) -> partial-aggregating groupBy on (doc_id, n, gram) -> groupBy
+    doc_id.  The second shuffle key is a prefix of the first, so AQE
+    keeps it cheap; nothing is quadratic in document length (the
+    per-row array formulation of "max bigram count" would be)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    word_shingles("text", 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                ),
+                F.transform(
+                    word_shingles("text", 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                ),
+            )
+        ).alias("gram"),
+    )
+    counted = tagged.groupBy(
+        "doc_id", "n_tokens", F.col("gram.n").alias("n"), F.col("gram.g").alias("g")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counted.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("max_bi"),
+        F.sum(F.when(F.col("n") == 2, F.col("cnt"))).alias("tot_bi"),
+        F.count(F.when(F.col("n") == 3, F.lit(1))).alias("dist_tri"),
+        F.sum(F.when(F.col("n") == 3, F.col("cnt"))).alias("tot_tri"),
+    )
+    out = stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.when(F.coalesce(F.col("tot_bi"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                2.0 * F.col("max_bi") / F.col("n_tokens")
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(F.coalesce(F.col("tot_tri"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                1.0 - F.col("dist_tri") / F.col("tot_tri")
+            ),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_bigram_frac") <= 0.18) & (F.col("dup_trigram_frac") <= 0.30),
+    )
+
+
+REPETITION_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t)-1), i -> t[i]||' '||t[i+1])
+              ELSE [] END AS bi,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+              ELSE [] END AS tri
+  FROM d
+),
+bic0 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bi) AS g FROM base) GROUP BY doc_id, g
+),
+bic AS (SELECT doc_id, max(c) AS max_bi, sum(c) AS tot_bi FROM bic0 GROUP BY doc_id),
+tric0 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(tri) AS g FROM base) GROUP BY doc_id, g
+),
+tric AS (SELECT doc_id, count(*) AS dist_tri, sum(c) AS tot_tri FROM tric0 GROUP BY doc_id),
+fr AS (
+  SELECT b.doc_id, b.n_tokens,
+         round(CASE WHEN coalesce(bic.tot_bi, 0) = 0 THEN 0.0
+                    ELSE 2.0 * bic.max_bi / b.n_tokens END, 6) AS top_bigram_frac,
+         round(CASE WHEN coalesce(tric.tot_tri, 0) = 0 THEN 0.0
+                    ELSE 1.0 - tric.dist_tri::DOUBLE / tric.tot_tri END, 6) AS dup_trigram_frac
+  FROM base b LEFT JOIN bic USING (doc_id) LEFT JOIN tric USING (doc_id)
+)
+SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+       (top_bigram_frac <= 0.18 AND dup_trigram_frac <= 0.30) AS keep
+FROM fr
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: cluster-then-dedup, quadratic work bounded
+# per cluster — the 100 TB posture for embedding-space deduplication)
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.dedup import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), stride=37, max_cosine_dist=0.55
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 37 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+)
+SELECT * FROM (
+  SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         round(1.0 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_dist
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+) WHERE cos_dist <= 0.55
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN label voting (auto-labeling: propagate labels from the labeled
+# corpus to held-out vectors by majority vote of the k nearest)
+
+
+def knn_label_vote_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label the held-out slice (vec_id % 101 == 0) by majority vote of
+    its 10 cosine-nearest labeled neighbors; ties broken toward the
+    smaller label.  Rides ``knn_join_vectorized`` (map-side partial
+    top-k — the multi-query scale path), then a Q*k-row vote aggregate:
+    the expensive part never shuffles more than N_partitions*k*Q rows."""
+    from pyspark.sql import Window
+
+    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 101 != 0)
+    nn = knn_join_vectorized(corpus, queries, k=10, metric="cosine")
+    votes = (
+        nn.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+KNN_LABEL_VOTE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 101 = 0),
+c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 101 <> 0),
+d AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         1.0 - list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) AS dist
+  FROM c, q
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM d),
+v AS (SELECT query_id, label, count(*) AS votes FROM r WHERE rn <= 10 GROUP BY query_id, label)
+SELECT query_id, label AS pred_label, votes
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM v)
+WHERE vr = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1471,4 +1649,7 @@ QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
     "decontam_overlap": (decontam_overlap_q, DECONTAM_SQL),
     "stratified_sample": (stratified_sample_q, STRATIFIED_SAMPLE_SQL),
+    "repetition_filters": (repetition_filters_q, REPETITION_SQL),
+    "semantic_dedup": (semantic_dedup_q, SEMANTIC_DEDUP_SQL),
+    "knn_label_vote": (knn_label_vote_q, KNN_LABEL_VOTE_SQL),
 }

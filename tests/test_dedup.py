@@ -172,3 +172,35 @@ def test_embedding_near_dup_block_pair_matches_expression(spark, sf_dir):
             ).collect()
         }
         assert got == want
+
+
+def test_semantic_dedup_subset_of_exact(spark, sf_dir):
+    """Cluster-scoped pairs must be a subset of the global exact pairs
+    (same threshold), and every pair's members share a cluster by
+    construction."""
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in D.semantic_dedup_pairs(emb, stride=11, max_cosine_dist=0.6).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dup_pairs(
+            emb, max_cosine_dist=0.6, vectorized=False
+        ).collect()
+    }
+    assert sem <= exact
+    assert sem, "planted sf data should produce at least one same-cluster pair"
+
+
+def test_semantic_dedup_self_pairs_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # stride=3: only vec_id 0 is a centroid => one cluster holds all rows
+    rows = D.semantic_dedup_pairs(df, stride=3, max_cosine_dist=0.1).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}

@@ -226,3 +226,31 @@ def test_redact_pii_and_counts(spark):
     assert rows[1]["ne"] == 1 and rows[1]["np"] == 1
     assert rows[2]["red"] == "no pii here"
     assert rows[2]["ne"] == 0 and rows[2]["np"] == 0
+
+
+def test_repetition_filters_flags_repeated_doc(spark):
+    """A doc that is one phrase repeated must show high repetition fracs
+    and be dropped; a varied doc must be kept; a one-token doc has zero
+    fracs (no grams) and is kept."""
+    from unittest import mock
+
+    import inmem_vector_db_spark.plans.textops as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, ("buy now " * 50).strip()),
+            (2, "the quick brown fox jumps over a lazy dog near the old river mill"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(T, "load_table", lambda s, d, n: docs):
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in T.repetition_filters_q(spark, "unused").collect()
+        }
+    assert len(out) == 3
+    assert out[1]["top_bigram_frac"] > 0.5 and not out[1]["keep"]
+    assert out[2]["keep"]
+    assert out[3]["top_bigram_frac"] == 0.0 and out[3]["dup_trigram_frac"] == 0.0
+    assert out[3]["keep"]
