@@ -121,6 +121,17 @@ HEADLINERS = {
     "row, never N^2); candidates come from ONE equi-join on segment "
     "content; exact levenshtein verify after distinct. Oracle is the "
     "naive cross join — the hash match proves the blocking lossless.",
+    "semantic_dedup": "SemDeDup shape: mapInPandas centroid assignment "
+    "(broadcast centroid matrix, zero shuffle), then ONE equi-join on "
+    "cluster_id — the quadratic term is bounded per cluster and cluster "
+    "count grows with N, so per-task cost is constant at 100 TB.",
+    "repetition_filters": "single tagged explode feeds both gram sizes; "
+    "groupBy (doc_id, n, gram) partial-aggregates map-side, second agg "
+    "groups on a prefix of the first key (co-partitioned, AQE-coalesced).",
+    "knn_label_vote": "the heavy stage is knn_join_vectorized's map-side "
+    "partial top-k (shuffle = n_partitions*k*Q rows, never |corpus|*Q); "
+    "label join + vote window run over Q*k rows — driver never sees "
+    "more than the query matrix.",
 }
 
 
