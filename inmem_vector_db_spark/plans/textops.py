@@ -1569,6 +1569,71 @@ SELECT * FROM (
 
 
 # ---------------------------------------------------------------------------
+# corpus-trained bigram LM scoring (CCNet-style quality signal: rank
+# documents by how surprising their text is under a language model
+# trained on the corpus itself — here an add-alpha-smoothed bigram LM,
+# the distributed two-pass shape KenLM filtering uses)
+
+
+def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log2 bigram probability under the corpus
+    bigram LM: P(w2|w1) = (c(w1 w2)+a) / (c(w1)+a*V), a=0.5.
+
+    Shape for scale: train = two partial-aggregable groupBys (unigram +
+    bigram counts, each vocabulary-sized, far smaller than the corpus);
+    score = two hash joins of the exploded bigram stream against those
+    count tables, then a per-doc avg.  Vocabulary size folds to a
+    literal driver-side (one cheap count job) so the smoothing
+    denominator stays inside whole-stage codegen.  Docs with < 2 tokens
+    have no bigrams and are absent by definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select("doc_id", F.explode(word_shingles("text", 2)).alias("g"))
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = float(uni.count())
+    bgc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bgc, "g")
+        .withColumn("w1", F.split(F.col("g"), " ")[0])
+        .join(uni.withColumnsRenamed({"w": "w1"}), "w1")
+        .withColumn(
+            "nll",
+            -F.log2((F.col("cb") + 0.5) / (F.col("cu") + 0.5 * F.lit(vocab))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )
+
+
+BIGRAM_LM_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t)-1), i -> t[i]||' '||t[i+1])
+                     ELSE [] END) AS g
+  FROM d
+),
+uc AS (SELECT w, count(*) AS cu FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+v AS (SELECT count(*) AS vocab FROM uc),
+bgc AS (SELECT g, count(*) AS cb FROM bg GROUP BY g),
+s AS (
+  SELECT bg.doc_id, -log2((bgc.cb + 0.5) / (uc.cu + 0.5 * v.vocab)) AS nll
+  FROM bg JOIN bgc USING (g)
+  JOIN uc ON uc.w = string_split(bg.g, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # kNN label voting (auto-labeling: propagate labels from the labeled
 # corpus to held-out vectors by majority vote of the k nearest)
 
@@ -1618,6 +1683,91 @@ WHERE vr = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# MMR result diversification (Carbonell & Goldstein 1998): re-rank the
+# kNN candidate list to trade relevance against redundancy — the
+# standard fix for near-duplicate-saturated retrieval results
+
+
+def mmr_diversify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cosine retrieval for 3 queries, then greedy MMR (k=5,
+    lam=0.7) per query group.  Retrieval is the vectorized partial
+    top-k path; the greedy loop runs inside one applyInPandas task per
+    query over the capped candidate list — parallel across queries,
+    O(20^2) per task, nothing quadratic in corpus size."""
+    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+    from inmem_vector_db_spark.operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nn = knn_join_vectorized(emb, queries, k=20, metric="cosine").select(
+        "query_id", "vec_id", "dist"
+    )
+    cand = nn.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
+        "rel", 1.0 - F.col("dist")
+    )
+    return mmr_rerank(cand, k=5, lam=0.7)
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, n_cand: int = 20) -> str:
+    """Unrolled greedy MMR as a CTE chain — step i selects the argmax of
+    lam*rel - (1-lam)*max(sim to s1..s_{i-1}) with (score desc, vec_id)
+    tie-break, exactly the operator's selection rule."""
+    mu = round(1.0 - lam, 10)
+    steps = []
+    for i in range(1, k + 1):
+        if i == 1:
+            steps.append(f"""s1 AS (
+  SELECT query_id, vec_id, embedding, rel, round({lam} * rel, 6) AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn FROM cand)
+  WHERE rn = 1
+)""")
+            continue
+        joins = " ".join(f"JOIN s{j} ON c.query_id = s{j}.query_id" for j in range(1, i))
+        excl = " AND ".join(f"c.vec_id <> s{j}.vec_id" for j in range(1, i))
+        sims = ", ".join(
+            f"list_cosine_similarity(c.embedding::DOUBLE[], s{j}.embedding::DOUBLE[])"
+            for j in range(1, i)
+        )
+        maxsim = f"greatest({sims})" if i > 2 else sims
+        steps.append(f"""r{i} AS (
+  SELECT c.query_id, c.vec_id, c.embedding, c.rel,
+         {lam} * c.rel - {mu} * {maxsim} AS score
+  FROM cand c {joins}
+  WHERE {excl}
+),
+s{i} AS (
+  SELECT query_id, vec_id, embedding, rel, round(score, 6) AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM r{i})
+  WHERE rn = 1
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT query_id, {i} AS rank, vec_id, mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    body = ",\n".join(steps)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+d0 AS (
+  SELECT q.query_id, e.vec_id, e.embedding,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS dist
+  FROM embeddings e, q
+),
+cand AS (
+  SELECT query_id, vec_id, embedding, 1.0 - dist AS rel
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM d0)
+  WHERE rn <= {n_cand}
+),
+{body}
+{unions}
+"""
+
+
+MMR_DIVERSIFY_SQL = _mmr_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1652,4 +1802,6 @@ QUERIES: dict[str, tuple] = {
     "repetition_filters": (repetition_filters_q, REPETITION_SQL),
     "semantic_dedup": (semantic_dedup_q, SEMANTIC_DEDUP_SQL),
     "knn_label_vote": (knn_label_vote_q, KNN_LABEL_VOTE_SQL),
+    "bigram_lm_score": (bigram_lm_score_q, BIGRAM_LM_SQL),
+    "mmr_diversify": (mmr_diversify_q, MMR_DIVERSIFY_SQL),
 }

@@ -146,3 +146,33 @@ def test_knn_null_embedding_raises(spark):
     )
     with pytest.raises(Exception, match="dimension mismatch"):
         knn_join_vectorized(corpus, queries, k=2).collect()
+
+
+def test_mmr_rerank_skips_redundant_candidate(spark):
+    """Two near-identical high-relevance candidates: plain top-k keeps
+    both; MMR must select the diverse lower-relevance item second."""
+    from inmem_vector_db_spark.operators.rerank import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [
+            (1, 10, 0.99, [1.0, 0.0]),
+            (1, 11, 0.98, [1.0, 0.001]),   # near-dup of 10
+            (1, 12, 0.80, [0.0, 1.0]),     # orthogonal
+        ],
+        "query_id long, vec_id long, rel double, embedding array<float>",
+    )
+    rows = {r["rank"]: r for r in mmr_rerank(cand, k=3, lam=0.5).collect()}
+    assert rows[1]["vec_id"] == 10          # pure relevance first
+    assert rows[2]["vec_id"] == 12          # diversity beats the near-dup
+    assert rows[3]["vec_id"] == 11
+    assert rows[1]["mmr_score"] == pytest.approx(0.5 * 0.99, abs=1e-6)
+
+
+def test_mmr_rerank_k_capped_by_candidates(spark):
+    from inmem_vector_db_spark.operators.rerank import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 10, 0.9, [1.0, 0.0]), (1, 11, 0.1, [0.0, 1.0])],
+        "query_id long, vec_id long, rel double, embedding array<float>",
+    )
+    assert mmr_rerank(cand, k=5).count() == 2
