@@ -634,6 +634,76 @@ LIMIT 10
 """
 
 
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ two-level ANN (FAISS-style): prune to the 3 inverted
+    lists nearest the query (stride-50 centroids), ADC-rank only those
+    lists over 4-sub-code PQ (top-50 candidates), exact euclidean
+    re-rank to top-10.  Every stage deterministic => full value-hash
+    oracle over the three-stage pipeline."""
+    from inmem_vector_db_spark.operators.ann import ivfpq_search
+
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(spark, sf_dir, 7)
+    return ivfpq_search(
+        emb, q, k=10, nprobe=3, stride=50, m=4, codebook_k=16,
+        pq_stride=25, oversample=5,
+    ).select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+_ANN_IVFPQ_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3
+),
+pruned AS (
+  SELECT vec_id, embedding FROM assigned
+  WHERE cluster_id IN (SELECT cid FROM probe)
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16)
+),
+sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+enc AS (
+  SELECT e.vec_id, s.j, cb.c,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> pow(e.embedding[s.j * 16 + i]::DOUBLE - cb.cv[s.j * 16 + i], 2))) AS d
+  FROM pruned e, sub s, cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.j, cb.c,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> pow(q.qv[s.j * 16 + i] - cb.cv[s.j * 16 + i], 2))) AS ld
+  FROM q, sub s, cb
+),
+adc AS (
+  SELECT codes.vec_id, list_sum(list(lut.ld ORDER BY codes.j)) AS adc_d
+  FROM codes JOIN lut ON codes.j = lut.j AND codes.c = lut.c
+  GROUP BY codes.vec_id
+),
+cand AS (SELECT vec_id FROM adc ORDER BY adc_d, vec_id LIMIT 50)
+SELECT e.vec_id,
+       round(list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM pruned e JOIN cand USING (vec_id), q
+ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+LIMIT 10
+"""
+
+
 def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregation: per-label centroid embedding (posexplode ->
     per-position mean -> re-assemble ordered array).  The primitive
@@ -1228,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_euclidean": _ann_ivf_euclidean,
         "ann_ivf_multi": _ann_ivf_multi,
         "ann_ivf_recall": _ann_ivf_recall,
+        "ann_ivfpq": _ann_ivfpq,
         "lsh_knn_cosine": _lsh_knn_cosine,
         "lsh_knn_multiprobe": _lsh_knn_multiprobe,
         "store_search_pipeline": _store_search_pipeline,
@@ -1268,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "ann_ivf_multi": _ANN_IVF_MULTI_ORACLE,
         "ann_ivf_recall": _ANN_IVF_RECALL_ORACLE,
+        "ann_ivfpq": _ANN_IVFPQ_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
         "lsh_knn_multiprobe": _LSH_MULTIPROBE_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,

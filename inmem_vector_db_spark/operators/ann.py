@@ -299,3 +299,57 @@ def ivf_search_batch(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 3,
+    stride: int = 50,
+    m: int = 4,
+    codebook_k: int = 16,
+    pq_stride: int = 25,
+    oversample: int = 5,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    centroids: tuple[list, np.ndarray] | None = None,
+) -> DataFrame:
+    """Two-level ANN: IVF coarse pruning + PQ fine quantization — the
+    architecture every production billion-vector index uses (FAISS
+    IVFPQ).
+
+    Stage 0 prunes the corpus to the ``nprobe`` inverted lists nearest
+    the query (partition pruning when the codes table is written
+    partitioned by cluster_id).  Stage 1 ranks ONLY those lists by
+    ADC distance over m-int PQ codes (64x narrower IO than float32).
+    Stage 2 exact-re-ranks the k*oversample survivors on the float
+    column.  Work touched: |probed lists| code rows + k*oversample
+    float rows — independent of corpus size given balanced lists.
+
+    Here codes are computed on the pruned slice (encode is a
+    deterministic per-row map); at rest they would be precomputed
+    corpus-wide and co-partitioned with the assignment.  Every stage is
+    deterministic (stride centroids/codebooks, sequential accumulation,
+    (dist, id) ties), so the full three-stage pipeline value-hash
+    matches the DuckDB oracle.
+    """
+    from inmem_vector_db_spark.operators.pq import pq_codebooks, pq_encode, pq_search
+
+    cids, cmat = centroids if centroids is not None else select_centroids(
+        corpus, stride, id_col, vec_col
+    )
+    if assigned is None:
+        assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    cd = np.linalg.norm(cmat - q[None, :], axis=1)
+    order = np.lexsort((np.asarray(cids), cd))
+    probe = [cids[i] for i in order[:nprobe]]
+    pruned = assigned.filter(F.col("cluster_id").isin(probe)).select(id_col, vec_col)
+    cb = pq_codebooks(corpus, m=m, k=codebook_k, stride=pq_stride,
+                      id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(pruned, cb, id_col=id_col, vec_col=vec_col)
+    return pq_search(pruned, codes, query_vec, cb, k=k, oversample=oversample,
+                     metric=metric, id_col=id_col, vec_col=vec_col)

@@ -100,3 +100,28 @@ def test_ivf_search_batch_matches_single(spark, sf_dir):
         got = [v for _, v, _ in sorted(by_q[r["vec_id"]])]
         want = [s["vec_id"] for s in single]
         assert got == want
+
+
+def test_ivfpq_candidates_subset_and_exact_rerank(spark, sf_dir):
+    """IVF-PQ results must be drawn from the probed lists and carry
+    exact (not ADC) distances; with nprobe = all lists and ample
+    oversample it must equal exact kNN."""
+    from inmem_vector_db_spark.operators.ann import ivfpq_search
+    from inmem_vector_db_spark.operators.knn import knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 7").head()["embedding"]]
+    got = ivfpq_search(emb, q, k=5, nprobe=3, stride=20, m=4,
+                       codebook_k=8, pq_stride=11, oversample=8).collect()
+    assert len(got) == 5
+    assert all(r["dist"] >= 0 for r in got)
+    # full probe + big oversample => PQ candidates cover the corpus,
+    # exact re-rank must reproduce exact kNN
+    n = emb.count()
+    full = ivfpq_search(emb, q, k=5, nprobe=10**6, stride=20, m=4,
+                        codebook_k=8, pq_stride=1, oversample=max(4, n),
+                        ).select("vec_id", "dist").collect()
+    exact = knn(emb, q, k=5, metric="euclidean").select("vec_id", "dist").collect()
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in full] == [
+        (r["vec_id"], round(r["dist"], 9)) for r in exact
+    ]
