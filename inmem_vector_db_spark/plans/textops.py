@@ -1768,6 +1768,112 @@ cand AS (
 MMR_DIVERSIFY_SQL = _mmr_sql()
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics (the counting step of byte-pair-encoding
+# vocabulary induction, Sennrich et al. 2016): adjacent character-pair
+# frequencies weighted by word frequency — the argmax IS the next merge
+
+
+def bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent char pairs by corpus frequency.  The pair census
+    runs over the DISTINCT-word table (vocabulary-sized, orders of
+    magnitude smaller than the token stream) weighted by word counts —
+    the same two-table factoring real BPE trainers use; both groupBys
+    partial-aggregate map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.filter(F.length("w") >= 2).select(
+        "c",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+BPE_PAIRS_SQL = """
+WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+wc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+p0 AS (
+  SELECT c, list_transform(generate_series(1, len(w)-1), i -> substr(w, i, 2)) AS ps
+  FROM wc WHERE len(w) >= 2
+),
+pairs AS (SELECT unnest(ps) AS pair, c FROM p0)
+SELECT pair, sum(c)::BIGINT AS n FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding norm QA (corpus health check: degenerate/outlier vectors by
+# L2-norm z-score within each label group)
+
+
+def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile + 2-sigma outlier count.  One
+    narrow projection (norm only — 8 bytes/row leaves the scan) and one
+    partial-aggregable groupBy; the outlier pass reuses the same
+    shuffle partitioning via a window, so no second corpus scan."""
+    from pyspark.sql import Window
+
+    from inmem_vector_db_spark.functions.distance import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select("label", F.round(l2_norm("embedding"), 6).alias("nrm"))
+    w = Window.partitionBy("label")
+    flagged = normed.select(
+        "label",
+        "nrm",
+        F.avg("nrm").over(w).alias("mu"),
+        F.stddev_pop("nrm").over(w).alias("sd"),
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.first("mu"), 6).alias("avg_norm"),
+            F.round(F.first("sd"), 6).alias("std_norm"),
+            F.sum(
+                F.when(F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .select("label", "n_vectors", "avg_norm", "std_norm", "n_outliers")
+    )
+
+
+EMBEDDING_NORM_SQL = """
+WITH n0 AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
+  FROM embeddings
+),
+st AS (
+  SELECT label, nrm,
+         avg(nrm) OVER (PARTITION BY label) AS mu,
+         stddev_pop(nrm) OVER (PARTITION BY label) AS sd
+  FROM n0
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(any_value(mu), 6) AS avg_norm,
+       round(any_value(sd), 6) AS std_norm,
+       sum(CASE WHEN abs(nrm - mu) > 2 * sd THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM st GROUP BY label
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1804,4 +1910,6 @@ QUERIES: dict[str, tuple] = {
     "knn_label_vote": (knn_label_vote_q, KNN_LABEL_VOTE_SQL),
     "bigram_lm_score": (bigram_lm_score_q, BIGRAM_LM_SQL),
     "mmr_diversify": (mmr_diversify_q, MMR_DIVERSIFY_SQL),
+    "bpe_merge_pairs": (bpe_merge_pairs_q, BPE_PAIRS_SQL),
+    "embedding_norm_outliers": (embedding_norm_outliers_q, EMBEDDING_NORM_SQL),
 }
