@@ -170,3 +170,130 @@ def fuzzy_self_join(
         .where(F.col("dist") <= d)
         .select("id_a", "id_b", "dist")
     )
+
+
+def _delete_variants(s, n, d: int):
+    """Array of all strings reachable from ``s`` by deleting up to ``d``
+    characters (d <= 2), deduplicated.  |variants| <= 1 + n + n(n-1)/2."""
+    v0 = F.array(s)
+    v1 = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = F.concat(v0, v1)
+    if d >= 2:
+        v2 = F.when(
+            n >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.concat(
+                            s.substr(F.lit(1), i - 1),
+                            s.substr(i + 1, j - i - 1),
+                            s.substr(j + 1, n),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = F.concat(out, v2)
+    return F.array_distinct(out)
+
+
+def fuzzy_self_join_deletes(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All unordered pairs within a levenshtein threshold via the
+    deletion-neighborhood signature join (the SymSpell/FastSS family —
+    public algorithm).  Exact: blocking is lossless, verified by
+    ``levenshtein``.
+
+    Why a second algorithm: PassJoin's candidate key is a ~(len/(d+1))-
+    char SUBSTRING — on short strings over a small vocabulary (TPC-H
+    part names: ~9 chars drawn from ~92 words) those keys are so
+    low-entropy that the candidate equi-join degenerates toward N^2
+    (measured 147 s at sf0.1 vs 2 s for this operator).  Deletion
+    signatures keep len-d characters — near-full-string entropy — so
+    the join stays selective precisely where PassJoin degrades.  Each
+    edit (sub/ins/del) removes at most one aligned char from each side,
+    so lev(u,v) <= d implies u and v share a common <=d-deletion
+    variant: signature equality is a lossless candidate generator.
+
+    Cost per row: <= 1 + n + n(n-1)/2 signature rows (n = string
+    length) — use for SHORT strings (n <~ 30); for long strings the
+    quadratic per-row factor loses to ``fuzzy_self_join``'s d+1
+    segments.  Supports d <= 2 (the practical dedup thresholds; the
+    variant generator is hand-unrolled per delete depth).
+
+    Duplicate-string handling: the signature join runs over DISTINCT
+    string VALUES, and id pairs are expanded afterwards by joining the
+    (value-level) pair list back to the id groups.  On corpora with
+    heavy value repetition this is the difference between a selective
+    join and a blowup: m copies of one string would otherwise collide
+    on all ~46 shared signatures — m^2 * 46 candidate rows before
+    distinct (measured 52 s at sf0.1; 3 s value-level).  Exact-dup id
+    pairs (dist 0) come from a plain equi-join on the value, never
+    touching signatures.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if max_dist > 2:
+        raise ValueError("fuzzy_self_join_deletes supports max_dist <= 2; "
+                         "use fuzzy_self_join (PassJoin) for larger radii")
+    d = int(max_dist)
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.length(str_col).alias("n"),
+    )
+
+    # dist = 0: identical values — equi-join on the value itself
+    ga = base.select(F.col("id").alias("id_a"), "s")
+    gb = base.select(F.col("id").alias("id_b"), "s")
+    exact = (
+        ga.join(gb, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("dist"))
+    )
+    if d == 0:
+        return exact
+
+    # 1 <= dist <= d: signature join over distinct values only
+    values = base.select("s", "n").distinct()
+    sigs = values.select(
+        "s",
+        "n",
+        F.explode(_delete_variants(F.col("s"), F.col("n"), d)).alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    vpairs = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.s") < F.col("b.s"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= d),
+        )
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .distinct()
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .where(F.col("dist").between(1, d))
+    )
+    near = (
+        vpairs.join(ga.withColumnsRenamed({"s": "s_a"}), "s_a")
+        .join(gb.withColumnsRenamed({"s": "s_b"}), "s_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+    return exact.unionByName(near)

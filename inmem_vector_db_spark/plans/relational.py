@@ -1202,10 +1202,16 @@ FROM scored WHERE abs(z) > 2.0
 
 
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from inmem_vector_db_spark.operators.fuzzy import fuzzy_self_join
+    """Deletion-neighborhood (FastSS-family) variant: part names are
+    ~9 chars over a ~92-word vocabulary, so PassJoin's substring keys
+    are too low-entropy (measured 147 s at sf0.1, trending N^2);
+    near-full-string deletion signatures keep the candidate join
+    selective (~2 s).  Same brute-force DuckDB oracle — the hash match
+    still proves the blocking lossless."""
+    from inmem_vector_db_spark.operators.fuzzy import fuzzy_self_join_deletes
 
     part = load_table(spark, sf_dir, "part")
-    pairs = fuzzy_self_join(part, "p_partkey", "p_name", max_dist=2)
+    pairs = fuzzy_self_join_deletes(part, "p_partkey", "p_name", max_dist=2)
     return (
         pairs.select(
             F.col("dist").cast("long").alias("dist"),

@@ -98,3 +98,37 @@ def test_plan_has_no_cross_join(spark):
     plan = fuzzy_self_join(df, "id", "s", 2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deletes_variant_matches_brute_force(spark):
+    """Deletion-neighborhood join must equal brute force for d in
+    {0,1,2} on a corpus with subs/ins/dels/short strings/ties."""
+    from inmem_vector_db_spark.operators.fuzzy import fuzzy_self_join_deletes
+
+    rows = [
+        (1, "spark"), (2, "spark"), (3, "sparc"), (4, "sprk"),
+        (5, "sparkle"), (6, "park"), (7, "a"), (8, ""), (9, "b"),
+        (10, "quartz"), (11, "qwartz"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (0, 1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in fuzzy_self_join_deletes(df, "id", "s", d).collect()
+        }
+        assert got == _brute(rows, d), f"d={d}"
+
+
+def test_deletes_variant_agrees_with_passjoin(spark):
+    from inmem_vector_db_spark.operators.fuzzy import (
+        fuzzy_self_join,
+        fuzzy_self_join_deletes,
+    )
+
+    rows = [(i, w) for i, w in enumerate(
+        ["linen", "lined", "liner", "miner", "mines", "dimes", "limes",
+         "times", "tides", "rides"])]
+    df = spark.createDataFrame(rows, "id long, s string")
+    p1 = {(r.id_a, r.id_b, r.dist) for r in fuzzy_self_join(df, "id", "s", 2).collect()}
+    p2 = {(r.id_a, r.id_b, r.dist) for r in fuzzy_self_join_deletes(df, "id", "s", 2).collect()}
+    assert p1 == p2
