@@ -1450,36 +1450,41 @@ def repetition_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent bigram and the duplicate-trigram rate, plus the keep/drop
     verdict at Gopher-ish thresholds.
 
-    Shape for scale: one explode (both gram sizes tagged into a single
-    pass) -> partial-aggregating groupBy on (doc_id, n, gram) -> groupBy
-    doc_id.  The second shuffle key is a prefix of the first, so AQE
-    keeps it cheap; nothing is quadratic in document length (the
-    per-row array formulation of "max bigram count" would be)."""
+    Shape for scale: ZERO shuffles — every stat is a per-row array
+    expression (all grams live within one document by definition, so
+    nothing ever needs to cross rows).  Max-bigram-count = longest run
+    in the row's SORTED bigram array via one left-fold ``aggregate``
+    (O(m log m) per row); duplicate-trigram rate via ``array_distinct``.
+    The earlier explode + two-level groupBy formulation shuffled the
+    whole gram stream for stats that are row-local — 6 s -> sub-second
+    at sf0.1, and at 100 TB the map-only plan needs no partitioning
+    thought at all."""
     docs = load_table(spark, sf_dir, "documents")
-    tagged = docs.select(
+    bi_sorted = F.array_sort(word_shingles("text", 2))
+    tri = word_shingles("text", 3)
+    # longest equal-run in the sorted array: fold with (prev, run, best)
+    run_state = F.aggregate(
+        bi_sorted,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    stats = docs.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
-        F.explode_outer(
-            F.concat(
-                F.transform(
-                    word_shingles("text", 2),
-                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
-                ),
-                F.transform(
-                    word_shingles("text", 3),
-                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
-                ),
-            )
-        ).alias("gram"),
-    )
-    counted = tagged.groupBy(
-        "doc_id", "n_tokens", F.col("gram.n").alias("n"), F.col("gram.g").alias("g")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    stats = counted.groupBy("doc_id", "n_tokens").agg(
-        F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("max_bi"),
-        F.sum(F.when(F.col("n") == 2, F.col("cnt"))).alias("tot_bi"),
-        F.count(F.when(F.col("n") == 3, F.lit(1))).alias("dist_tri"),
-        F.sum(F.when(F.col("n") == 3, F.col("cnt"))).alias("tot_tri"),
+        run_state.alias("max_bi"),
+        F.size(bi_sorted).alias("tot_bi"),
+        F.size(F.array_distinct(tri)).alias("dist_tri"),
+        F.size(tri).alias("tot_tri"),
     )
     out = stats.select(
         "doc_id",

@@ -125,9 +125,11 @@ HEADLINERS = {
     "(broadcast centroid matrix, zero shuffle), then ONE equi-join on "
     "cluster_id — the quadratic term is bounded per cluster and cluster "
     "count grows with N, so per-task cost is constant at 100 TB.",
-    "repetition_filters": "single tagged explode feeds both gram sizes; "
-    "groupBy (doc_id, n, gram) partial-aggregates map-side, second agg "
-    "groups on a prefix of the first key (co-partitioned, AQE-coalesced).",
+    "repetition_filters": "ZERO shuffles: all grams are row-local, so "
+    "max-bigram-count is a per-row sorted-array run-length fold and the "
+    "dup-trigram rate is array_distinct — a map-only plan (the explode + "
+    "groupBy formulation shuffled the gram stream for row-local stats; "
+    "6 s -> 0.6 s at sf0.1).",
     "knn_label_vote": "the heavy stage is knn_join_vectorized's map-side "
     "partial top-k (shuffle = n_partitions*k*Q rows, never |corpus|*Q); "
     "label join + vote window run over Q*k rows — driver never sees "
