@@ -172,7 +172,13 @@ def boilerplate_profile(
         "source",
         F.array_distinct(word_shingles(F.col("text"), n)).alias("shset"),
     ).where(F.size("shset") > 0)
-    exp = d.select("doc_id", F.explode("shset").alias("shingle"))
+    # persist: three branches (df census, boiler scoring, per-doc sizes)
+    # consume the exploded shingle stream — without it the shingle
+    # string-building (the dominant cost) re-runs per branch (measured
+    # 3x at sf0.1).  At 100 TB this is the materialized shingle table a
+    # real pipeline writes once and reuses; caller owns the cache
+    # lifetime (same policy as the dedup signature tables).
+    exp = d.select("doc_id", "source", F.explode("shset").alias("shingle")).persist()
     boiler = (
         exp.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))  # rows are per-doc distinct
@@ -185,7 +191,8 @@ def boilerplate_profile(
         .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
     per_doc = (
-        d.select("doc_id", "source", F.size("shset").cast("long").alias("n_sh"))
+        exp.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
         .join(n_boiler, "doc_id", "left")
         .na.fill({"n_boiler": 0})
     )
