@@ -636,7 +636,71 @@ FROM spine LEFT JOIN agg ON spine.event_type = agg.event_type AND spine.h = agg.
 """
 
 
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) cell census over (l_quantity, l_extendedprice):
+    quantize both to 8 bits by min/max (folded to literals driver-side),
+    interleave bits in pure integer expressions, count rows per coarse
+    cell.  The same z expression drives ``write_zordered`` — the
+    multi-dimensional clustering layout whose row-group pruning is
+    asserted with real parquet footers in tests; this entry puts the
+    code path itself under the exact value oracle (integer math, no fp
+    ambiguity past the shared quantization expression)."""
+    from inmem_vector_db_spark.sources.maintenance import (
+        quantize_minmax,
+        zorder_value,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo_q, hi_q, lo_p, hi_p = li.agg(
+        F.min("l_quantity"),
+        F.max("l_quantity"),
+        F.min("l_extendedprice"),
+        F.max("l_extendedprice"),
+    ).first()
+    z = zorder_value(
+        [
+            quantize_minmax("l_quantity", lo_q, hi_q, bits=8),
+            quantize_minmax("l_extendedprice", lo_p, hi_p, bits=8),
+        ],
+        bits=8,
+    )
+    return (
+        li.select(F.shiftright(z, 8).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "cell")
+        .limit(10)
+    )
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((qq >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((pp >> {b}) & 1) << {2 * b + 1})")
+    zexpr = " + ".join(terms)
+    return f"""
+WITH mm AS (
+  SELECT min(l_quantity) AS lo_q, max(l_quantity) AS hi_q,
+         min(l_extendedprice) AS lo_p, max(l_extendedprice) AS hi_p
+  FROM lineitem
+),
+q AS (
+  SELECT floor((l.l_quantity - mm.lo_q) * 255.0 / (mm.hi_q - mm.lo_q))::BIGINT AS qq,
+         floor((l.l_extendedprice - mm.lo_p) * 255.0 / (mm.hi_p - mm.lo_p))::BIGINT AS pp
+  FROM lineitem l, mm
+),
+z AS (SELECT ({zexpr}) AS zv FROM q)
+SELECT (zv >> 8) AS cell, count(*) AS n_rows
+FROM z GROUP BY cell ORDER BY n_rows DESC, cell LIMIT 10
+"""
+
+
+ZORDER_CELLS_SQL = _zorder_sql()
+
+
 QUERIES = {
+    "zorder_cells": (zorder_cells, ZORDER_CELLS_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),

@@ -86,3 +86,79 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def zorder_value(cols, bits: int = 8):
+    """Morton/Z-order interleave of pre-quantized non-negative integer
+    columns — the multi-dimensional clustering key behind Delta/Iceberg
+    OPTIMIZE ZORDER BY (public technique: Morton 1966).
+
+    Bit b of column i lands at position ``b * n_cols + i`` of the
+    z-value, so sorting by z keeps rows close in EVERY dimension close
+    on disk: parquet row-group min/max stats then prune
+    multi-dimensional range predicates, where single-column sort only
+    prunes its lead column.  Pure integer shift/mask expressions —
+    whole-stage codegen, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    ncols = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        cc = F.col(c) if isinstance(c, str) else c
+        cc = cc.cast("long")
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(cc, b).bitwiseAND(F.lit(1)), b * ncols + i
+            )
+    return z
+
+
+def quantize_minmax(col, lo, hi, bits: int = 8):
+    """Map a numeric column into [0, 2^bits) by min/max scaling —
+    the quantization step before ``zorder_value``.  ``lo``/``hi`` are
+    literals (fold the table min/max driver-side, or use domain
+    constants); the expression order (sub, mul, div, floor) is fixed so
+    engines reproduce identical codes."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    span = float(hi) - float(lo)
+    top = float(2**bits - 1)
+    return F.floor(
+        (c.cast("double") - F.lit(float(lo))) * F.lit(top) / F.lit(span)
+    ).cast("long")
+
+
+def write_zordered(
+    df,
+    path: str,
+    cols: list[str],
+    ranges: dict[str, tuple[float, float]],
+    bits: int = 8,
+    n_files: int = 8,
+    block_size_bytes: int | None = None,
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols`` (quantized by
+    the given per-column ranges): repartitionByRange on z spreads the
+    curve across files, sortWithinPartitions packs each row group with
+    z-adjacent rows.  Multi-dimensional range scans then skip most row
+    groups on footer stats alone (asserted with real parquet footers in
+    tests/test_sources_and_indexer.py)."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(
+        [quantize_minmax(c, *ranges[c], bits=bits) for c in cols], bits=bits
+    )
+    writer = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+    )
+    if block_size_bytes is not None:
+        # small row groups = fine-grained skipping (tests use this to
+        # get many row groups out of small local data)
+        writer = writer.option("parquet.block.size", str(block_size_bytes))
+    writer.parquet(path)

@@ -176,3 +176,66 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_zorder_layout_minimax_beats_single_sorts(spark, tmp_path):
+    """Prove the Z-order claim with real parquet footers.  A 1-D sort
+    prunes its own column perfectly and the other not at all; Z-order
+    prunes BOTH moderately.  So over a workload with a price-only query
+    and a quantity-only query, z's worst-case touched fraction must
+    beat each single-column layout's worst case (the minimax guarantee
+    that makes ZORDER the multi-predicate layout)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from inmem_vector_db_spark.sources.maintenance import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice"
+    )
+    ranges = {"l_quantity": (1.0, 50.0), "l_extendedprice": (901.0, 105000.0)}
+    bs = 32 * 1024
+    zp, pp_, qp = (str(tmp_path / d) for d in ("zord", "price_sorted", "qty_sorted"))
+    write_zordered(
+        li, zp, ["l_quantity", "l_extendedprice"], ranges,
+        n_files=4, block_size_bytes=bs,
+    )
+    for path, col in ((pp_, "l_extendedprice"), (qp, "l_quantity")):
+        (
+            li.repartitionByRange(4, col)
+            .sortWithinPartitions(col)
+            .write.option("parquet.block.size", str(bs)).parquet(path)
+        )
+
+    queries = [
+        {"l_extendedprice": (20000.0, 30000.0)},   # price-only predicate
+        {"l_quantity": (10.0, 15.0)},              # quantity-only predicate
+    ]
+
+    def frac(path, box):
+        tot = hit = 0
+        for root, _d, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                for rg in range(md.num_row_groups):
+                    tot += 1
+                    overlap = True
+                    for col, (lo, hi) in box.items():
+                        st = md.row_group(rg).column(names.index(col)).statistics
+                        if st.max < lo or st.min > hi:
+                            overlap = False
+                            break
+                    if overlap:
+                        hit += 1
+        assert tot >= 8, "need many row groups for the test to mean anything"
+        return hit / tot
+
+    worst = {p: max(frac(p, q) for q in queries) for p in (zp, pp_, qp)}
+    assert worst[zp] < worst[pp_], worst
+    assert worst[zp] < worst[qp], worst
+    # and z must genuinely prune (not just tie at scanning everything)
+    assert worst[zp] < 0.7, worst
