@@ -248,3 +248,60 @@ def scd2_seed(
         F.lit(batch_id).cast("long").alias(from_col),
         F.lit(None).cast("long").alias(to_col),
     )
+
+
+def merge_agg_states(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    spec: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: combine a stored
+    per-key aggregate table with the aggregate of a NEW batch, without
+    rescanning the base data — the pattern that turns "daily rollup
+    over a year of events" from a 100 TB scan into a merge of two
+    key-cardinality tables.
+
+    ``spec`` maps each state column to its merge function:
+    ``'sum'`` / ``'count'`` -> addition, ``'min'`` -> least,
+    ``'max'`` -> greatest.  (avg = maintain sum+count and divide at
+    read.)  These are exactly the aggregates whose states are
+    commutative monoids — the same property Spark's own partial
+    aggregation relies on, applied across batches instead of across
+    partitions.
+
+    Join shape mirrors ``merge_upsert``: Spark cannot broadcast a FULL
+    OUTER join, so the merge is (matched inner) + (old-only anti) +
+    (delta-only anti) with the DELTA side broadcast in each — zero
+    shuffle of the stored aggregate table when the batch is small.
+    """
+    for col, how in spec.items():
+        if how not in ("sum", "count", "min", "max"):
+            raise ValueError(f"unsupported merge function {how!r} for {col!r}")
+    keys = list(keys)
+    state_cols = [c for c in old.columns if c not in keys]
+    if set(state_cols) != set(spec):
+        raise ValueError("spec must cover exactly the non-key state columns")
+
+    d = F.broadcast(delta)
+    combined = {
+        col: (
+            F.least(old[col], d[col])
+            if how == "min"
+            else F.greatest(old[col], d[col])
+            if how == "max"
+            else old[col] + d[col]
+        ).alias(col)
+        for col, how in spec.items()
+    }
+    matched = old.join(d, keys, "inner").select(
+        *[old[k] for k in keys], *[combined[c] for c in state_cols]
+    )
+    old_only = old.join(d, keys, "left_anti")
+    # delta-only needs old's key set on the build side; leave the
+    # broadcast decision to Catalyst/AQE — for a huge rollup it becomes
+    # a key-partitioned anti join, which is the right fallback
+    delta_only = delta.join(old.select(*keys), keys, "left_anti")
+    return matched.unionByName(old_only.select(matched.columns)).unionByName(
+        delta_only.select(matched.columns)
+    )

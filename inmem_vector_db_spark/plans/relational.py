@@ -1154,6 +1154,52 @@ FROM p GROUP BY event_type
 # hours-per-type, so no single-task funnel at scale.
 
 
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the stored daily
+    rollup (events before the last day) merged with the new batch's
+    rollup (the last partial day) via ``merge_agg_states`` — count/sum
+    add, max takes greatest, and the stored table never rescans its
+    base data.  The ORACLE is the full recompute over all events: the
+    value-hash match IS the proof that incremental maintenance equals
+    recomputation."""
+    from inmem_vector_db_spark.operators.merge import merge_agg_states
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.date_trunc("day", F.max("ts"))).first()[0]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    base = rollup(ev.filter(F.col("ts") < F.lit(cutoff)))
+    delta = rollup(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    merged = merge_agg_states(
+        base,
+        delta,
+        ["day", "event_type"],
+        {"n_events": "sum", "sum_value": "sum", "max_ts": "max"},
+    )
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+        "max_ts",
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+FROM events GROUP BY 1, 2
+"""
+
+
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1275,5 +1321,6 @@ QUERIES = {
     "order_rank_stats": (order_rank_stats, ORDER_RANK_STATS_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
+    "incremental_agg_merge": (incremental_agg_merge, INCREMENTAL_AGG_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_SQL),
 }

@@ -129,3 +129,45 @@ def test_scd2_two_batches(spark):
         if r["id"] == 2
     }
     assert v == {(2, 1): (False, 1), (2, 2): (False, 3), (2, 3): (True, None)}
+
+
+def test_merge_agg_states_equals_recompute(spark):
+    """Merging per-batch aggregate states must equal aggregating the
+    union — for sum/count/min/max, across matched, old-only, and
+    delta-only keys."""
+    from inmem_vector_db_spark.operators.merge import merge_agg_states
+
+    rows_a = [("x", 1.0), ("x", 2.0), ("y", 5.0)]
+    rows_b = [("x", 7.0), ("z", 3.0)]
+    a = spark.createDataFrame(rows_a, "k string, v double")
+    b = spark.createDataFrame(rows_b, "k string, v double")
+
+    def roll(df):
+        from pyspark.sql import functions as F
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+
+    merged = merge_agg_states(
+        roll(a), roll(b), ["k"], {"n": "count", "s": "sum", "lo": "min", "hi": "max"}
+    )
+    full = roll(a.unionByName(b))
+    got = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"]) for r in full.collect()}
+    assert got == want
+
+
+def test_merge_agg_states_rejects_bad_spec(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from inmem_vector_db_spark.operators.merge import merge_agg_states
+
+    df = spark.createDataFrame([("x", 1)], "k string, n long")
+    with _pytest.raises(ValueError):
+        merge_agg_states(df, df, ["k"], {"n": "avg"})
+    with _pytest.raises(ValueError):
+        merge_agg_states(df, df, ["k"], {})
