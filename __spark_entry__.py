@@ -1217,6 +1217,56 @@ FROM px GROUP BY media_id
 """
 
 
+def _image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual hash: aHash each payload
+    (Arrow-batched mapInPandas over the md5 fake decoder), block on the
+    hash, report groups with >= 2 members.  The grouping/blocking plan
+    is the production one — at 100 TB the phash groupBy is the only
+    shuffle and it moves one long per image."""
+    from inmem_vector_db_spark.multimodal.media import perceptual_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        perceptual_hash(media)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("media_id").cast("long"))),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
+
+
+_IMAGE_PHASH_ORACLE = """
+WITH px AS (
+  SELECT doc_id, i.i AS i,
+         ('0x' || substr(md5(text), 2 * i.i - 1, 2))::BIGINT AS v
+  FROM documents, generate_series(1, 16) AS i(i)
+),
+m AS (SELECT doc_id, avg(v) AS mean_v FROM px GROUP BY 1),
+h AS (
+  SELECT px.doc_id,
+         CAST(sum(CASE WHEN v > mean_v THEN (1::BIGINT << (i - 1))
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM px JOIN m USING (doc_id) GROUP BY 1
+)
+SELECT phash, count(*) AS n_images,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM h GROUP BY phash HAVING count(*) >= 2
+"""
+
+
 def _synthetic_media(spark: SparkSession, sf_dir: str, modality: str):
     """Deterministic media table derived from documents: payload = the
     utf-8 text bytes, duration keyed off n_chars, sample rate off
@@ -1311,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source_agg": _csv_source_agg,
         "user_distinct_stream": _user_distinct_stream,
         "image_pixel_stats": _image_pixel_stats,
+        "image_phash_dups": _image_phash_dups,
         "video_frame_sample": _video_frame_sample,
         "audio_meta_stats": _audio_meta_stats,
         "store_parity_search": _store_parity_search,
@@ -1352,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
+        "image_phash_dups": _IMAGE_PHASH_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_ORACLE,
         "audio_meta_stats": _AUDIO_STATS_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,

@@ -171,6 +171,51 @@ def sample_video_frames(
     )
 
 
+def perceptual_hash(
+    df: DataFrame, decode: str = "fake", payload_col: str = "payload"
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image: decode,
+    threshold each pixel against the image mean, pack the bits — the
+    standard cheap near-dup signature for image corpora (block on the
+    hash, or band it for hamming-distance blocking like SimHash).
+
+    With the md5 fake decoder the 8x8 tile repeats the 16 digest bytes
+    4x, so the 64-pixel aHash degenerates to its 16 distinct bits; we
+    emit that 16-bit pattern (production decoder: all 64 bits of the
+    8x8 downsample, same code path).  Deterministic given the payload,
+    so a SQL oracle recomputes it bit-exactly.
+
+    Output: (media_id, phash long).  Arrow-batched mapInPandas; only
+    id + one long leave the executor.
+    """
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitpos = np.arange(16, dtype=np.uint64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                img = _decode_image_bytes(bytes(payload), decode)
+                mean = img.astype(np.float64).mean()
+                bits = (img.flatten()[:16].astype(np.float64) > mean).astype(
+                    np.uint64
+                )
+                out.append(int((bits << bitpos).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "phash": np.array(out, dtype=np.int64),
+                }
+            )
+
+    return (
+        df.filter(F.col("modality") == "image")
+        .select("media_id", payload_col)
+        .mapInPandas(part, "media_id string, phash long")
+    )
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
     """Metadata-only audio profile — never reads the payload column, so
     the parquet scan prunes it (ReadSchema excludes binary)."""

@@ -1,0 +1,114 @@
+"""Deterministic Bloom-filter runtime join pruning.
+
+The big-join survival trick at 100 TB: before shuffling a huge fact
+table into a join, build a compact bitset over the (filtered) build-side
+join keys and drop fact rows whose key cannot possibly match.  Spark's
+own runtime row-level filtering (``spark.sql.optimizer.runtimeFilter.
+bloomFilter.enabled``) does this automatically for some plans; this
+operator is the explicit, engine-portable form:
+
+* **build**: k md5-derived bit positions per key (same portable hash
+  family as ``functions.text.shingle_hash``), OR-folded into ``m/64``
+  longs by a distributed two-phase aggregate — the shuffle moves at most
+  ``m/64`` rows, never the keys themselves;
+* **probe**: the bitset travels to executors as a literal array (8 KiB
+  at the default m=2^16 — broadcast-class, like Spark's own
+  ``BloomFilterAggregate`` result) and the membership test is pure JVM
+  bit arithmetic inside whole-stage codegen, evaluated BEFORE the
+  fact-side shuffle;
+* **exactness**: false positives are removed by the real join that
+  follows, so results are bit-identical to the unpruned join — which is
+  exactly what the DuckDB oracle checks.
+
+Sizing: default m=2^17 bits / k=3 gives ~1.5% false-positive rate at
+10k keys; at larger build sides scale m linearly with |keys| (the
+bitset stays kilobytes up to millions of keys).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions.text import shingle_hash
+
+__all__ = ["bloom_bits", "bloom_might_contain", "bloom_pruned_join"]
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions for a key: md5-derived 60-bit hashes of the
+    salted key string — portable, so an oracle can recompute them."""
+    return [
+        shingle_hash(F.concat(key.cast("string"), F.lit(f"#{j}"))) % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 17, k: int = 3
+) -> list[int]:
+    """Distributed Bloom build: returns the bitset as ``m_bits/64``
+    Python ints (the driver holds m/8 bytes — 16 KiB by default).
+
+    Two-phase: explode each key into its k positions, map to
+    (word, bit) pairs, ``bit_or``-aggregate per word.  The shuffle is
+    bounded by m/64 rows regardless of build-side size.
+    """
+    n_words = m_bits // 64
+    pos = df.select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    bits = [0] * n_words
+    for r in words:
+        bits[r["w"]] = r["word"]
+    return bits
+
+
+def bloom_might_contain(
+    key: Column, bits: list[int], m_bits: int, k: int = 3
+) -> Column:
+    """Membership test as a pure JVM expression: k element_at lookups
+    into the literal bitset + bit masks.  No UDF, codegen-friendly."""
+    arr = F.lit(bits)
+    conds = []
+    for pos in _positions(key, m_bits, k):
+        w = (pos / 64).cast("int")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        conds.append(F.element_at(arr, w + 1).bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, conds)
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> DataFrame:
+    """INNER equi-join with Bloom pre-pruning of the fact side.
+
+    Exactly equivalent to ``fact.join(dim, fact[fact_key] ==
+    dim[dim_key])`` — the Bloom filter only removes rows the join would
+    drop anyway.  The win at scale: pruned fact rows never enter the
+    join shuffle (or the broadcast-hash probe), and with parquet
+    min/max-clustered keys the filter can cut IO too.
+    """
+    bits = bloom_bits(dim, dim_key, m_bits, k)
+    pruned = fact.filter(bloom_might_contain(F.col(fact_key), bits, m_bits, k))
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

@@ -1289,6 +1289,272 @@ GROUP BY dist ORDER BY dist
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling event-time window (RANGE frame over an interval — the batch
+# form of a sliding-window stream aggregate, computed per event)
+
+
+def user_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event: how many events (and how much value)
+    the same user generated in the trailing hour, computed with a RANGE
+    window frame over event-time microseconds.
+
+    Shape for scale: one shuffle on user_id (users partition the
+    stream — no global sort), then the frame is evaluated with a
+    per-partition sliding accumulator.  The frame bound is numeric
+    (``unix_micros``) on both engines so inclusive-bound semantics are
+    identical."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.withColumn("n_1h", F.count(F.lit(1)).over(w))
+        .withColumn("sum_1h", F.round(F.sum("value").over(w), 4))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "n_1h", "sum_1h")
+    )
+
+
+USER_ROLLING_SQL = """
+SELECT event_id, user_id, n_1h, sum_1h FROM (
+  SELECT event_id, user_id, event_type,
+         count(*) OVER w AS n_1h,
+         round(sum(value) OVER w, 4) AS sum_1h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+) WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# skew-safe aggregation under the oracle (the two-phase salted shape
+# from operators.skew, proven value-identical to the plain groupBy)
+
+
+def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats via the two-phase SALTED aggregate: phase 1
+    groups on (event_type, salt) so one hot key spreads over 16 tasks,
+    phase 2 merges the 16 partials.  events has only 5 distinct types —
+    exactly the low-cardinality-hot-key regime where a plain groupBy
+    puts 20% of a 100 TB table through one reducer.  The oracle is the
+    plain GROUP BY: salting must not change a single value."""
+    from inmem_vector_db_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev, ["event_type"], sum_cols=["value"], buckets=16)
+    return out.select(
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SALTED_EVENT_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime join pruning (operators.bloom) — results are
+# exactly the plain join's, which is what the oracle checks
+
+
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of line items belonging to URGENT orders, with the fact
+    side Bloom-pruned before the join: a 16 KiB md5-derived bitset built
+    distributively from the filtered orders keys filters lineitem rows
+    inside codegen BEFORE any shuffle; the real join then removes the
+    ~1.5% false positives, so the result is bit-identical to the plain
+    join (proven by this oracle and by test_plans equivalence tests)."""
+    from inmem_vector_db_spark.operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+BLOOM_PRUNED_SQL = """
+SELECT count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: PageRank over the customer<->supplier interaction
+# graph (operators.graph — iterative join-aggregate, fixed 3 iterations
+# so the oracle replays each step as one CTE)
+
+
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by PageRank on the bipartite customer–supplier
+    graph (edge weight = number of line items between them; supplier
+    node ids offset by 1e6).  The graph-propagation family for training
+    pipelines: propagate quality/trust through an interaction graph.
+
+    Shape for scale: edges stay distributed; each iteration is one
+    partitioned join + one groupBy — never a driver-side adjacency
+    structure.  Ranks are rounded to 6 dp BEFORE the top-k ordering so
+    the result set is engine-stable."""
+    from inmem_vector_db_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1_000_000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
+_PR_ITER = """
+i{K} AS (
+  SELECT t.dst, sum(r{P}.rank * t.p) AS inflow
+  FROM t JOIN r{P} ON t.src = r{P}.node GROUP BY 1
+),
+r{K} AS (
+  SELECT nodes.node,
+         (1.0 - 0.85) / nn.n + 0.85 * coalesce(i{K}.inflow, 0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN i{K} ON i{K}.dst = nodes.node
+)"""
+
+PAGERANK_SQL = (
+    """
+WITH raw AS (
+  SELECT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst, w FROM raw UNION ALL SELECT dst, src, w FROM raw),
+s AS (SELECT src, sum(w) AS strength FROM e GROUP BY 1),
+t AS (SELECT e.src, e.dst, e.w / s.strength AS p FROM e JOIN s USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),"""
+    + ",".join(_PR_ITER.format(K=k, P=k - 1) for k in (1, 2, 3))
+    + """
+SELECT node, round(rank, 6) AS rank
+FROM r3 ORDER BY round(rank, 6) DESC, node LIMIT 20
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# event-sequence motifs: per-user ordered event-type trigrams (the
+# sequence-mining shape: lag/lead chains, one shuffle on user_id)
+
+
+def event_trigram_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 behavioral trigrams (consecutive event-type triples per
+    user, ordered by time).  One shuffle on user_id for the lead chain,
+    then a wordcount on the motif string; ties pinned by (n desc,
+    motif)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    motifs = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t1", "t2").alias("motif")
+        )
+    )
+    return (
+        motifs.groupBy("motif")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "motif")
+        .limit(15)
+    )
+
+
+EVENT_TRIGRAM_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || t1 || '>' || t2 AS motif, count(*) AS n
+FROM seq WHERE t2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, motif LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# windowed deduplication: first event per (user, type, hour) — the
+# batch form of streaming dropDuplicates-within-watermark
+
+
+def windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only the first event per (user, event_type, hour) and
+    report the per-type survivor counts — the event-log dedup shape
+    (retries/refreshes collapse to one row per window).  One shuffle on
+    the dedup key; row_number + filter(rn=1), tie-break (ts, event_id)
+    pinned."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    kept = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .join(
+            kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept")),
+            "event_type",
+        )
+        .select("event_type", "n_total", "n_kept")
+    )
+
+
+WINDOWED_DEDUP_SQL = """
+WITH ranked AS (
+  SELECT event_type,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+),
+tot AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1),
+kept AS (SELECT event_type, count(*) AS n_kept FROM ranked WHERE rn = 1 GROUP BY 1)
+SELECT event_type, n_total, n_kept FROM tot JOIN kept USING (event_type)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1323,4 +1589,10 @@ QUERIES = {
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "incremental_agg_merge": (incremental_agg_merge, INCREMENTAL_AGG_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_SQL),
+    "user_rolling_activity": (user_rolling_activity, USER_ROLLING_SQL),
+    "salted_event_stats": (salted_event_stats, SALTED_EVENT_SQL),
+    "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_SQL),
+    "pagerank_bipartite": (pagerank_bipartite, PAGERANK_SQL),
+    "event_trigram_motifs": (event_trigram_motifs, EVENT_TRIGRAM_SQL),
+    "windowed_dedup": (windowed_dedup, WINDOWED_DEDUP_SQL),
 }

@@ -1879,6 +1879,479 @@ FROM st GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# PMI collocations (phrase mining: the statistic behind phrase-aware
+# tokenizers and word2phrase-style preprocessing)
+
+
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information
+    PMI = ln( p(ab) / (p(a) p(b)) ), min count 5.
+
+    Shape for scale: two partial-aggregable wordcounts (unigram +
+    bigram) — the same one-shuffle shape as ``top_ngrams`` — then two
+    joins of the bigram census against the unigram census.  The unigram
+    table is |vocab| rows, tiny next to the token stream, so Catalyst
+    broadcasts it here; at web-corpus vocab sizes AQE falls back to a
+    shuffle join on the word key, which is the right plan there.  The
+    corpus-total scalars ride along as 1-row broadcasts.  The division
+    chain is written identically on both engines so the rounded PMI is
+    bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bic = (
+        docs.select(F.explode(word_shingles("text", 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_bi = bic.agg(F.sum("c_ab").cast("double").alias("n_bi"))
+    j = (
+        bic.filter(F.col("c_ab") >= 5)
+        .withColumn("w1", F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log(
+            (
+                (F.col("c_ab").cast("double") / F.col("n_bi"))
+                / (F.col("c_a").cast("double") / F.col("n_uni"))
+            )
+            / (F.col("c_b").cast("double") / F.col("n_uni"))
+        ),
+        6,
+    )
+    return (
+        j.select("ngram", F.col("c_ab").alias("n_pair"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "ngram")
+        .limit(20)
+    )
+
+
+PMI_COLLOCATIONS_SQL = """
+WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS ngram
+  FROM d WHERE len(t) >= 2
+),
+bic AS (SELECT ngram, count(*) AS c_ab FROM big GROUP BY 1),
+nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bic),
+j AS (
+  SELECT b.ngram, b.c_ab, ua.c AS c_a, ub.c AS c_b
+  FROM bic b
+  JOIN uni ua ON ua.w = split_part(b.ngram, ' ', 1)
+  JOIN uni ub ON ub.w = split_part(b.ngram, ' ', 2)
+  WHERE b.c_ab >= 5
+)
+SELECT ngram, c_ab AS n_pair,
+       round(ln(((c_ab::DOUBLE / n_bi) / (c_a::DOUBLE / n_uni))
+                / (c_b::DOUBLE / n_uni)), 6) AS pmi
+FROM j, nu, nb
+ORDER BY pmi DESC, ngram
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-document token entropy (quality signal: low-entropy = repetitive /
+# templated text; the information-theoretic sibling of distinct_ratio)
+
+
+def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the unigram distribution,
+    H = ln(n) - (sum c_i ln c_i) / n.
+
+    Shape for scale: ZERO shuffles — token counts live entirely within
+    one row, so the whole stat is a sorted-array run-length fold (the
+    same map-only trick as ``repetition_filters``): sort the token
+    array, fold with (prev, run, acc) accumulating run*ln(run) at each
+    run boundary, flush the last run in the finish lambda.  At 100 TB
+    this pipelines with the scan and needs no partitioning thought."""
+    docs = load_table(spark, sf_dir, "documents")
+    t_sorted = F.array_sort(tokens("text"))
+    flush = lambda acc: F.when(  # noqa: E731  (run>0 guard for empty arrays)
+        acc["run"] > 0,
+        acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+    ).otherwise(F.lit(0.0))
+    acc_sum = F.aggregate(
+        t_sorted,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(x == acc["prev"], acc["acc"])
+            .otherwise(acc["acc"] + flush(acc))
+            .alias("acc"),
+        ),
+        lambda acc: acc["acc"] + flush(acc),
+    )
+    n = token_count("text").cast("double")
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.log(n) - acc_sum / n, 6).alias("entropy"),
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+cnt AS (
+  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2
+),
+agg AS (SELECT doc_id, sum(c * ln(c)) AS acc FROM cnt GROUP BY 1)
+SELECT d.doc_id, len(t)::BIGINT AS n_tokens,
+       round(ln(len(t)) - coalesce(acc, 0) / len(t), 6) AS entropy
+FROM d JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index: posting-list materialization + conjunctive boolean
+# retrieval (the index-build side of BM25's ranked retrieval)
+
+
+def posting_lists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized posting lists for the 10 highest-df terms: term ->
+    document frequency + the sorted doc-id posting list (serialized CSV
+    so the value-hash canonicalizer sees a scalar).
+
+    Shape for scale: per-doc ``array_distinct`` BEFORE the explode cuts
+    the shuffled stream to distinct (term, doc) pairs; posting lists
+    build with one groupBy(term).  At 100 TB posting lists for stopword-
+    class terms are huge — production shards them by (term, bucket);
+    the top-10 cap here keeps the driver result bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(10)
+    )
+
+
+POSTING_LISTS_SQL = """
+WITH d AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+  FROM documents
+)
+SELECT term, count(*) AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM d GROUP BY term
+ORDER BY df DESC, term
+LIMIT 10
+"""
+
+
+def conjunctive_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval ('vector' AND 'spark'): docs containing
+    both terms, with per-term tf.
+
+    Shape for scale: the term filter sits BEFORE the aggregate, so the
+    shuffled stream is only the postings of the two query terms — the
+    same early-pruning shape as BM25.  The intersection is one
+    groupBy(doc) keeping rows where both term slots filled (no self-join
+    of posting lists needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    term_a, term_b = "vector", "spark"
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(term_a, term_b))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("term") == term_a, F.col("tf"))).alias("tf_a"),
+            F.sum(F.when(F.col("term") == term_b, F.col("tf"))).alias("tf_b"),
+        )
+        .filter(F.col("tf_a").isNotNull() & F.col("tf_b").isNotNull())
+    )
+
+
+CONJUNCTIVE_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN ('vector', 'spark') GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN term = 'vector' THEN tf END) AS BIGINT) AS tf_a,
+       CAST(sum(CASE WHEN term = 'spark' THEN tf END) AS BIGINT) AS tf_b
+FROM tf GROUP BY doc_id
+HAVING tf_a IS NOT NULL AND tf_b IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-group quantile threshold filtering (keep docs above their
+# language's median quality — per-stratum quality gating)
+
+
+def quality_quantile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median quality + how many docs clear it.
+
+    The median is computed as explicit order statistics (avg of the two
+    middle ranks) instead of an engine quantile function, so both
+    engines evaluate the identical arithmetic — library quantile
+    implementations differ in interpolation formula at the last ulp.
+    Shape for scale: one window rank per language partition (languages
+    partition the corpus, so no global sort), then a broadcast of the
+    5-row medians table back onto the scored stream."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "lang", quality_score("text").alias("q"))
+    wl = Window.partitionBy("lang")
+    ranked = q.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("lang").orderBy("q", "doc_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(wl))
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    med = (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("lang", "n")
+        .agg(F.round(F.avg("q"), 6).alias("median_q"))
+    )
+    return (
+        q.join(F.broadcast(med), "lang")
+        .groupBy("lang", "n", "median_q")
+        .agg(
+            F.sum((F.col("q") > F.col("median_q")).cast("long")).alias(
+                "n_above_median"
+            )
+        )
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "median_q",
+            "n_above_median",
+        )
+    )
+
+
+QUALITY_QUANTILE_SQL = """
+WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, lang, len(t) AS n_tokens,
+         len(list_distinct(t))::DOUBLE / len(t) AS dr,
+         len(list_filter(t, x -> list_contains({SW}, x)))::DOUBLE / len(t) AS sw
+  FROM d
+),
+q AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(1.0, n_tokens / 128.0) + 0.4 * dr
+               + 0.2 * (1.0 - abs(sw - 0.3) / 0.7), 6) AS q
+  FROM s
+),
+ranked AS (
+  SELECT lang, q,
+         row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM q
+),
+med AS (
+  SELECT lang, n, round(avg(q), 6) AS median_q
+  FROM ranked
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY lang, n
+)
+SELECT q.lang, med.n AS n_docs, med.median_q,
+       CAST(sum(CASE WHEN q.q > med.median_q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_median
+FROM q JOIN med USING (lang)
+GROUP BY 1, 2, 3
+""".replace("{SW}", _sql_list(STOPWORDS_EN))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + token-id encoding (the tokenizer-apply step of a
+# training pipeline, with a corpus-derived frequency-ranked vocab)
+
+
+def vocab_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a frequency-ranked vocabulary (id = rank by count desc,
+    term asc) and encode the first 20 documents as token-id sequences
+    (serialized CSV — order-preserving via posexplode position).
+
+    Shape for scale: the vocab is one wordcount + one window rank over
+    |vocab| rows (vocab is tiny next to the token stream, and the rank
+    window partitions trivially at vocab scale); encoding is a
+    broadcast-class join of the token stream against the vocab, then
+    one groupBy(doc) re-assembly.  At web scale the vocab join falls
+    back to a shuffle join on term via AQE — the right plan there."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("c"), "term")) - 1,
+        )
+    )
+    enc = (
+        toks.filter(F.col("doc_id") < 20)
+        .join(vocab.select("term", "id"), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda x: x["id"].cast("string"),
+                ),
+            ).alias("token_ids"),
+        )
+    )
+    return enc
+
+
+VOCAB_ENCODE_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+toks AS (
+  SELECT doc_id, u.pos AS pos, u.term AS term FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)),
+                                 i -> struct_pack(pos := i - 1, term := t[i]))) AS u
+    FROM d
+  )
+),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) - 1 AS id
+  FROM toks GROUP BY term
+)
+SELECT doc_id, count(*) AS n_tokens,
+       string_agg(id::VARCHAR, ',' ORDER BY pos) AS token_ids
+FROM toks JOIN vocab USING (term)
+WHERE doc_id < 20
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (reproducible corpus partitioning:
+# same doc -> same split on every run, engine, and partition layout)
+
+
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by md5 bucket of the text,
+    profiled per (lang, split) with doc and token counts.  A pure
+    row-local expression — the split column pipelines with the scan and
+    never shuffles (the profile groupBy is the only exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("text"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"), token_count("text").alias("nt"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH d AS (
+  SELECT lang,
+         ('0x' || substr(md5(text), 1, 15))::UBIGINT % 100 AS b,
+         len(string_split(lower(text), ' ')) AS nt
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM d GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding standardization (feature scaling: the z-score
+# normalize step before quantization / indexing)
+
+
+def embedding_standardize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus mean/std (posexplode + one groupBy(pos) —
+    the shuffle moves d rows per partition, never vectors), then
+    z-score the first 3 vectors long-form: (vec_id, pos, z).
+
+    Long-form output keeps the value under the hash canonicalizer
+    (arrays don't sort) and mirrors how the stats would be broadcast
+    back onto the corpus for a full standardize pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    comp = comp.withColumn("x", F.col("x").cast("double"))
+    stats = comp.groupBy("pos").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    return (
+        comp.filter(F.col("vec_id") < 3)
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round((F.col("x") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
+EMBEDDING_STANDARDIZE_SQL = """
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+comp AS (
+  SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN idx
+),
+stats AS (
+  SELECT pos, avg(x) AS mu, stddev_pop(x) AS sigma FROM comp GROUP BY pos
+)
+SELECT vec_id, pos, round((x - mu) / sigma, 6) AS z
+FROM comp JOIN stats USING (pos)
+WHERE vec_id < 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -1917,4 +2390,12 @@ QUERIES: dict[str, tuple] = {
     "mmr_diversify": (mmr_diversify_q, MMR_DIVERSIFY_SQL),
     "bpe_merge_pairs": (bpe_merge_pairs_q, BPE_PAIRS_SQL),
     "embedding_norm_outliers": (embedding_norm_outliers_q, EMBEDDING_NORM_SQL),
+    "pmi_collocations": (pmi_collocations_q, PMI_COLLOCATIONS_SQL),
+    "token_entropy": (token_entropy_q, TOKEN_ENTROPY_SQL),
+    "posting_lists": (posting_lists_q, POSTING_LISTS_SQL),
+    "conjunctive_search": (conjunctive_search_q, CONJUNCTIVE_SEARCH_SQL),
+    "quality_quantile_filter": (quality_quantile_filter_q, QUALITY_QUANTILE_SQL),
+    "vocab_encode": (vocab_encode_q, VOCAB_ENCODE_SQL),
+    "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
+    "embedding_standardize": (embedding_standardize_q, EMBEDDING_STANDARDIZE_SQL),
 }

@@ -95,3 +95,37 @@ def test_audio_stats_prunes_payload_from_scan(media, tmp_path):
     plan = audio_stats(on_disk)._jdf.queryExecution().executedPlan().toString()
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and all("payload" not in ln for ln in read_schema)
+
+
+def test_perceptual_hash_matches_reference(media):
+    """phash = pack(b_i > mean(b)) over the 16 md5 digest bytes — the
+    Spark mapInPandas path must equal the pure-Python recompute."""
+    from inmem_vector_db_spark.multimodal.media import perceptual_hash
+
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    payloads = {"img1": b"\x01\x02fakejpeg", "img2": b"\x03\x04fakepng"}
+    assert set(got) == set(payloads)
+    for mid, payload in payloads.items():
+        h = hashlib.md5(payload).digest()
+        mean = sum(h) / 16
+        want = sum(1 << i for i, b in enumerate(h) if b > mean)
+        assert got[mid] == want
+
+
+def test_perceptual_hash_identical_payloads_collide(spark):
+    """Byte-identical images must share a phash (the blocking property
+    the near-dup groupBy relies on); distinct payloads almost surely
+    don't at 16 bits with 2 images."""
+    from inmem_vector_db_spark.multimodal.media import make_media_table, perceptual_hash
+
+    rows = [
+        ("a", "image", b"same-bytes", ("s", None, None, None, None, "x")),
+        ("b", "image", b"same-bytes", ("s", None, None, None, None, "x")),
+        ("c", "image", b"other-bytes", ("s", None, None, None, None, "x")),
+    ]
+    got = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hash(make_media_table(spark, rows)).collect()
+    }
+    assert got["a"] == got["b"]
+    assert got["c"] != got["a"]

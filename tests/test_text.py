@@ -254,3 +254,63 @@ def test_repetition_filters_flags_repeated_doc(spark):
     assert out[2]["keep"]
     assert out[3]["top_bigram_frac"] == 0.0 and out[3]["dup_trigram_frac"] == 0.0
     assert out[3]["keep"]
+
+
+def test_token_entropy_values_and_map_only_plan(spark):
+    """Entropy of known distributions — and the plan must contain NO
+    Exchange: token entropy is row-local, so it must never shuffle."""
+    import math
+    from unittest import mock
+
+    import inmem_vector_db_spark.plans.textops as TX
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(TX, "load_table", lambda s, d, n: docs):
+        df = TX.token_entropy_q(spark, "unused")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out = {r["doc_id"]: r["entropy"] for r in df.collect()}
+    assert "Exchange" not in plan
+    assert out[1] == 0.0  # all same token
+    assert out[2] == round(math.log(4), 6)  # uniform over 4
+    assert out[3] == round(math.log(2), 6)  # uniform over 2
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    """A bigram whose words only ever occur together must out-PMI a
+    bigram of independently-frequent words."""
+    from unittest import mock
+
+    import inmem_vector_db_spark.plans.textops as TX
+
+    exclusive = " ".join(["zig zag"] * 5)
+    common = " ".join(["the cat", "the dog", "the cow", "the pig", "the hen"] * 2)
+    docs = spark.createDataFrame(
+        [(1, exclusive), (2, common)], "doc_id long, text string"
+    )
+    with mock.patch.object(TX, "load_table", lambda s, d, n: docs):
+        rows = {
+            r["ngram"]: r["pmi"]
+            for r in TX.pmi_collocations_q(spark, "unused").collect()
+        }
+    assert "zig zag" in rows
+    assert all(rows["zig zag"] >= v for v in rows.values())
+
+
+def test_quality_quantile_filter_median_split(spark):
+    """n_above_median must be < n_docs and >= floor((n-1)/2) for any
+    real-valued quality distribution (strictly-above semantics)."""
+    from unittest import mock
+
+    import inmem_vector_db_spark.plans.textops as TX
+    from inmem_vector_db_spark.sources.loader import load_table as real_load
+
+    docs = real_load(spark, "/root/testdata/sf0.001", "documents")
+    with mock.patch.object(TX, "load_table", lambda s, d, n: docs):
+        rows = TX.quality_quantile_filter_q(spark, "unused").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_above_median"] < r["n_docs"]
+        assert r["n_above_median"] <= r["n_docs"] // 2
