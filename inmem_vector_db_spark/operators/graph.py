@@ -1,0 +1,83 @@
+"""Distributed PageRank over an edge list — iterative join-aggregate
+(the Pregel pattern expressed as DataFrame ops).
+
+Companion to :mod:`operators.components` (connected components): where
+large-star/small-star contracts a graph to its components, PageRank
+propagates a score across it.  In a training-data pipeline this is the
+graph-based quality-propagation family (e.g. propagating trust/quality
+through a user-item or doc-link interaction graph).
+
+Shape for scale:
+
+* the graph lives as a distributed (src, dst, weight) edge DataFrame;
+  node strengths are one groupBy; each iteration is one join (ranks ×
+  edges, both partitioned by the join key) + one groupBy(dst) — the
+  classic two-shuffle PageRank step, no driver-side state beyond the
+  loop counter;
+* a FIXED iteration count (default 3) keeps the computation
+  oracle-replayable (each iteration unrolls to one SQL CTE) and the
+  lineage bounded — for unbounded convergence loops, checkpoint every
+  ~5 iterations exactly as operators.components does;
+* damping handles rank leakage; with an undirected (symmetrized) edge
+  set there are no dangling nodes, so mass is conserved without a
+  dangling-sink correction term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """Weighted PageRank:
+    ``r'(v) = (1-d)/N + d * sum over (u,v) of r(u) * w_uv / strength(u)``.
+
+    ``edges``: (src long, dst long, weight double).  Returns
+    (node, rank double) after ``iters`` synchronous iterations from the
+    uniform start r0 = 1/N.
+    """
+    e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    if symmetrize:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    e = e.persist()
+    strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
+    # transition weight per edge: w / strength(src), computed once
+    trans = e.join(strength, "src").select(
+        "src", "dst", (F.col("w") / F.col("strength")).alias("p")
+    ).persist()
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()  # one small job; N is needed as a literal
+    trans.count()  # materialize the transition table, then drop the raw
+    e.unpersist()  # edge cache (trans/nodes are all later stages need)
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # left join from the node universe: isolated nodes keep base rank
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

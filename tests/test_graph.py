@@ -1,0 +1,53 @@
+"""PageRank: hand-checked small graphs, mass conservation, symmetry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.graph import pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def test_symmetric_pair_is_uniform(spark):
+    """Two nodes joined by one edge: ranks stay exactly uniform."""
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edges(spark, [(1, 2, 1.0)]), iters=3).collect()
+    }
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == pytest.approx(0.5)
+
+
+def test_star_center_outranks_leaves(spark):
+    """A star graph: the hub must out-rank every leaf, leaves equal."""
+    rows = [(0, i, 1.0) for i in (1, 2, 3, 4)]
+    out = {
+        r["node"]: r["rank"] for r in pagerank(_edges(spark, rows), iters=3).collect()
+    }
+    assert all(out[0] > out[i] for i in (1, 2, 3, 4))
+    assert out[1] == pytest.approx(out[2]) == pytest.approx(out[3])
+
+
+def test_rank_mass_conserved(spark):
+    """Sum of ranks stays 1 (symmetrized graph has no dangling mass)."""
+    rows = [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 1.0), (4, 1, 3.0), (1, 3, 1.0)]
+    total = (
+        pagerank(_edges(spark, rows), iters=4)
+        .agg(F.sum("rank").alias("s"))
+        .head()["s"]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weight_pulls_rank(spark):
+    """Node 2 shares an edge with hub 1 at weight 9; node 3 at weight 1:
+    node 2 must collect more rank."""
+    rows = [(1, 2, 9.0), (1, 3, 1.0)]
+    out = {
+        r["node"]: r["rank"] for r in pagerank(_edges(spark, rows), iters=3).collect()
+    }
+    assert out[2] > out[3]
