@@ -1555,6 +1555,76 @@ SELECT event_type, n_total, n_kept FROM tot JOIN kept USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# equi-width histogram (the profiling histogram: one pass, bins as a
+# pure row-local expression, one tiny groupBy on bin id)
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of purchase values per event type is
+    overkill here — one histogram over events.value: bin = floor(v/5)
+    clamped to [0, 19].  Bin assignment is row-local (pipelines with the
+    scan); the shuffle moves <= 20 rows per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.least(F.lit(19), F.greatest(F.lit(0), F.floor(F.col("value") / 5)))
+    return (
+        ev.select(bin_.cast("long").alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT CAST(least(19, greatest(0, floor(value / 5))) AS BIGINT) AS bin,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# correlation profile (Pearson r between numeric column pairs — the
+# column-relationship scan of a data profiler, all co-moments in one
+# partial-aggregable pass per table)
+
+
+def numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations for three lineitem column pairs, one row
+    per pair.  ``F.corr`` is a partial-aggregable co-moment aggregate —
+    one scan, no shuffle beyond the 1-row merge; the three pairs share
+    the scan via a single agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("disc_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+    )
+    return out.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("qty_price").alias("pair"), F.col("qty_price").alias("r")),
+                F.struct(F.lit("disc_price").alias("pair"), F.col("disc_price").alias("r")),
+                F.struct(F.lit("qty_disc").alias("pair"), F.col("qty_disc").alias("r")),
+            )
+        ).alias("s")
+    ).select("s.pair", "s.r")
+
+
+NUMERIC_CORR_SQL = """
+WITH c AS (
+  SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+         round(corr(l_discount, l_extendedprice), 6) AS disc_price,
+         round(corr(l_quantity, l_discount), 6) AS qty_disc
+  FROM lineitem
+)
+SELECT 'qty_price' AS pair, qty_price AS r FROM c
+UNION ALL SELECT 'disc_price', disc_price FROM c
+UNION ALL SELECT 'qty_disc', qty_disc FROM c
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1595,4 +1665,6 @@ QUERIES = {
     "pagerank_bipartite": (pagerank_bipartite, PAGERANK_SQL),
     "event_trigram_motifs": (event_trigram_motifs, EVENT_TRIGRAM_SQL),
     "windowed_dedup": (windowed_dedup, WINDOWED_DEDUP_SQL),
+    "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
+    "numeric_corr": (numeric_corr, NUMERIC_CORR_SQL),
 }

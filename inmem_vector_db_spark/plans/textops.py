@@ -2352,6 +2352,167 @@ WHERE vec_id < 3
 """
 
 
+# ---------------------------------------------------------------------------
+# cross-document substring duplication (the per-doc diagnostic of
+# Lee et al.'s substring-level dedup: what fraction of a doc's shingles
+# also occur in OTHER documents)
+
+
+def crossdoc_shingle_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: the fraction of its distinct 5-gram shingles that
+    appear in at least one OTHER document — high values mark documents
+    assembled from corpus-duplicated substrings even when no full-text
+    dup exists.
+
+    Shape for scale: distinct (shingle, doc) pairs -> per-shingle doc
+    count (partial-aggregable wordcount) -> semi-annotate each doc's
+    shingles with shared/not -> one per-doc aggregate.  Both shuffles
+    key on the shingle/doc hash — no all-pairs comparison anywhere
+    (the same candidates-only posture as the MinHash path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 5))).alias("sh")
+    )
+    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+            F.round(
+                F.sum((F.col("n_docs") > 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+CROSSDOC_SHINGLE_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 5
+                  THEN list_transform(generate_series(1, len(t) - 4),
+                       i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+                  ELSE [] END) AS sh
+    FROM d
+  )
+),
+cnt AS (SELECT sh, count(*) AS n_docs FROM sh GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+FROM sh JOIN cnt USING (sh)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# length-curriculum binning (quartile buckets by token count — the
+# curriculum/packing pre-pass that groups docs by length class)
+
+
+def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile buckets over (n_tokens, doc_id) with per-bucket
+    doc counts, token totals, and mean quality.  The explicit total
+    order (n_tokens, doc_id) makes ntile deterministic and
+    engine-portable.  At 100 TB the single ntile window would become a
+    range-partitioned rank (or a two-pass histogram split) — noted here
+    because the 5k-row test corpus hides that cost."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("nt"),
+        quality_score("text").alias("q"),
+    )
+    w = Window.orderBy("nt", "doc_id")
+    return (
+        scored.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
+CURRICULUM_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+s AS (
+  SELECT doc_id, len(t) AS nt,
+         round(0.4 * least(1.0, len(t) / 128.0)
+               + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+               + 0.2 * (1.0 - abs((len(list_filter(t, x ->
+                     list_contains({SW}, x)))::DOUBLE / len(t)) - 0.3) / 0.7),
+               6) AS q
+  FROM d
+),
+b AS (SELECT *, ntile(4) OVER (ORDER BY nt, doc_id) AS bucket FROM s)
+SELECT bucket, count(*) AS n_docs,
+       min(nt) AS min_tokens, max(nt) AS max_tokens,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM b GROUP BY bucket
+""".replace("{SW}", _sql_list(STOPWORDS_EN))
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF under the value oracle (SURVEY.md 2.10: the table-function
+# extension surface, checked end-to-end instead of pytest-only)
+
+
+def udtf_sentences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence splitting via the registered Python UDTF, applied
+    LATERAL per document (punctuation synthesized by rewriting one
+    common token, since the corpus has none).  Row-at-a-time Python is
+    the slow path by design — this entry pins the UDTF surface's
+    *semantics* under the oracle; production splitters stay JVM-side
+    (see operators.chunking)."""
+    from inmem_vector_db_spark.functions.udtf_demo import register
+
+    register(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 40).createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM udtf_docs_in d,
+             LATERAL sentence_splitter(replace(d.text, ' table ', '. ')) s
+        """
+    )
+
+
+UDTF_SENTENCES_SQL = """
+WITH prep AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             string_split_regex(replace(text, ' table ', '. '), '[.!?]+'),
+             x -> trim(x)), x -> x <> '') AS parts
+  FROM documents WHERE doc_id < 40
+)
+SELECT doc_id,
+       CAST(u.i - 1 AS INT) AS sentence_idx,
+       u.s AS sentence,
+       CAST(length(u.s) AS INT) AS n_chars
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(parts)),
+                i -> struct_pack(i := i, s := parts[i]))) AS u
+  FROM prep
+)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -2398,4 +2559,7 @@ QUERIES: dict[str, tuple] = {
     "vocab_encode": (vocab_encode_q, VOCAB_ENCODE_SQL),
     "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
     "embedding_standardize": (embedding_standardize_q, EMBEDDING_STANDARDIZE_SQL),
+    "crossdoc_shingle_dup": (crossdoc_shingle_dup_q, CROSSDOC_SHINGLE_SQL),
+    "curriculum_buckets": (curriculum_buckets_q, CURRICULUM_SQL),
+    "udtf_sentences": (udtf_sentences_q, UDTF_SENTENCES_SQL),
 }
