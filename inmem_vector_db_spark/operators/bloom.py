@@ -7,10 +7,9 @@ own runtime row-level filtering (``spark.sql.optimizer.runtimeFilter.
 bloomFilter.enabled``) does this automatically for some plans; this
 operator is the explicit, engine-portable form:
 
-* **build**: k md5-derived bit positions per key (same portable hash
-  family as ``functions.text.shingle_hash``), OR-folded into ``m/64``
-  longs by a distributed two-phase aggregate — the shuffle moves at most
-  ``m/64`` rows, never the keys themselves;
+* **build**: k seeded-xxhash64 bit positions per key, OR-folded into
+  ``m/64`` longs by a distributed two-phase aggregate — the shuffle
+  moves at most ``m/64`` rows, never the keys themselves;
 * **probe**: the bitset travels to executors as a literal array (8 KiB
   at the default m=2^16 — broadcast-class, like Spark's own
   ``BloomFilterAggregate`` result) and the membership test is pure JVM
@@ -32,18 +31,16 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from inmem_vector_db_spark.functions.text import shingle_hash
-
 __all__ = ["bloom_bits", "bloom_might_contain", "bloom_pruned_join"]
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
-    """k bit positions for a key: md5-derived 60-bit hashes of the
-    salted key string — portable, so an oracle can recompute them."""
-    return [
-        shingle_hash(F.concat(key.cast("string"), F.lit(f"#{j}"))) % m_bits
-        for j in range(k)
-    ]
+    """k bit positions for a key: seeded xxhash64 — native JVM hashing
+    (~10x cheaper than an md5-hex derivation on the probe hot path).
+    The bloom filter is TRANSPARENT (false positives die in the real
+    join), so the oracle never needs to recompute positions — fast
+    beats portable here, determinism is all that's required."""
+    return [F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits)) for j in range(k)]
 
 
 def bloom_bits(

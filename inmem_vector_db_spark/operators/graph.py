@@ -36,6 +36,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     symmetrize: bool = True,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Weighted PageRank:
     ``r'(v) = (1-d)/N + d * sum over (u,v) of r(u) * w_uv / strength(u)``.
@@ -43,6 +44,13 @@ def pagerank(
     ``edges``: (src long, dst long, weight double).  Returns
     (node, rank double) after ``iters`` synchronous iterations from the
     uniform start r0 = 1/N.
+
+    Join strategy: the rank vector is 16 bytes/node, so up to tens of
+    millions of nodes it BROADCASTS into the edge join — each iteration
+    is then one map-side join + one groupBy(dst), and the persisted
+    transition table is never reshuffled.  ``broadcast_ranks=None``
+    auto-picks by node count; pass ``False`` for billion-node graphs,
+    where the partitioned shuffle join is the only option.
     """
     e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
     if symmetrize:
@@ -52,32 +60,52 @@ def pagerank(
             )
         )
     e = e.persist()
-    strength = e.groupBy("src").agg(F.sum("w").alias("strength"))
+    # strength doubles as the node universe: one row per node (every
+    # node appears as src after symmetrization), so no separate
+    # distinct() job
+    strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
     # transition weight per edge: w / strength(src), computed once
     trans = e.join(strength, "src").select(
         "src", "dst", (F.col("w") / F.col("strength")).alias("p")
     ).persist()
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
-    n_nodes = nodes.count()  # one small job; N is needed as a literal
-    trans.count()  # materialize the transition table, then drop the raw
-    e.unpersist()  # edge cache (trans/nodes are all later stages need)
+    trans.count()  # materialize trans + strength caches, drop the raw
+    e.unpersist()  # edge cache (trans/strength are all later stages need)
+    nodes = strength.select(F.col("src").alias("node"))
+    n_nodes = strength.count()  # cached — a metadata-cheap job
+    if broadcast_ranks is None:
+        broadcast_ranks = n_nodes <= 10_000_000
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            trans.join(ranks, trans["src"] == ranks["node"])
+            trans.join(r, trans["src"] == r["node"])
             .select("dst", (F.col("rank") * F.col("p")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # left join from the node universe: isolated nodes keep base rank
-        ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        if symmetrize:
+            # symmetrized graph: every node has degree >= 1, hence an
+            # in-edge, hence inflow — no node-universe join needed
+            ranks = contrib.select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("rank"),
+            )
+        else:
+            # directed graph: nodes with no in-edges fall back to base
+            ranks = nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        if it < iters - 1:
+            # materialize each frontier: without this, the broadcast
+            # collect (and any reuse) re-executes ALL prior iterations
+            # — O(iters^2) recomputation on an uncached lineage
+            ranks = ranks.persist()
+            ranks.count()
     return ranks
