@@ -1625,6 +1625,234 @@ UNION ALL SELECT 'qty_disc', qty_disc FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-touch attribution (linear credit over the trailing-hour click
+# window — composes operators.temporal.range_join with a per-purchase
+# credit window; the marketing-analytics sibling of the as-of join's
+# last-touch model)
+
+
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click within the hour
+    before a purchase (same user) shares the purchase's credit equally;
+    credit rolls up per channel (click props.k mod 3 stands in for a
+    channel id).
+
+    Shape for scale: the purchase-click pairing is the bucketed
+    range_join (equi-join on (user, time-bucket) + residual filter — no
+    nested loop); the per-purchase touch count is a window over the
+    pair stream partitioned by purchase id; the channel rollup is a
+    5-row aggregate."""
+    from pyspark.sql import Window
+
+    from inmem_vector_db_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        (
+            F.from_json("props", "k long").getField("k") % 3
+        ).alias("channel"),
+    )
+    pairs = range_join(
+        purchases,
+        clicks,
+        on="user_id",
+        lower_seconds=-3600.0,
+        upper_seconds=0.0,
+    )
+    w = Window.partitionBy("event_id")
+    credited = pairs.withColumn(
+        "credit", F.lit(1.0) / F.count(F.lit(1)).over(w)
+    )
+    return credited.groupBy("r_channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit"), 6).alias("credit"),
+    ).select(F.col("r_channel").alias("channel"), "n_touches", "credit")
+
+
+MULTITOUCH_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS channel
+  FROM events WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT p.event_id, c.channel
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+),
+cred AS (
+  SELECT event_id, channel,
+         1.0 / count(*) OVER (PARTITION BY event_id) AS credit
+  FROM pairs
+)
+SELECT channel, count(*) AS n_touches, round(sum(credit), 6) AS credit
+FROM cred GROUP BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# label-centroid similarity matrix (vector aggregation composed with a
+# small pairwise GEMM — the cluster-relationship profile of an
+# embedding space)
+
+
+def centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label mean embeddings.
+
+    Shape for scale: centroids via posexplode + (label, pos) aggregate
+    (shuffle moves d rows per partition per label — never vectors);
+    the pairwise stage is |labels|^2 * d, label-count-bounded, and the
+    join key is the position so it parallelizes over d."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = comp.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    norms = cent.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("sq"))
+    a = cent.select(
+        F.col("label").alias("la"), "pos", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "pos", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("sq").alias("sqa"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("sq").alias("sqb"))
+    return (
+        dots.join(na, "la")
+        .join(nb, "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            F.round(
+                F.col("dot") / F.sqrt(F.col("sqa") * F.col("sqb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+
+
+CENTROID_SIM_SQL = """
+WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+comp AS (
+  SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN idx
+),
+cent AS (SELECT label, pos, avg(x) AS m FROM comp GROUP BY 1, 2),
+norms AS (SELECT label, sum(m * m) AS sq FROM cent GROUP BY 1),
+dots AS (
+  SELECT a.label AS la, b.label AS lb, sum(a.m * b.m) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT la AS label_a, lb AS label_b,
+       round(dot / sqrt(na.sq * nb.sq), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.label = la
+JOIN norms nb ON nb.label = lb
+"""
+
+
+# ---------------------------------------------------------------------------
+# hierarchical share-of-parent rollup + week-over-week growth (windows
+# over grouped aggregates: the two standard BI report shapes)
+
+
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order revenue with its share of the region total and
+    rank within region — a window over an aggregate (the rollup's
+    shuffle already partitioned by nation; the share window re-keys on
+    region, 25 rows)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+        F.row_number()
+        .over(w.orderBy(F.desc("rev"), "n_name"))
+        .alias("rank_in_region"),
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name, sum(o.o_totalprice) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share,
+       row_number() OVER (
+         PARTITION BY r_name ORDER BY rev DESC, n_name)::INT AS rank_in_region
+FROM rev
+"""
+
+
+def weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly order revenue with week-over-week growth (lag over the
+    weekly aggregate; the aggregate shrinks the stream to |weeks| rows
+    first, so the single-partition lag window is over a tiny frame)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "week"
+        )
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        F.round("rev", 2).alias("revenue"),
+        F.round(
+            (F.col("rev") - F.lag("rev").over(w)) / F.lag("rev").over(w), 6
+        ).alias("wow_growth"),
+    )
+
+
+WEEKLY_GROWTH_SQL = """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT week, round(rev, 2) AS revenue,
+       round((rev - lag(rev) OVER (ORDER BY week))
+             / lag(rev) OVER (ORDER BY week), 6) AS wow_growth
+FROM weekly
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1667,4 +1895,8 @@ QUERIES = {
     "windowed_dedup": (windowed_dedup, WINDOWED_DEDUP_SQL),
     "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
     "numeric_corr": (numeric_corr, NUMERIC_CORR_SQL),
+    "multitouch_attribution": (multitouch_attribution, MULTITOUCH_SQL),
+    "centroid_similarity": (centroid_similarity, CENTROID_SIM_SQL),
+    "revenue_share": (revenue_share, REVENUE_SHARE_SQL),
+    "weekly_growth": (weekly_growth, WEEKLY_GROWTH_SQL),
 }
