@@ -1853,6 +1853,163 @@ FROM weekly
 """
 
 
+# ---------------------------------------------------------------------------
+# data-quality rule engine (the expectations gate a production pipeline
+# runs before publishing a table: null/range rules as conditional
+# aggregates sharing one scan per table, referential rules as anti-joins)
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six data-quality rules over three tables, one row per rule:
+    (rule, n_checked, n_violations).
+
+    Shape for scale: per-table value rules fold into ONE conditional
+    aggregate per table (single scan, no per-rule passes); referential
+    rules are anti-joins on the projected key column only.  The final
+    union is 6 one-row frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def rule(name, checked, violations):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+        )
+
+    o_rules = orders.agg(
+        rule(
+            "orders_totalprice_positive",
+            F.count(F.lit(1)),
+            F.sum(
+                (
+                    F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+                ).cast("long")
+            ),
+        ).alias("r1"),
+        rule(
+            "orders_status_domain",
+            F.count(F.lit(1)),
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")),
+        ).alias("r2"),
+    )
+    l_rules = li.agg(
+        rule(
+            "lineitem_discount_range",
+            F.count(F.lit(1)),
+            F.sum(
+                (
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ).cast("long")
+            ),
+        ).alias("r1"),
+        rule(
+            "lineitem_quantity_positive",
+            F.count(F.lit(1)),
+            F.sum((F.col("l_quantity") <= 0).cast("long")),
+        ).alias("r2"),
+    )
+    e_rules = ev.agg(
+        rule(
+            "events_user_not_null",
+            F.count(F.lit(1)),
+            F.sum(F.col("user_id").isNull().cast("long")),
+        ).alias("r1"),
+    )
+    n_orders = orders.count()
+    orphans = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).count()
+    fk = spark.createDataFrame(
+        [("orders_custkey_fk", n_orders, orphans)],
+        "rule string, n_checked long, n_violations long",
+    )
+    unpacked = (
+        o_rules.select(F.explode(F.array("r1", "r2")).alias("s"))
+        .unionByName(l_rules.select(F.explode(F.array("r1", "r2")).alias("s")))
+        .unionByName(e_rules.select(F.col("r1").alias("s")))
+        .select("s.rule", "s.n_checked", "s.n_violations")
+    )
+    return unpacked.unionByName(fk)
+
+
+DQ_CHECKS_SQL = """
+SELECT 'orders_totalprice_positive' AS rule, count(*) AS n_checked,
+       CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_status_domain', count(*),
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_range', count(*),
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_positive', count(*),
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_user_not_null', count(*),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'orders_custkey_fk', count(*),
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF index health: list-balance profile (skewed inverted lists are the
+# failure mode of IVF at scale — probe cost tracks the largest list)
+
+
+def ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inverted-list sizes for the deterministic-stride IVF
+    index, plus each list's share of the corpus — the index-health QA
+    that decides when to re-train centroids.  Assignment is the
+    mapInPandas arg-min (broadcast centroid matrix, zero shuffle);
+    the profile is one tiny groupBy(cluster_id)."""
+    from inmem_vector_db_spark.operators.ann import ivf_assign, select_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cids, cmat = select_centroids(emb, stride=37)
+    assigned = ivf_assign(emb, cids, cmat)
+    n = emb.count()
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("list_size"))
+        .select(
+            "cluster_id",
+            "list_size",
+            F.round(F.col("list_size") / F.lit(float(n)), 6).alias("share"),
+        )
+    )
+
+
+IVF_BALANCE_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 37 = 0
+),
+assigned AS (
+  SELECT e.vec_id,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]))
+           AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)
+SELECT cluster_id, count(*) AS list_size,
+       round(count(*) / any_value(n.n), 6) AS share
+FROM assigned, n GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -1899,4 +2056,6 @@ QUERIES = {
     "centroid_similarity": (centroid_similarity, CENTROID_SIM_SQL),
     "revenue_share": (revenue_share, REVENUE_SHARE_SQL),
     "weekly_growth": (weekly_growth, WEEKLY_GROWTH_SQL),
+    "dq_checks": (dq_checks, DQ_CHECKS_SQL),
+    "ivf_balance": (ivf_balance, IVF_BALANCE_SQL),
 }

@@ -148,6 +148,31 @@ HEADLINERS = {
     "partial top-k (shuffle = n_partitions*k*Q rows, never |corpus|*Q); "
     "label join + vote window run over Q*k rows — driver never sees "
     "more than the query matrix.",
+    "token_entropy": "ZERO shuffles — same map-only posture as "
+    "repetition_filters: per-doc entropy is a sorted-array run-length "
+    "fold, so the stat pipelines with the scan at any corpus size.",
+    "bloom_pruned_revenue": "runtime join filter: distributed bitset "
+    "build (shuffle bounded by m/64 rows), 16 KiB literal in codegen, "
+    "membership test prunes the fact BEFORE the join shuffle; false "
+    "positives die in the real join, so results are exactly the plain "
+    "join's.",
+    "pagerank_bipartite": "each iteration is one broadcast join of the "
+    "rank vector into the persisted transition table + one "
+    "groupBy(dst); frontiers are materialized so iteration i never "
+    "re-executes iterations 1..i-1; partitioned shuffle join is the "
+    "documented fallback past ~10M nodes.",
+    "conjunctive_search": "boolean AND retrieval: the term filter sits "
+    "on the exploded token stream BEFORE any aggregate, so only the two "
+    "query terms' postings shuffle — the same early-pruning posture as "
+    "bm25_search.",
+    "crossdoc_shingle_dup": "distinct (shingle, doc) pairs -> "
+    "per-shingle doc count -> per-doc shared fraction: two "
+    "partial-aggregable shuffles keyed on the shingle hash, no "
+    "all-pairs comparison anywhere.",
+    "multitouch_attribution": "purchase-click pairing rides the "
+    "bucketed range_join (hash equi-join + residual filter, no "
+    "nested-loop); credit split is a window over pairs keyed by "
+    "purchase id; channel rollup aggregates 3 rows.",
 }
 
 
