@@ -1048,6 +1048,32 @@ FROM documents GROUP BY lang
 """
 
 
+def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned source: write documents
+    ``partitionBy(lang)``, read back, aggregate per lang.  The layout is
+    what makes `WHERE lang = ...` a directory prune at 100 TB (scan
+    plans show PartitionFilters — pinned in
+    test_sources_and_indexer.py); the oracle proves the
+    partition-column round-trip loses nothing."""
+    import tempfile
+
+    key = (sf_dir, "partitioned")
+    if key not in _STAGED_FMT:
+        staged = tempfile.mkdtemp(prefix="docs_part_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(staged)
+        )
+        _STAGED_FMT[key] = staged
+    docs = spark.read.parquet(_STAGED_FMT[key])
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def _jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source round-trip (S4 widened to the LLM-corpus standard
     format): stage documents as line-delimited JSON, read back with an
@@ -1359,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_source_agg": _jsonl_source_agg,
         "orc_source_agg": _orc_source_agg,
         "csv_source_agg": _csv_source_agg,
+        "partitioned_write_roundtrip": _partitioned_write_roundtrip,
         "user_distinct_stream": _user_distinct_stream,
         "image_pixel_stats": _image_pixel_stats,
         "image_phash_dups": _image_phash_dups,
@@ -1402,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,
+        "partitioned_write_roundtrip": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "image_phash_dups": _IMAGE_PHASH_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_ORACLE,

@@ -2010,6 +2010,209 @@ FROM assigned, n GROUP BY cluster_id
 """
 
 
+# ---------------------------------------------------------------------------
+# pure-SQL API surface: the same engine through spark.sql() text (CTE +
+# join + window), proving SQL-endpoint parity with the DataFrame API
+
+
+def sql_api_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority revenue report written as ONE SQL text query over
+    temp views — CTE, join, grouped aggregate, and a window rank, all
+    through the SQL endpoint.  Catalyst compiles this to the identical
+    physical plan the DataFrame API would get; the entry pins that the
+    SQL surface is first-class."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sql_customer")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT o.o_orderpriority AS priority,
+                 count(*) AS n_orders,
+                 round(sum(o.o_totalprice), 2) AS revenue,
+                 count(DISTINCT c.c_nationkey) AS n_nations
+          FROM sql_orders o JOIN sql_customer c ON o.o_custkey = c.c_custkey
+          GROUP BY o.o_orderpriority
+        )
+        SELECT priority, n_orders, revenue, n_nations,
+               CAST(row_number() OVER (ORDER BY revenue DESC, priority) AS INT)
+                 AS revenue_rank
+        FROM rev
+        """
+    )
+
+
+SQL_API_SQL = """
+WITH rev AS (
+  SELECT o.o_orderpriority AS priority,
+         count(*) AS n_orders,
+         round(sum(o.o_totalprice), 2) AS revenue,
+         count(DISTINCT c.c_nationkey) AS n_nations
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_orderpriority
+)
+SELECT priority, n_orders, revenue, n_nations,
+       CAST(row_number() OVER (ORDER BY revenue DESC, priority) AS INT)
+         AS revenue_rank
+FROM rev
+"""
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: JSON props parsed into a map column, exploded to
+# (key, value) entries — schemaless semi-structured profiling
+
+
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse events.props into ``map<string,string>`` and profile each
+    key: occurrence count, distinct values, min/max value (numeric).
+    The map explode is JVM-side (one row per entry); the profile is one
+    groupBy(key) — the generic shape for schemaless property bags where
+    ``from_json`` with a fixed struct can't know the keys."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    return entries.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("val").alias("n_distinct"),
+        F.min(F.col("val").cast("double")).alias("min_val"),
+        F.max(F.col("val").cast("double")).alias("max_val"),
+    )
+
+
+PROPS_MAP_SQL = """
+WITH entries AS (
+  SELECT u.k AS key,
+         json_extract_string(props, '$.' || u.k) AS val
+  FROM (SELECT props, unnest(json_keys(props)) AS k FROM events) u
+)
+SELECT key, count(*) AS n_events,
+       count(DISTINCT val) AS n_distinct,
+       min(CAST(val AS DOUBLE)) AS min_val,
+       max(CAST(val AS DOUBLE)) AS max_val
+FROM entries GROUP BY key
+"""
+
+
+# ---------------------------------------------------------------------------
+# regression aggregates: per-type hourly volume trend (OLS slope /
+# intercept as partial-aggregable co-moments — one pass over the rollup)
+
+
+def hourly_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: OLS slope and intercept of hourly event counts
+    against the hour index — the volume-trend detector.  The hourly
+    rollup shuffles once; regr_slope/regr_intercept are co-moment
+    aggregates over the tiny per-type series (JVM-side, partial-
+    aggregable, identical definition in DuckDB)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    hourly = hourly.withColumn(
+        "x", (F.unix_timestamp("hour") / 3600.0).cast("double")
+    )
+    base = hourly.groupBy("event_type").agg(
+        F.min("x").alias("x0")
+    )
+    centered = hourly.join(base, "event_type").withColumn(
+        "xi", F.col("x") - F.col("x0")
+    )
+    return centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(F.regr_slope(F.col("y").cast("double"), F.col("xi")), 6).alias(
+            "slope"
+        ),
+        F.round(
+            F.regr_intercept(F.col("y").cast("double"), F.col("xi")), 6
+        ).alias("intercept"),
+    )
+
+
+HOURLY_TREND_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS y
+  FROM events GROUP BY 1, 2
+),
+xx AS (
+  SELECT event_type, y,
+         epoch(hour) / 3600.0 AS x
+  FROM hourly
+),
+base AS (SELECT event_type, min(x) AS x0 FROM xx GROUP BY 1)
+SELECT xx.event_type, count(*) AS n_hours,
+       round(regr_slope(CAST(y AS DOUBLE), x - x0), 6) AS slope,
+       round(regr_intercept(CAST(y AS DOUBLE), x - x0), 6) AS intercept
+FROM xx JOIN base ON xx.event_type = base.event_type
+GROUP BY xx.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# chi-square association (contingency-table independence test between
+# event type and a user cohort — the categorical-drift statistic)
+
+
+def chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contribution per (event_type, user-parity cohort)
+    cell: observed count vs expected-under-independence, plus each
+    cell's contribution.  Marginals via windows over the 10-row
+    contingency table — the observed rollup is the only data-sized
+    shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("cohort")
+    wt = Window.partitionBy()
+    cells = (
+        obs.withColumn("row_tot", F.sum("obs").over(wr))
+        .withColumn("col_tot", F.sum("obs").over(wc))
+        .withColumn("n", F.sum("obs").over(wt))
+        .withColumn(
+            "exp",
+            F.col("row_tot").cast("double")
+            * F.col("col_tot")
+            / F.col("n"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        "cohort",
+        "obs",
+        F.round("exp", 4).alias("expected"),
+        F.round(
+            (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp"))
+            / F.col("exp"),
+            6,
+        ).alias("chi2_contrib"),
+    )
+
+
+CHI_SQUARE_SQL = """
+WITH obs AS (
+  SELECT event_type, user_id % 2 AS cohort, count(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT event_type, cohort, obs,
+         sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+         sum(obs) OVER (PARTITION BY cohort) AS col_tot,
+         sum(obs) OVER () AS n
+  FROM obs
+)
+SELECT event_type, cohort, obs,
+       round(CAST(row_tot AS DOUBLE) * col_tot / n, 4) AS expected,
+       round((obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+             * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+             / (CAST(row_tot AS DOUBLE) * col_tot / n), 6) AS chi2_contrib
+FROM cells
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2058,4 +2261,8 @@ QUERIES = {
     "weekly_growth": (weekly_growth, WEEKLY_GROWTH_SQL),
     "dq_checks": (dq_checks, DQ_CHECKS_SQL),
     "ivf_balance": (ivf_balance, IVF_BALANCE_SQL),
+    "sql_api_report": (sql_api_report, SQL_API_SQL),
+    "props_map_stats": (props_map_stats, PROPS_MAP_SQL),
+    "hourly_trend_slope": (hourly_trend_slope, HOURLY_TREND_SQL),
+    "chi_square_assoc": (chi_square_assoc, CHI_SQUARE_SQL),
 }

@@ -239,3 +239,18 @@ def test_zorder_layout_minimax_beats_single_sorts(spark, tmp_path):
     assert worst[zp] < worst[qp], worst
     # and z must genuinely prune (not just tie at scanning everything)
     assert worst[zp] < 0.7, worst
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A lang-partitioned layout must turn a lang filter into a
+    partition prune: the scan's PartitionFilters carry the predicate
+    and only the matching directory is read."""
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    out = str(tmp_path / "docs_part")
+    load_table(spark, sf_dir, "documents").write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+    want = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").count()
+    assert df.count() == want
