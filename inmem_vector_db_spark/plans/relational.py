@@ -2213,6 +2213,122 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP): value held until the next observation —
+# the irregular-time-series mean (sensor/price/metric streams)
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean event value: each value is weighted
+    by the microseconds until the user's next event (last event carries
+    no interval).  One shuffle on user_id for the lead window; integer
+    microsecond gaps keep the weights bit-identical across engines.
+    Top 20 users by weighted mean, tie-broken on user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).cast(
+            "double"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("gap_us")) / F.sum("gap_us"), 6
+            ).alias("twap"),
+        )
+        .orderBy(F.desc("twap"), "user_id")
+        .limit(20)
+    )
+
+
+TIME_WEIGHTED_SQL = """
+WITH gaps AS (
+  SELECT user_id, value,
+         CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_us(ts) AS DOUBLE) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_intervals,
+       round(sum(value * gap_us) / sum(gap_us), 6) AS twap
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY twap DESC, user_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust statistics (clip to per-group p05/p95 order stats
+# before the mean — outlier-robust metric aggregation)
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: p05/p95 discrete order statistics (explicit rank
+    positions — engine-portable like quality_quantile_filter's median),
+    then mean and winsorized mean (values clipped to [p05, p95]).
+    One rank window per type partition + a broadcast of the 5-row
+    threshold table back onto the stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ranked = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("value", "event_id")
+        ),
+    ).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    lo_pos = F.floor(F.lit(0.05) * (F.col("n") - 1)) + 1
+    hi_pos = F.floor(F.lit(0.95) * (F.col("n") - 1)) + 1
+    thresholds = (
+        ranked.filter((F.col("rn") == lo_pos) | (F.col("rn") == hi_pos))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("p05"), F.max("value").alias("p95"))
+    )
+    clipped = ev.join(F.broadcast(thresholds), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("p05"), 4).alias("p05"),
+        F.round(F.min("p95"), 4).alias("p95"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.avg("wv"), 6).alias("winsorized_mean"),
+    )
+
+
+WINSORIZED_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+thresholds AS (
+  SELECT event_type, min(value) AS p05, max(value) AS p95
+  FROM ranked
+  WHERE rn = floor(0.05 * (n - 1)) + 1 OR rn = floor(0.95 * (n - 1)) + 1
+  GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_events,
+       round(min(t.p05), 4) AS p05, round(min(t.p95), 4) AS p95,
+       round(avg(e.value), 6) AS mean,
+       round(avg(least(greatest(e.value, t.p05), t.p95)), 6)
+         AS winsorized_mean
+FROM events e JOIN thresholds t ON e.event_type = t.event_type
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2265,4 +2381,6 @@ QUERIES = {
     "props_map_stats": (props_map_stats, PROPS_MAP_SQL),
     "hourly_trend_slope": (hourly_trend_slope, HOURLY_TREND_SQL),
     "chi_square_assoc": (chi_square_assoc, CHI_SQUARE_SQL),
+    "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_SQL),
+    "winsorized_stats": (winsorized_stats, WINSORIZED_SQL),
 }
