@@ -1187,6 +1187,34 @@ def _user_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def _value_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental histogram: the events table replayed as a
+    bounded file stream, each micro-batch reduced to <= 20 (bin, count,
+    sum) rows and merged into O(bins) driver state.  Oracle = the BATCH
+    equi-width histogram — counts are exact and sums merge
+    associatively, so the stream must land on the batch answer."""
+    from inmem_vector_db_spark.streaming.ingest import stream_histogram
+
+    staged = _stage_events(spark, sf_dir)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).option("maxFilesPerTrigger", "8").parquet(staged)
+    state = stream_histogram(stream_in, "value", bin_width=5.0, n_bins=20)
+    rows = [
+        (int(b), int(n), float(s) / int(n)) for b, (n, s) in state.items()
+    ]
+    out = spark.createDataFrame(rows, "bin long, n long, avg_raw double")
+    return out.select("bin", "n", F.round("avg_raw", 4).alias("avg_value"))
+
+
+_VALUE_HISTOGRAM_STREAM_ORACLE = """
+SELECT CAST(least(19, greatest(0, floor(value / 5))) AS BIGINT) AS bin,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
 _USER_DISTINCT_STREAM_ORACLE = """
 WITH h AS (
   SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT AS hv
@@ -1387,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source_agg": _csv_source_agg,
         "partitioned_write_roundtrip": _partitioned_write_roundtrip,
         "user_distinct_stream": _user_distinct_stream,
+        "value_histogram_stream": _value_histogram_stream,
         "image_pixel_stats": _image_pixel_stats,
         "image_phash_dups": _image_phash_dups,
         "video_frame_sample": _video_frame_sample,
@@ -1426,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,
         "user_distinct_stream": _USER_DISTINCT_STREAM_ORACLE,
+        "value_histogram_stream": _VALUE_HISTOGRAM_STREAM_ORACLE,
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,

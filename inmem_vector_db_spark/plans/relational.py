@@ -2329,6 +2329,50 @@ GROUP BY e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# latest-record-per-key via max_by (the dedup-to-latest shape: one
+# aggregate, no window, no self-join — partial-aggregable so each
+# partition keeps one candidate per key before the shuffle)
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event (tie-break (ts, event_id)) via the
+    ``max_by`` aggregate.  Unlike the row_number-window formulation the
+    aggregate is partial-aggregable — map-side combine keeps one row
+    per user per partition, so the shuffle moves |users| rows per
+    partition, not the event stream.  (The oracle uses the window
+    formulation — same result, different plan — which is the point.)"""
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    payload = F.struct(
+        F.col("event_id"), F.col("ts"), F.col("event_type"), F.col("value")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, ordkey).alias("last"))
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.date_format("last.ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("last.event_type").alias("last_type"),
+            F.round("last.value", 4).alias("last_value"),
+        )
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_type,
+       round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2383,4 +2427,5 @@ QUERIES = {
     "chi_square_assoc": (chi_square_assoc, CHI_SQUARE_SQL),
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_SQL),
     "winsorized_stats": (winsorized_stats, WINSORIZED_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
 }

@@ -2513,6 +2513,157 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# FLAGSHIP composite: the full curation DAG in one lineage — language
+# gate -> quality gate -> exact dedup -> fingerprint near-dup -> eval
+# decontamination -> deterministic split -> per-split budget report
+
+
+def corpus_pipeline_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six curation stages composed in ONE lineage, reporting per-split
+    doc counts / BPE token budget / mean quality.
+
+    Stage shapes (each proven individually by its own oracle entry):
+    lang+quality are row-local filters pipelined with the scan; exact
+    dedup and fingerprint near-dup are two keep-first windows keyed on
+    md5(text) / word-set fingerprint; decontamination semi-joins each
+    survivor's distinct 3-shingles against the (broadcast-small) eval
+    shingle set and drops docs with > 50% overlap; the split column is
+    a pure md5-bucket expression.  Nothing in the chain collects,
+    re-scans, or cross-joins — at 100 TB the only shuffles are the two
+    dedup windows and the per-doc overlap aggregate."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        bpe_token_count("text").alias("bpe"),
+        fingerprint("text").alias("fp"),
+    )
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("q") >= 0.45))
+    w1 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d1 = kept.withColumn("rn1", F.row_number().over(w1)).filter(F.col("rn1") == 1)
+    w2 = Window.partitionBy("fp").orderBy("doc_id")
+    d2 = d1.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") == 1)
+    eval_sh = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"))
+        .distinct()
+    )
+    doc_sh = d2.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh")
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    clean = (
+        d2.join(overlap, "doc_id", "left")
+        .filter(
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            <= 0.5 * F.coalesce(F.col("n_sh"), F.lit(0))
+        )
+    )
+    b = hash_bucket(F.col("text"), 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        clean.select(split.alias("split"), "q", "bpe")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
+CORPUS_PIPELINE_SQL = f"""
+WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+h AS (
+  SELECT doc_id, text, t,
+         {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
+  FROM d
+),
+s AS (
+  SELECT doc_id, text, t,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+              WHEN best = 0 THEN 'unknown'
+              {_case}
+         END AS lang_pred,
+         round(0.4 * least(1.0, len(t) / 128.0)
+               + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+               + 0.2 * (1.0 - abs((len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS_EN)}, x)))::DOUBLE / len(t)) - 0.3) / 0.7),
+               6) AS q,
+         len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS bpe,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+  FROM (SELECT *, {_best} AS best FROM h)
+),
+k AS (SELECT * FROM s WHERE lang_pred = 'en' AND q >= 0.45),
+d1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn1
+    FROM k) WHERE rn1 = 1
+),
+d2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn2
+    FROM d1) WHERE rn2 = 1
+),
+eval_sh AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(CASE WHEN len(t) >= 3
+           THEN list_transform(generate_series(1, len(t) - 2),
+                i -> t[i]||' '||t[i+1]||' '||t[i+2])
+           ELSE [] END) AS sh
+    FROM d WHERE doc_id % 50 = 0
+  )
+),
+doc_sh AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(generate_series(1, len(t) - 2),
+                i -> t[i]||' '||t[i+1]||' '||t[i+2])
+           ELSE [] END)) AS sh
+    FROM d2
+  )
+),
+overlap AS (
+  SELECT ds.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN es.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM doc_sh ds LEFT JOIN eval_sh es ON ds.sh = es.sh
+  GROUP BY ds.doc_id
+),
+clean AS (
+  SELECT d2.* FROM d2 LEFT JOIN overlap USING (doc_id)
+  WHERE coalesce(n_hit, 0) <= 0.5 * coalesce(n_sh, 0)
+),
+sp AS (
+  SELECT q, bpe,
+         CASE WHEN ('0x' || substr(md5(text), 1, 15))::UBIGINT % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 15))::UBIGINT % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM clean
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM sp GROUP BY split
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -2562,4 +2713,5 @@ QUERIES: dict[str, tuple] = {
     "crossdoc_shingle_dup": (crossdoc_shingle_dup_q, CROSSDOC_SHINGLE_SQL),
     "curriculum_buckets": (curriculum_buckets_q, CURRICULUM_SQL),
     "udtf_sentences": (udtf_sentences_q, UDTF_SENTENCES_SQL),
+    "corpus_pipeline_full": (corpus_pipeline_full_q, CORPUS_PIPELINE_SQL),
 }

@@ -286,3 +286,46 @@ def kmv_state_estimate(
             6,
         ).alias("estimate"),
     )
+
+
+def stream_histogram(
+    sdf: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 5.0,
+    n_bins: int = 20,
+) -> dict[int, tuple[int, float]]:
+    """Maintain an equi-width histogram over a stream: each micro-batch
+    is reduced DISTRIBUTIVELY to its <= n_bins (bin, count, sum) rows,
+    then merged into O(n_bins) driver state — the streaming profile
+    shape (the batch form is ``plans.relational.value_histogram``).
+    Counts and sums are exact; state never grows with the stream.
+
+    Returns {bin: (count, value_sum)} after an availableNow drain; on an
+    unbounded stream the same handler runs per trigger indefinitely.
+    """
+    state: dict[int, tuple[int, float]] = {}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bin_ = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor(F.col(value_col) / bin_width)),
+        )
+        rows = (
+            batch_df.select(bin_.cast("long").alias("bin"), F.col(value_col))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
+            .collect()
+        )
+        for r in rows:
+            n0, s0 = state.get(r["bin"], (0, 0.0))
+            state[r["bin"]] = (n0 + r["n"], s0 + r["s"])
+
+    checkpoint = tempfile.mkdtemp(prefix="hist_ckpt_")
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
