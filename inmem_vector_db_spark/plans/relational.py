@@ -2373,6 +2373,126 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# MAD outlier detection (median absolute deviation — the robust
+# complement of the z-score: immune to the outliers it hunts)
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: median, MAD, and how many values sit more than
+    3 scaled-MADs from the median.  Both medians are explicit order
+    statistics (rank windows partitioned by type — engine-portable, no
+    library quantile), the deviation pass reuses the same broadcast
+    pattern as winsorized_stats."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _median(df, val_col, part_col="event_type"):
+        ranked = df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(part_col).orderBy(val_col, "event_id")
+            ),
+        ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(part_col)))
+        lo = F.floor((F.col("n") + 1) / 2)
+        hi = F.floor((F.col("n") + 2) / 2)
+        return (
+            ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+            .groupBy(part_col)
+            .agg(F.avg(val_col).alias(f"med_{val_col}"))
+        )
+
+    med = _median(ev.select("event_type", "event_id", "value"), "value")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    mad = _median(dev.select("event_type", "event_id", "adev"), "adev")
+    scored = dev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("med_value"), 6).alias("median"),
+        F.round(F.min("med_adev"), 6).alias("mad"),
+        F.sum(
+            (
+                F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("med_adev")
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH r1 AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, avg(value) AS med_value
+  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m.med_value) AS adev,
+         m.med_value
+  FROM events e JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY adev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, avg(adev) AS med_adev
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+)
+SELECT d.event_type, count(*) AS n_events,
+       round(min(d.med_value), 6) AS median,
+       round(min(m.med_adev), 6) AS mad,
+       CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.med_adev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph degree distribution (the profile that decides salting/skew
+# strategy for graph ops — the graph sibling of top_values_per_key)
+
+
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customer degree (distinct suppliers a customer
+    bought from, via orders x lineitem): degree -> customer count.
+    Two partial-aggregable groupBys; the edge distinct is the only
+    data-sized shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+DEGREE_DIST_SQL = """
+WITH deg AS (
+  SELECT o.o_custkey, count(DISTINCT l.l_suppkey) AS degree
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+)
+SELECT degree, count(*) AS n_customers FROM deg GROUP BY degree
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2428,4 +2548,6 @@ QUERIES = {
     "time_weighted_avg": (time_weighted_avg, TIME_WEIGHTED_SQL),
     "winsorized_stats": (winsorized_stats, WINSORIZED_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
+    "mad_outliers": (mad_outliers, MAD_OUTLIERS_SQL),
+    "degree_distribution": (degree_distribution, DEGREE_DIST_SQL),
 }

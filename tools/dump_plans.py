@@ -173,6 +173,16 @@ HEADLINERS = {
     "bucketed range_join (hash equi-join + residual filter, no "
     "nested-loop); credit split is a window over pairs keyed by "
     "purchase id; channel rollup aggregates 3 rows.",
+    "corpus_pipeline_full": "six curation stages in one lineage: "
+    "row-local lang/quality gates pipeline with the scan, two "
+    "keep-first dedup windows (md5 + word-set fingerprint), "
+    "decontamination as a broadcast semi-join of distinct doc shingles "
+    "vs the eval set, md5-bucket split — no collect, no re-scan, no "
+    "cross join anywhere in the DAG.",
+    "latest_event_per_user": "dedup-to-latest via max_by: "
+    "partial-aggregable, so map-side combine ships one candidate per "
+    "user per partition instead of the whole event stream (the "
+    "row_number window would sort-shuffle every row).",
 }
 
 
