@@ -1187,6 +1187,46 @@ def _user_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def _user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState under the value oracle: the custom
+    per-user (count, sum) state machine replays the events table as a
+    bounded stream in update mode; the LAST update per user (n_events
+    is strictly increasing, so max_by is deterministic) must equal the
+    batch groupBy — proving the arbitrary-state operator computes the
+    aggregate it claims."""
+    import tempfile
+
+    from inmem_vector_db_spark.streaming.ingest import running_user_totals
+
+    staged = _stage_events(spark, sf_dir)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).option("maxFilesPerTrigger", "8").parquet(staged)
+    updates = running_user_totals(stream_in)
+    qname = "stateful_totals_sink"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stot_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.table(qname)
+    return upd.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("value_sum", "n_events").alias("value_sum"),
+    )
+
+
+_USER_TOTALS_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM events GROUP BY user_id
+"""
+
+
 def _value_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental histogram: the events table replayed as a
     bounded file stream, each micro-batch reduced to <= 20 (bin, count,
@@ -1416,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_write_roundtrip": _partitioned_write_roundtrip,
         "user_distinct_stream": _user_distinct_stream,
         "value_histogram_stream": _value_histogram_stream,
+        "user_totals_stateful_stream": _user_totals_stateful_stream,
         "image_pixel_stats": _image_pixel_stats,
         "image_phash_dups": _image_phash_dups,
         "video_frame_sample": _video_frame_sample,
@@ -1456,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,
         "user_distinct_stream": _USER_DISTINCT_STREAM_ORACLE,
         "value_histogram_stream": _VALUE_HISTOGRAM_STREAM_ORACLE,
+        "user_totals_stateful_stream": _USER_TOTALS_STATEFUL_ORACLE,
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,

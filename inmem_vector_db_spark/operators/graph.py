@@ -72,6 +72,8 @@ def pagerank(
     e.unpersist()  # edge cache (trans/strength are all later stages need)
     nodes = strength.select(F.col("src").alias("node"))
     n_nodes = strength.count()  # cached — a metadata-cheap job
+    if n_nodes == 0:
+        raise ValueError("pagerank: empty edge set (no nodes)")
     if broadcast_ranks is None:
         broadcast_ranks = n_nodes <= 10_000_000
     base = (1.0 - damping) / n_nodes

@@ -2374,6 +2374,36 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# salted large-large join under the oracle (operators.skew.salted_join:
+# hot keys spread over 16 tasks, results bit-identical to the plain
+# join — which is exactly what the oracle verifies)
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom entry's join computed through the SALTED path instead:
+    lineitem salted into 16 sub-keys, the urgent-orders side replicated
+    per bucket, joined on (key, salt).  Salt affects placement only —
+    the aggregate must match the plain join's oracle row exactly."""
+    from inmem_vector_db_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumnRenamed("o_orderkey", "okey")
+    )
+    joined = salted_join(li, orders, "okey", buckets=16)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MAD outlier detection (median absolute deviation — the robust
 # complement of the z-score: immune to the outliers it hunts)
 
@@ -2550,4 +2580,5 @@ QUERIES = {
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
     "mad_outliers": (mad_outliers, MAD_OUTLIERS_SQL),
     "degree_distribution": (degree_distribution, DEGREE_DIST_SQL),
+    "salted_join_revenue": (salted_join_revenue, BLOOM_PRUNED_SQL),
 }

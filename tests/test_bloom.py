@@ -57,3 +57,13 @@ def test_bitset_is_bounded(spark):
     bits = bloom_bits(keys, "k", m_bits=1 << 17)
     assert len(bits) == (1 << 17) // 64  # 2048 longs = 16 KiB
     assert any(b != 0 for b in bits)
+
+
+def test_empty_build_side_prunes_everything(spark):
+    """Empty dim -> all-zero bitset -> every probe fails -> the pruned
+    join is empty, exactly like the plain join."""
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    bits = bloom_bits(empty, "k", m_bits=1 << 14)
+    assert all(b == 0 for b in bits)
+    probe = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert probe.filter(bloom_might_contain(F.col("k"), bits, 1 << 14)).count() == 0

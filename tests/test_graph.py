@@ -51,3 +51,9 @@ def test_weight_pulls_rank(spark):
         r["node"]: r["rank"] for r in pagerank(_edges(spark, rows), iters=3).collect()
     }
     assert out[2] > out[3]
+
+
+def test_empty_graph_raises(spark):
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty, iters=1)
