@@ -1382,6 +1382,38 @@ def _synthetic_media(spark: SparkSession, sf_dir: str, modality: str):
     )
 
 
+def _audio_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DECODE path under the value oracle (the audio twin of
+    image_pixel_stats): fake-decode each payload to md5-derived
+    samples, compute mean-square energy + RMS per clip in an
+    Arrow-batched stage.  DuckDB replays each sample byte, so the full
+    decode -> feature plan is hash-checked."""
+    from inmem_vector_db_spark.multimodal.media import audio_energy
+
+    media = _synthetic_media(spark, sf_dir, "audio")
+    return audio_energy(media).select(
+        "media_id",
+        F.round("mean_sq", 6).alias("mean_sq"),
+        F.round("rms", 6).alias("rms"),
+        "n_samples",
+    )
+
+
+_AUDIO_ENERGY_ORACLE = """
+WITH px AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         ('0x' || substr(md5(text), 2 * i.i - 1, 2))::BIGINT AS v
+  FROM documents, generate_series(1, 16) AS i(i)
+  WHERE doc_id < 30
+)
+SELECT media_id,
+       round(avg(v * v), 6) AS mean_sq,
+       round(sqrt(avg(v * v)), 6) AS rms,
+       CAST(16 AS INT) AS n_samples
+FROM px GROUP BY media_id
+"""
+
+
 def _video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling under the value oracle: frame timestamps are
     computed JVM-side from metadata (sequence + posexplode — rows
@@ -1461,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dups": _image_phash_dups,
         "video_frame_sample": _video_frame_sample,
         "audio_meta_stats": _audio_meta_stats,
+        "audio_energy_stats": _audio_energy_stats,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
@@ -1506,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dups": _IMAGE_PHASH_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_ORACLE,
         "audio_meta_stats": _AUDIO_STATS_ORACLE,
+        "audio_energy_stats": _AUDIO_ENERGY_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
         "knn_pq": _KNN_PQ_ORACLE,

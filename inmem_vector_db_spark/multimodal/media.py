@@ -216,6 +216,43 @@ def perceptual_hash(
     )
 
 
+def audio_energy(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-clip sample energy from the (stubbed) audio decode: mean
+    square and RMS over the decoded samples.  The fake decoder reuses
+    the md5 scheme (16 digest bytes as 'samples'), so the whole decode →
+    energy path sits under the SQL value oracle; a real torchaudio
+    decode slots into ``_decode_image_bytes``'s audio twin without
+    touching the plan.  Output: (media_id, mean_sq double, rms double,
+    n_samples int) — one Arrow batch per UDF call, payload consumed on
+    the executor."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for payload in pdf["payload"]:
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "audio decode requires torchaudio; unavailable here"
+                    )
+                h = hashlib.md5(bytes(payload)).digest()
+                x = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
+                mean_sq = float((x * x).mean())
+                feats.append((mean_sq, float(np.sqrt(mean_sq)), len(x)))
+            out = pd.DataFrame(feats, columns=["mean_sq", "rms", "n_samples"])
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return (
+        df.filter(F.col("modality") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(
+            part, "media_id string, mean_sq double, rms double, n_samples int"
+        )
+    )
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
     """Metadata-only audio profile — never reads the payload column, so
     the parquet scan prunes it (ReadSchema excludes binary)."""

@@ -2664,6 +2664,88 @@ FROM sp GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# operator QA: language-ID confusion matrix against the labeled lang
+# column (precision-per-language for the heuristic classifier)
+
+
+def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of predicted vs labeled language: (lang,
+    lang_pred, n_docs) — the evaluation harness for the lang_id
+    operator, over the corpus's own ground-truth column.  One row-local
+    prediction expression + one tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH d AS (SELECT lang, text, string_split(lower(text), ' ') AS t FROM documents),
+h AS (
+  SELECT lang, text,
+         {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
+  FROM d
+),
+p AS (
+  SELECT lang,
+         CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+              WHEN best = 0 THEN 'unknown'
+              {_case}
+         END AS lang_pred
+  FROM (SELECT *, {_best} AS best FROM h)
+)
+SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus profile (provenance-sliced quality/dup dashboard —
+# the slice a curation run reports per crawl/source before mixing)
+
+
+def source_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: doc count, distinct-text count (exact-dup rate),
+    token total, mean quality — one conditional aggregate over a single
+    scan, grouped by the provenance column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.md5("text").alias("h"),
+            token_count("text").alias("nt"),
+            quality_score("text").alias("q"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("h").alias("n_unique"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
+SOURCE_PROFILE_SQL = f"""
+WITH d AS (SELECT source, text, string_split(lower(text), ' ') AS t FROM documents),
+s AS (
+  SELECT source, md5(text) AS h, len(t) AS nt,
+         round(0.4 * least(1.0, len(t) / 128.0)
+               + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+               + 0.2 * (1.0 - abs((len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS_EN)}, x)))::DOUBLE / len(t)) - 0.3) / 0.7),
+               6) AS q
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT h) AS n_unique,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM s GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -2714,4 +2796,6 @@ QUERIES: dict[str, tuple] = {
     "curriculum_buckets": (curriculum_buckets_q, CURRICULUM_SQL),
     "udtf_sentences": (udtf_sentences_q, UDTF_SENTENCES_SQL),
     "corpus_pipeline_full": (corpus_pipeline_full_q, CORPUS_PIPELINE_SQL),
+    "lang_confusion": (lang_confusion_q, LANG_CONFUSION_SQL),
+    "source_profile": (source_profile_q, SOURCE_PROFILE_SQL),
 }
