@@ -1187,6 +1187,41 @@ def _user_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def _stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ETL production shape under the oracle: events
+    replayed as a bounded stream, written to a checkpointed parquet
+    FILE SINK (exactly-once via the sink's commit log), read back as a
+    batch table and aggregated.  Oracle = the same aggregate off the
+    source table — the sink must lose/duplicate nothing."""
+    import tempfile
+
+    staged = _stage_events(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="stream_sink_")
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).option("maxFilesPerTrigger", "8").parquet(staged)
+    q = (
+        stream_in.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sink_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out_dir)
+    return written.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_STREAM_FILE_SINK_ORACLE = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def _user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState under the value oracle: the custom
     per-user (count, sum) state machine replays the events table as a
@@ -1489,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_distinct_stream": _user_distinct_stream,
         "value_histogram_stream": _value_histogram_stream,
         "user_totals_stateful_stream": _user_totals_stateful_stream,
+        "stream_file_sink_roundtrip": _stream_file_sink_roundtrip,
         "image_pixel_stats": _image_pixel_stats,
         "image_phash_dups": _image_phash_dups,
         "video_frame_sample": _video_frame_sample,
@@ -1531,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "user_distinct_stream": _USER_DISTINCT_STREAM_ORACLE,
         "value_histogram_stream": _VALUE_HISTOGRAM_STREAM_ORACLE,
         "user_totals_stateful_stream": _USER_TOTALS_STATEFUL_ORACLE,
+        "stream_file_sink_roundtrip": _STREAM_FILE_SINK_ORACLE,
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,
