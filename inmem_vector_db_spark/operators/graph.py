@@ -68,10 +68,11 @@ def pagerank(
     trans = e.join(strength, "src").select(
         "src", "dst", (F.col("w") / F.col("strength")).alias("p")
     ).persist()
-    trans.count()  # materialize trans + strength caches, drop the raw
-    e.unpersist()  # edge cache (trans/strength are all later stages need)
     nodes = strength.select(F.col("src").alias("node"))
-    n_nodes = strength.count()  # cached — a metadata-cheap job
+    # one job: materializes the e + strength caches and yields N (trans
+    # itself is cached by the first iteration's materialization — a
+    # separate trans.count() here would be a whole extra pass)
+    n_nodes = strength.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge set (no nodes)")
     if broadcast_ranks is None:
@@ -110,4 +111,8 @@ def pagerank(
             # — O(iters^2) recomputation on an uncached lineage
             ranks = ranks.persist()
             ranks.count()
+        if it == 0:
+            # trans is now cached (first iteration computed it); the
+            # raw edge cache has no further readers
+            e.unpersist()
     return ranks
