@@ -1417,6 +1417,33 @@ def _synthetic_media(spark: SparkSession, sf_dir: str, modality: str):
     )
 
 
+def _image_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage under the value oracle: fake-resize each 8x8
+    md5 tile to 4x4 — np.resize row-major takes the first 16 bytes,
+    which is exactly the md5 digest, so ``hex(payload)`` must equal
+    ``upper(md5(text))`` in SQL.  Proves the binary-in/binary-out
+    contract (payload column, width/height metadata) byte-for-byte."""
+    from inmem_vector_db_spark.multimodal.media import resize_images
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return resize_images(media, width=4, height=4).select(
+        "media_id", "width", "height", F.hex("payload").alias("payload_hex")
+    )
+
+
+_IMAGE_RESIZE_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       upper(md5(text)) AS payload_hex
+FROM documents WHERE doc_id < 30
+"""
+
+
 def _audio_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio DECODE path under the value oracle (the audio twin of
     image_pixel_stats): fake-decode each payload to md5-derived
@@ -1530,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _video_frame_sample,
         "audio_meta_stats": _audio_meta_stats,
         "audio_energy_stats": _audio_energy_stats,
+        "image_resize_roundtrip": _image_resize_roundtrip,
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
@@ -1577,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_sample": _VIDEO_FRAME_ORACLE,
         "audio_meta_stats": _AUDIO_STATS_ORACLE,
         "audio_energy_stats": _AUDIO_ENERGY_ORACLE,
+        "image_resize_roundtrip": _IMAGE_RESIZE_ORACLE,
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
         "knn_pq": _KNN_PQ_ORACLE,

@@ -2374,6 +2374,35 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# activity heatmap (day-of-week x hour matrix — the usage-pattern
+# profile; engine weekday conventions reconciled explicitly)
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event count + mean value per (day-of-week, hour) cell — the
+    classic activity matrix.  Cell assignment is row-local; the
+    aggregate is <= 168 groups.  Spark's dayofweek is 1=Sunday; the
+    oracle maps DuckDB's 0=Sunday convention onto it."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+ACTIVITY_HEATMAP_SQL = """
+SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS INT) AS hour,
+       count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # salted large-large join under the oracle (operators.skew.salted_join:
 # hot keys spread over 16 tasks, results bit-identical to the plain
 # join — which is exactly what the oracle verifies)
@@ -2581,4 +2610,5 @@ QUERIES = {
     "mad_outliers": (mad_outliers, MAD_OUTLIERS_SQL),
     "degree_distribution": (degree_distribution, DEGREE_DIST_SQL),
     "salted_join_revenue": (salted_join_revenue, BLOOM_PRUNED_SQL),
+    "activity_heatmap": (activity_heatmap, ACTIVITY_HEATMAP_SQL),
 }
