@@ -39,10 +39,15 @@ def asof_join(
     right_payload: tuple[str, ...] = (),
     tolerance_seconds: float | None = None,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the latest right row of
-    the same ``on`` key with ``right_ts <= left_ts`` (ties at equal ts
-    match, like DuckDB/pandas ``ASOF``).
+    """As-of join: for each left row, the latest right row of the same
+    ``on`` key with ``right_ts <= left_ts`` (``direction="backward"``,
+    the default — ties at equal ts match, like DuckDB/pandas ``ASOF``),
+    or the EARLIEST right row with ``right_ts >= left_ts``
+    (``direction="forward"`` — next-event semantics).  The forward form
+    is the same union-tag + window plan with the time ordering
+    reversed: still one Exchange, no join node, no nested loop.
 
     ``right_payload`` columns are carried from the matched right row as
     ``asof_<name>``; the matched timestamp is ``asof_ts``.
@@ -69,11 +74,16 @@ def asof_join(
             l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(r_tag.dtypes)[c]))
     both = l_tag.select(r_tag.columns).unionByName(r_tag)
 
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     # right rows sort before left rows at equal ts (side 0 < 1), so an
-    # equal-timestamp right row is visible to the left row — ASOF `>=`
+    # equal-timestamp right row is visible to the left row — ASOF `>=`.
+    # forward: descending time order makes "preceding" mean "later",
+    # so last(...) carries the EARLIEST right row at-or-after left ts.
+    ts_order = F.col("__ts").desc() if direction == "forward" else F.col("__ts").asc()
     w = (
         Window.partitionBy(on)
-        .orderBy("__ts", _SIDE)
+        .orderBy(ts_order, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [
@@ -86,12 +96,13 @@ def asof_join(
     if tolerance_seconds is not None:
         # timestamp -> double keeps sub-second precision (unix_timestamp
         # truncates to whole seconds)
-        in_tol = (
-            F.col("asof_ts").isNotNull()
-            & (
-                F.col("__ts").cast("double") - F.col("asof_ts").cast("double")
-                <= F.lit(float(tolerance_seconds))
-            )
+        gap = (
+            F.col("asof_ts").cast("double") - F.col("__ts").cast("double")
+            if direction == "forward"
+            else F.col("__ts").cast("double") - F.col("asof_ts").cast("double")
+        )
+        in_tol = F.col("asof_ts").isNotNull() & (
+            gap <= F.lit(float(tolerance_seconds))
         )
         stale = [F.when(in_tol, F.col(f"asof_{c}")).alias(f"asof_{c}") for c in payload]
         out = out.select(

@@ -2374,6 +2374,71 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# forward as-of join (next-event semantics: for each click, the first
+# purchase at-or-after it — the conversion-latency measurement)
+
+
+def next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click: the same user's NEXT purchase within 2 hours
+    (forward as-of, tolerance-bounded), reporting the matched purchase
+    value and the conversion gap in seconds.  Same union-tag single-
+    Exchange plan as the backward as-of — only the time ordering flips;
+    still no join node, no nested loop."""
+    from inmem_vector_db_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # asof_join requires right rows unique per (key, ts): collapse any
+    # same-instant purchases deterministically (min value)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("value").alias("value"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_payload=("value",),
+        tolerance_seconds=7200.0,
+        how="inner",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 4).alias("purchase_value"),
+        F.round(
+            F.col("asof_ts").cast("double") - F.col("ts").cast("double"), 6
+        ).alias("gap_s"),
+    )
+
+
+NEXT_PURCHASE_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts, min(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+matched AS (
+  SELECT c.event_id, c.user_id,
+         min_by(p.value, p.ts) AS purchase_value,
+         epoch(min(p.ts) - c.ts) AS gap_s
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+  GROUP BY c.event_id, c.user_id, c.ts
+)
+SELECT event_id, user_id, round(purchase_value, 4) AS purchase_value,
+       round(gap_s, 6) AS gap_s
+FROM matched
+"""
+
+
+# ---------------------------------------------------------------------------
 # activity heatmap (day-of-week x hour matrix — the usage-pattern
 # profile; engine weekday conventions reconciled explicitly)
 
@@ -2611,4 +2676,5 @@ QUERIES = {
     "degree_distribution": (degree_distribution, DEGREE_DIST_SQL),
     "salted_join_revenue": (salted_join_revenue, BLOOM_PRUNED_SQL),
     "activity_heatmap": (activity_heatmap, ACTIVITY_HEATMAP_SQL),
+    "next_purchase_asof": (next_purchase_asof, NEXT_PURCHASE_SQL),
 }

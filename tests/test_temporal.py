@@ -128,3 +128,35 @@ def test_asof_plan_single_shuffle_no_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_asof_forward_small_case(spark):
+    """Forward as-of: each left row matches the EARLIEST right row
+    at-or-after its timestamp; tolerance drops too-late matches."""
+    import datetime as dt
+
+    from inmem_vector_db_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(50)), (3, 2, ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 5.0), (1, ts(30), 7.0), (2, ts(5000), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r.asDict()
+        for r in asof_join(
+            left, right, on="user_id", right_payload=("value",),
+            tolerance_seconds=100.0, direction="forward",
+        ).collect()
+    }
+    assert out[1]["asof_value"] == 5.0  # equal-ts right row matches
+    assert out[2]["asof_value"] is None  # no purchase within 100s after 50
+    assert out[3]["asof_value"] is None  # 5000s is past tolerance
