@@ -1250,9 +1250,13 @@ def _user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     upd = spark.table(qname)
+    # the stateful operator emits UNROUNDED sums; round here with
+    # F.round (half-away-from-zero, same as the oracle's SQL round) —
+    # rounding inside the UDF with Python round() would be banker's
+    # rounding and could flip on tie values
     return upd.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max_by("value_sum", "n_events").alias("value_sum"),
+        F.round(F.max_by("value_sum", "n_events"), 6).alias("value_sum"),
     )
 
 
@@ -1519,6 +1523,38 @@ GROUP BY 1
 """
 
 
+# The driver's CORRECTNESS gate checks the FIRST 50 queries() entries, so
+# insertion order decides which operators get a driver-green row each
+# round.  This window interleaves every family — kNN/ANN/PQ/LSH, store,
+# streaming, sources, multimodal, TPC-H core+extra, text/dedup, graph/
+# temporal/skew, packing, sketches — so no family falls out of the hard
+# signal as the suite grows (in round 2 the whole text/dedup family did).
+# ``dedup_signature_index`` precedes its consumers: it materializes the
+# shared signature artifact, so both the correctness run and the bench
+# attribute the one-time index build to the explicit build entry.
+_DRIVER_WINDOW = [
+    "knn_cosine", "knn_multi_cosine", "knn_prefilter_label",
+    "ann_ivf_euclidean", "ann_ivf_recall", "ann_ivfpq", "knn_quantized",
+    "knn_pq", "lsh_knn_cosine", "lsh_knn_multiprobe",
+    "store_search_pipeline", "store_crud_lifecycle", "store_parity_search",
+    "events_hourly_stream", "click_purchase_stream",
+    "user_totals_stateful_stream", "stream_file_sink_roundtrip",
+    "csv_source_agg", "jsonl_source_agg", "partitioned_write_roundtrip",
+    "image_pixel_stats", "image_phash_dups", "video_frame_sample",
+    "audio_energy_stats",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q7_nation_volume", "q18_large_volume_customers", "q21_waiting_suppliers",
+    "dedup_signature_index", "dedup_exact_summary", "dedup_minhash_pairs",
+    "dedup_clusters", "dedup_simhash", "dedup_ngram_jaccard",
+    "embedding_near_dup", "semantic_dedup", "text_quality",
+    "lang_id_counts", "token_counts", "crossdoc_shingle_dup",
+    "decontam_overlap",
+    "degree_distribution", "purchase_attribution_asof",
+    "salted_join_revenue", "bloom_pruned_revenue",
+    "sequence_packing", "boilerplate_ngrams", "approx_distinct_kmv",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from inmem_vector_db_spark.plans.packing import QUERIES as PACK
     from inmem_vector_db_spark.plans.relational import QUERIES as REL
@@ -1567,7 +1603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in TXT.items()})
     out.update({name: fn for name, (fn, _sql) in EXTRA.items()})
     out.update({name: fn for name, (fn, _sql) in PACK.items()})
-    return out
+    # family-sampling window first (a missing name here should fail loud,
+    # not silently shrink the checked window), then everything else in
+    # registration order
+    ordered = {name: out[name] for name in _DRIVER_WINDOW}
+    ordered.update(out)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -30,13 +30,30 @@ from inmem_vector_db_spark.operators.knn import knn
 
 
 def select_centroids(
-    corpus: DataFrame, stride: int = 50, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 4096,
 ) -> tuple[list, np.ndarray]:
-    """Deterministic coarse centroids: rows where id % stride == 0."""
+    """Deterministic coarse centroids: the ``max_centroids`` lowest-id
+    rows where id % stride == 0.
+
+    The driver-side collect is BOUNDED at ``max_centroids`` rows
+    (4096 x dim=64 float64 ~ 2 MB) regardless of corpus size — at a
+    fixed stride alone the centroid table grows linearly with N (10^9
+    vectors / 50 = 2*10^7 collected rows, a guaranteed driver OOM at
+    100 TB scale).  ``orderBy + limit`` plans as TakeOrderedAndProject:
+    no global sort, each partition ships at most ``max_centroids``
+    candidates.  At every tested sf the filter yields far fewer rows
+    than the cap, so the limit is value-inert and the DuckDB oracles
+    (which mirror ``id % stride == 0``) are unaffected.
+    """
     rows = (
         corpus.filter(F.col(id_col) % stride == 0)
         .select(id_col, vec_col)
         .orderBy(id_col)
+        .limit(max_centroids)
         .collect()
     )
     cids = [r[0] for r in rows]

@@ -10,8 +10,8 @@ operator is the explicit, engine-portable form:
 * **build**: k seeded-xxhash64 bit positions per key, OR-folded into
   ``m/64`` longs by a distributed two-phase aggregate — the shuffle
   moves at most ``m/64`` rows, never the keys themselves;
-* **probe**: the bitset travels to executors as a literal array (8 KiB
-  at the default m=2^16 — broadcast-class, like Spark's own
+* **probe**: the bitset travels to executors as a literal array (16 KiB
+  at the default m=2^17 — broadcast-class, like Spark's own
   ``BloomFilterAggregate`` result) and the membership test is pure JVM
   bit arithmetic inside whole-stage codegen, evaluated BEFORE the
   fact-side shuffle;

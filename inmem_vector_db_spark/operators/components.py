@@ -81,11 +81,54 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+# Below this many (distinct) edges the component structure fits the
+# driver trivially (1M edges of two BIGINTs ~ 16 MB) and a union-find
+# beats log^2-n rounds of 3 Spark jobs each by an order of magnitude.
+# The same adaptive posture as AQE: measure, then pick the physical
+# strategy; at 100 TB the star loop runs, on a verified near-dup pair
+# set (rare by construction) the driver path does.
+SMALL_EDGE_CUTOFF = 1_000_000
+
+
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Exact small-graph path: classic union-find over a BOUNDED collected
+    edge list (caller guarantees ``count <= SMALL_EDGE_CUTOFF``), labels =
+    min node id per component — identical output to the star loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in e.collect():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    label: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in label or node < label[r]:
+            label[r] = node
+    rows = [(node, label[find(node)]) for node in parent]
+    node_t = e.schema["u"].dataType.simpleString()
+    return e.sparkSession.createDataFrame(
+        rows, f"node {node_t}, component {node_t}"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    small_cutoff: int = SMALL_EDGE_CUTOFF,
 ) -> DataFrame:
     """Label every node of an undirected edge list with its component.
 
@@ -107,10 +150,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if e.isEmpty():
+    n_edges = e.count()  # cached by the checkpoint — a metadata-cheap job
+    if n_edges == 0:
         return e.select(
             F.col("u").alias("node"), F.col("v").alias("component")
         )
+    if small_cutoff and n_edges <= small_cutoff:
+        return _driver_union_find(e)
     prev = _fingerprint(e)
     for _ in range(max_iter):
         e_next = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -78,6 +78,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    sig_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -93,8 +94,22 @@ def minhash_lsh_pairs(
     1-(1-j^r)^b — with 12 hashes / 4 bands (r=3), j=0.8 -> 95%, j=0.3 ->
     10%.  Verification makes the output exact w.r.t. the threshold, so
     recall (not precision) is the only approximation.
+
+    ``sig_index``: a shared signature artifact
+    (``operators.signatures.text_signature_index``, columns ``id_col,
+    sig, shset`` built with the same ``num_hashes``/``shingle_n``) —
+    when given, the expensive per-shingle hashing is skipped entirely
+    and the banding/verify stages read the artifact.  Signature values
+    are identical either way, so oracle results don't change.
     """
     rows_per_band = num_hashes // bands
+    if sig_index is not None:
+        sig = sig_index.select(F.col(id_col), "sig", "shset").filter(
+            F.size("shset") > 0
+        )
+        return _minhash_band_verify(
+            sig, id_col, bands, rows_per_band, jaccard_threshold
+        )
     # Materialize signatures once: ``sig`` feeds three consumers (band
     # explode + both sides of the verify join); without persist() the
     # 12x-md5-per-shingle signature computation re-runs for each.  At
@@ -121,7 +136,18 @@ def minhash_lsh_pairs(
         # (M10), not a cache.
         .persist()
     )
+    return _minhash_band_verify(sig, id_col, bands, rows_per_band, jaccard_threshold)
 
+
+def _minhash_band_verify(
+    sig: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Banding + exact-Jaccard verify over a signature table with columns
+    ``(id_col, sig, shset)`` — shared by the inline and artifact paths."""
     band_keys = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -177,21 +203,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    sig_index: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs blocked on the single
     minimum shingle hash (1-hash MinHash blocking: any pair with Jaccard
     j shares the min-shingle with probability j — cheap, high-recall for
-    high thresholds, and fully oracle-expressible)."""
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(nparts, F.col(id_col)).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
-    ).filter(F.size("shset") > 0)
-    # persist: both self-join sides would otherwise re-shingle + re-md5
-    # (cache-lifetime ownership documented in minhash_lsh_pairs above)
-    keyed = base.withColumn(
-        "block", F.array_min(F.transform("shset", lambda s: F.md5(s)))
-    ).persist()
+    high thresholds, and fully oracle-expressible).
+
+    ``sig_index`` (columns ``id_col, shset, block`` built with the same
+    ``shingle_n``): reuse the shared signature artifact instead of
+    re-shingling + re-hashing the corpus."""
+    if sig_index is not None:
+        keyed = sig_index.select(F.col(id_col), "shset", "block").filter(
+            F.size("shset") > 0
+        )
+    else:
+        nparts = df.sparkSession.sparkContext.defaultParallelism
+        base = df.repartition(nparts, F.col(id_col)).select(
+            F.col(id_col),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
+        ).filter(F.size("shset") > 0)
+        # persist: both self-join sides would otherwise re-shingle + re-md5
+        # (cache-lifetime ownership documented in minhash_lsh_pairs above)
+        keyed = base.withColumn(
+            "block", F.array_min(F.transform("shset", lambda s: F.md5(s)))
+        ).persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -223,6 +259,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
     portable: bool = False,
+    sig_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates via 4-band blocking (any
     pair within Hamming distance 3 agrees exactly on at least one band —
@@ -234,22 +271,29 @@ def simhash_pairs(
     bit-identical in DuckDB, so the whole pipeline sits under the
     value-hash oracle.
 
+    ``sig_index`` (portable only; column ``sim60`` built with the same
+    ``shingle_n``): reuse the shared signature artifact instead of
+    recomputing the md5 signature.
+
     Output: (id_a, id_b, hamming).
     """
     from inmem_vector_db_spark.functions.text import simhash60
 
-    sig_expr = (
-        simhash60(F.col(text_col), shingle_n)
-        if portable
-        else simhash64(F.col(text_col), shingle_n)
-    )
     band_bits = 15 if portable else 16
     mask = (1 << band_bits) - 1
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    sig = df.repartition(nparts, F.col(id_col)).select(
-        F.col(id_col), sig_expr.alias("sig")
-    ).persist()  # both self-join sides reuse the signature computation
-    # (cache-lifetime ownership documented in minhash_lsh_pairs above)
+    if sig_index is not None and portable:
+        sig = sig_index.select(F.col(id_col), F.col("sim60").alias("sig"))
+    else:
+        sig_expr = (
+            simhash60(F.col(text_col), shingle_n)
+            if portable
+            else simhash64(F.col(text_col), shingle_n)
+        )
+        nparts = df.sparkSession.sparkContext.defaultParallelism
+        sig = df.repartition(nparts, F.col(id_col)).select(
+            F.col(id_col), sig_expr.alias("sig")
+        ).persist()  # both self-join sides reuse the signature computation
+        # (cache-lifetime ownership documented in minhash_lsh_pairs above)
     bands = sig.select(
         F.col(id_col),
         "sig",

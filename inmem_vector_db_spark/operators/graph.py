@@ -60,19 +60,35 @@ def pagerank(
             )
         )
     e = e.persist()
-    # strength doubles as the node universe: one row per node (every
-    # node appears as src after symmetrization), so no separate
-    # distinct() job
     strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
     # transition weight per edge: w / strength(src), computed once
     trans = e.join(strength, "src").select(
         "src", "dst", (F.col("w") / F.col("strength")).alias("p")
     ).persist()
-    nodes = strength.select(F.col("src").alias("node"))
-    # one job: materializes the e + strength caches and yields N (trans
-    # itself is cached by the first iteration's materialization — a
-    # separate trans.count() here would be a whole extra pass)
-    n_nodes = strength.count()
+    if symmetrize:
+        # strength doubles as the node universe: one row per node (every
+        # node appears as src after symmetrization), so no separate
+        # distinct() job
+        nodes = strength.select(F.col("src").alias("node"))
+        # one job: materializes the e + strength caches and yields N
+        # (trans itself is cached by the first iteration's
+        # materialization — a separate trans.count() would be a pass)
+        n_nodes = strength.count()
+    else:
+        # directed graph: sink nodes (dst-only, no out-edge) are real
+        # nodes — they receive inflow and count toward N, they just
+        # contribute nothing.  Deriving the universe from src alone
+        # would silently drop them AND their received mass.  Rank mass
+        # parked on sinks leaks each iteration (the standard
+        # no-dangling-correction PageRank); total rank sums to < 1 when
+        # sinks exist, by design.
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge set (no nodes)")
     if broadcast_ranks is None:

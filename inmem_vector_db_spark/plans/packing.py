@@ -154,7 +154,10 @@ _BOILER_DF = 3  # "boilerplate" = shingle seen in >= this many docs
 
 
 def boilerplate_profile(
-    docs: DataFrame, n: int = _BOILER_N, min_df: int = _BOILER_DF
+    docs: DataFrame,
+    n: int = _BOILER_N,
+    min_df: int = _BOILER_DF,
+    sig_index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-source boilerplate profile ``(source, n_docs,
     docs_with_boiler, avg_boiler_ratio, total_boiler)``.
@@ -167,11 +170,16 @@ def boilerplate_profile(
     high-df shingles are rare by definition, so that side stays small
     at any corpus size.
     """
-    d = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(word_shingles(F.col("text"), n)).alias("shset"),
-    ).where(F.size("shset") > 0)
+    if sig_index is not None:  # shared artifact: shset is the n=3 set
+        d = sig_index.select("doc_id", "source", "shset").where(
+            F.size("shset") > 0
+        )
+    else:
+        d = docs.select(
+            "doc_id",
+            "source",
+            F.array_distinct(word_shingles(F.col("text"), n)).alias("shset"),
+        ).where(F.size("shset") > 0)
     # persist: three branches (df census, boiler scoring, per-doc sizes)
     # consume the exploded shingle stream — without it the shingle
     # string-building (the dominant cost) re-runs per branch (measured
@@ -213,7 +221,12 @@ def boilerplate_profile(
 
 
 def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return boilerplate_profile(load_table(spark, sf_dir, "documents"))
+    from inmem_vector_db_spark.operators.signatures import corpus_signature_index
+
+    return boilerplate_profile(
+        load_table(spark, sf_dir, "documents"),
+        sig_index=corpus_signature_index(spark, sf_dir),
+    )
 
 
 BOILERPLATE_SQL = f"""

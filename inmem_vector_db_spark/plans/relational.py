@@ -1368,7 +1368,7 @@ FROM events GROUP BY event_type
 
 def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue of line items belonging to URGENT orders, with the fact
-    side Bloom-pruned before the join: a 16 KiB md5-derived bitset built
+    side Bloom-pruned before the join: a 16 KiB seeded-xxhash64 bitset built
     distributively from the filtered orders keys filters lineitem rows
     inside codegen BEFORE any shuffle; the real join then removes the
     ~1.5% false positives, so the result is bit-identical to the plain

@@ -35,6 +35,7 @@ from inmem_vector_db_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from inmem_vector_db_spark.operators.signatures import corpus_signature_index
 from inmem_vector_db_spark.sources.loader import load_table
 
 
@@ -47,13 +48,36 @@ def _sql_list(words) -> str:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection over a single tokenization: the token array is
+    materialized once per row and every metric (count, distinct ratio,
+    stopword ratio, composite score) derives from it — rather than four
+    independent ``split(lower(text))`` trees that rely on codegen
+    subexpression elimination to fuse."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    sw = F.lit(list(STOPWORDS_EN))
+    t = docs.select(
         "doc_id",
-        token_count("text").cast("long").alias("n_tokens"),
-        F.round(distinct_ratio("text"), 6).alias("distinct_ratio"),
-        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
-        quality_score("text").alias("quality_score"),
+        tokens("text").alias("t"),
+    ).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias("dr"),
+        (
+            F.size(F.filter("t", lambda x: F.array_contains(sw, x))).cast("double")
+            / F.size("t")
+        ).alias("sw"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round("dr", 6).alias("distinct_ratio"),
+        F.round("sw", 6).alias("stopword_ratio"),
+        F.round(
+            F.lit(0.4) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(128.0))
+            + F.lit(0.4) * F.col("dr")
+            + F.lit(0.2) * (F.lit(1.0) - F.abs(F.col("sw") - F.lit(0.3)) / F.lit(0.7)),
+            6,
+        ).alias("quality_score"),
     )
 
 
@@ -179,9 +203,88 @@ sh AS (
 """
 
 
+def dedup_signature_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-family index-build job (the text-side analog of the
+    reference's build-once index artifact, ``app/core/indexers/
+    indexer.py:28-39`` / rebuild job M10): materialize the shared
+    per-corpus signature table — (doc_id, shset, shset5, minhash sig,
+    sim60, block) — that every dedup/near-dup query then reads, and
+    return an oracle-checkable summary of it.  Running it first in a
+    session means every later dedup query pays only its own banding /
+    verify cost, exactly how a production pipeline amortizes signature
+    hashing at 100 TB (build = one pass; queries = columnar reads)."""
+    sig = corpus_signature_index(spark, sf_dir)
+    return sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size("shset")).cast("long").alias("total_shingles3"),
+        F.sum(F.size("shset5")).cast("long").alias("total_shingles5"),
+        F.count_distinct("sim60").alias("distinct_sim60"),
+        F.count_distinct("block").alias("distinct_blocks"),
+        F.min(F.element_at("sig", 1)).alias("min_h1"),
+    )
+
+
+DEDUP_SIGNATURE_INDEX_SQL = f"""
+WITH {_SH_CTE},
+msig AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 11),
+           i -> list_min(list_transform(shingles,
+             s -> (((507952114 * (i + 1)) % 2147483647)
+                   * (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)
+                   + 40503 * (i + 7)) % 2147483647))) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+keyed AS (
+  SELECT doc_id,
+         list_min(list_transform(list_distinct(shingles), s -> md5(s))) AS block
+  FROM sh WHERE len(shingles) > 0
+),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t)-1), i -> t[i]||' '||t[i+1])
+              ELSE [] END AS shingles
+  FROM docs
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT) AS hs
+  FROM sh2
+),
+ssig AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN 0::BIGINT ELSE
+           list_sum(list_transform(generate_series(0, 59), i ->
+             CASE WHEN 2 * list_sum(list_transform(hs, h -> ((h >> i) & 1)::BIGINT)) >= len(hs)
+                  THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+         END AS sig
+  FROM hs
+),
+sh5 AS (
+  SELECT d2.doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(generate_series(1, len(t)-4),
+                   i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+              ELSE [] END AS s5
+  FROM docs d2
+)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) AS total_chars,
+       (SELECT CAST(coalesce(sum(len(list_distinct(shingles))), 0) AS BIGINT) FROM sh) AS total_shingles3,
+       (SELECT CAST(coalesce(sum(len(s5)), 0) AS BIGINT) FROM sh5) AS total_shingles5,
+       (SELECT count(DISTINCT sig) FROM ssig) AS distinct_sim60,
+       (SELECT count(DISTINCT block) FROM keyed) AS distinct_blocks,
+       (SELECT min(sig[1]) FROM msig) AS min_h1
+"""
+
+
 def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), jaccard_threshold=0.5
+        load_table(spark, sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        sig_index=corpus_signature_index(spark, sf_dir),
     )
 
 
@@ -243,13 +346,10 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
-    labels = connected_components(pairs, src="id_a", dst="id_b")
-    members = labels.join(
-        docs.select(
-            F.col("doc_id").alias("node"),
-            F.length("text").cast("long").alias("n_chars"),
-        ),
+    sig = corpus_signature_index(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, sig_index=sig)
+    members = connected_components(pairs, src="id_a", dst="id_b").join(
+        sig.select(F.col("doc_id").alias("node"), "n_chars"),
         "node",
     )
     rk = F.row_number().over(
@@ -309,7 +409,11 @@ FROM ranked GROUP BY component
 
 
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        sig_index=corpus_signature_index(spark, sf_dir),
+    )
 
 
 DEDUP_NGRAM_SQL = f"""
@@ -355,7 +459,10 @@ SELECT * FROM (
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=6, portable=True
+        load_table(spark, sf_dir, "documents"),
+        max_hamming=6,
+        portable=True,
+        sig_index=corpus_signature_index(spark, sf_dir),
     )
 
 
@@ -719,11 +826,10 @@ def decontam_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     production decontamination shape: shingle -> semi-join against the
     (small) eval shingle set -> per-doc overlap ratio.  The eval side is
     distinct-ed first so it stays broadcastable; the corpus side is
-    never collected or re-shuffled beyond its own per-doc aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles("text", 3))).alias("sh"),
+    never collected or re-shuffled beyond its own per-doc aggregate.
+    Shingle sets come from the shared signature artifact."""
+    sh = corpus_signature_index(spark, sf_dir).select(
+        "doc_id", F.explode("shset").alias("sh")
     )
     eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("sh").distinct()
     corpus = sh.filter(F.col("doc_id") % 50 != 0)
@@ -2368,10 +2474,12 @@ def crossdoc_shingle_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (partial-aggregable wordcount) -> semi-annotate each doc's
     shingles with shared/not -> one per-doc aggregate.  Both shuffles
     key on the shingle/doc hash — no all-pairs comparison anywhere
-    (the same candidates-only posture as the MinHash path)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(word_shingles("text", 5))).alias("sh")
+    (the same candidates-only posture as the MinHash path).  The 5-gram
+    shingle sets come from the shared signature artifact
+    (``operators.signatures``), so the corpus is tokenized once per
+    session across the whole dedup family."""
+    sh = corpus_signature_index(spark, sf_dir).select(
+        "doc_id", F.explode("shset5").alias("sh")
     )
     counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
@@ -2750,6 +2858,7 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
     "fingerprint_summary": (fingerprint_summary, FINGERPRINT_SQL),
+    "dedup_signature_index": (dedup_signature_index_q, DEDUP_SIGNATURE_INDEX_SQL),
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
     "dedup_exact_pairs": (dedup_exact_pairs_q, DEDUP_EXACT_PAIRS_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs_q, DEDUP_MINHASH_SQL),

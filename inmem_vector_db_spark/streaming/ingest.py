@@ -105,8 +105,11 @@ def running_user_totals(
         state.update((n, total))
         import pandas as pd  # local import: runs on workers
 
+        # emit UNROUNDED: Python round() is banker's rounding while the
+        # oracle's SQL round is half-away-from-zero — callers round
+        # Spark-side (F.round) so rounding semantics match the oracle
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(total, 6)]}
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [total]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

@@ -125,3 +125,14 @@ def test_ivfpq_candidates_subset_and_exact_rerank(spark, sf_dir):
     assert [(r["vec_id"], round(r["dist"], 9)) for r in full] == [
         (r["vec_id"], round(r["dist"], 9)) for r in exact
     ]
+
+
+def test_select_centroids_collect_is_bounded(emb):
+    # the driver-side collect must never exceed max_centroids rows,
+    # regardless of corpus size / stride (the 100 TB safety bound)
+    cids, cmat = select_centroids(emb, stride=1, max_centroids=7)
+    assert len(cids) == 7 and cmat.shape[0] == 7
+    # deterministic: the 7 LOWEST ids that pass the stride filter
+    assert cids == sorted(cids)
+    full, _ = select_centroids(emb, stride=1, max_centroids=1_000_000)
+    assert cids == sorted(full)[:7]

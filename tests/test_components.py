@@ -34,29 +34,38 @@ def _union_find(edges, nodes=None):
     return {n: comp_min[r] for n, r in out.items()}
 
 
-def _labels(spark, edges):
+def _labels(spark, edges, cutoff=None):
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    kw = {} if cutoff is None else {"small_cutoff": cutoff}
     return {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **kw).collect()
     }
 
 
-def test_chain_collapses_to_min(spark):
+# cutoff=0 forces the distributed star loop; the default takes the
+# bounded driver union-find path — both must agree everywhere
+CUTOFFS = [0, None]
+
+
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_chain_collapses_to_min(spark, cutoff):
     edges = [(i, i + 1) for i in range(1, 8)]
-    got = _labels(spark, edges)
+    got = _labels(spark, edges, cutoff)
     assert got == {i: 1 for i in range(1, 9)}
 
 
-def test_disjoint_cliques(spark):
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_disjoint_cliques(spark, cutoff):
     edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]
-    got = _labels(spark, edges)
+    got = _labels(spark, edges, cutoff)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
 
 
-def test_duplicate_reversed_and_self_edges(spark):
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_duplicate_reversed_and_self_edges(spark, cutoff):
     edges = [(2, 1), (1, 2), (2, 2), (3, 2), (1, 3)]
-    got = _labels(spark, edges)
+    got = _labels(spark, edges, cutoff)
     assert got == {1: 1, 2: 1, 3: 1}
 
 
@@ -71,14 +80,15 @@ def test_self_loops_only(spark):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_graph_matches_union_find(spark, seed):
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_random_graph_matches_union_find(spark, seed, cutoff):
     rng = random.Random(seed)
     n = 80
     edges = [
         (rng.randrange(n), rng.randrange(n)) for _ in range(60)
     ]
     edges = [(u, v) for u, v in edges if u != v]
-    got = _labels(spark, edges)
+    got = _labels(spark, edges, cutoff)
     touched = sorted({x for e in edges for x in e})
     assert got == _union_find(edges, touched)
 
@@ -87,5 +97,5 @@ def test_long_chain_within_round_budget(spark):
     # 64-node chain: diameter 63, but star contraction must converge
     # inside the default 25-round budget (O(log^2 n), not O(diameter))
     edges = [(i, i + 1) for i in range(64)]
-    got = _labels(spark, edges)
+    got = _labels(spark, edges, cutoff=0)
     assert set(got.values()) == {0}

@@ -204,3 +204,70 @@ def test_semantic_dedup_self_pairs_excluded(spark):
     rows = D.semantic_dedup_pairs(df, stride=3, max_cosine_dist=0.1).collect()
     assert all(r["id_a"] < r["id_b"] for r in rows)
     assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# shared signature artifact (operators.signatures): the sig_index path
+# must produce byte-identical results to the inline path for every
+# consumer, and the parquet round-trip must preserve it
+
+
+def _with_source(corpus):
+    from pyspark.sql import functions as F
+
+    return corpus.withColumn("source", F.lit("s1"))
+
+
+def test_signature_index_paths_agree(corpus):
+    from inmem_vector_db_spark.operators.signatures import text_signature_index
+
+    sig = text_signature_index(_with_source(corpus)).persist()
+    try:
+        for inline, shared in [
+            (D.minhash_lsh_pairs(corpus), D.minhash_lsh_pairs(corpus, sig_index=sig)),
+            (
+                D.ngram_jaccard_pairs(corpus),
+                D.ngram_jaccard_pairs(corpus, sig_index=sig),
+            ),
+            (
+                D.simhash_pairs(corpus, portable=True),
+                D.simhash_pairs(corpus, portable=True, sig_index=sig),
+            ),
+        ]:
+            assert sorted(map(tuple, inline.collect())) == sorted(
+                map(tuple, shared.collect())
+            )
+    finally:
+        sig.unpersist()
+
+
+def test_signature_index_roundtrip(corpus, tmp_path):
+    from inmem_vector_db_spark.operators.signatures import (
+        read_signature_index,
+        text_signature_index,
+        write_signature_index,
+    )
+
+    idx = text_signature_index(_with_source(corpus))
+    path = str(tmp_path / "sigidx")
+    write_signature_index(idx, path)
+    back = read_signature_index(corpus.sparkSession, path)
+    assert set(back.columns) == {
+        "doc_id", "source", "n_chars", "shset", "shset5", "sim60", "sig", "block",
+    }
+    pairs = D.minhash_lsh_pairs(corpus, sig_index=back)
+    assert sorted(map(tuple, pairs.collect())) == sorted(
+        map(tuple, D.minhash_lsh_pairs(corpus).collect())
+    )
+
+
+def test_corpus_signature_index_memoizes(spark, sf_dir):
+    from inmem_vector_db_spark.operators import signatures as S
+
+    a = S.corpus_signature_index(spark, sf_dir)
+    b = S.corpus_signature_index(spark, sf_dir)
+    assert a is b
+    S.clear_signature_cache()
+    c = S.corpus_signature_index(spark, sf_dir)
+    assert c is not a
+    S.clear_signature_cache()

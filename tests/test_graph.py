@@ -57,3 +57,36 @@ def test_empty_graph_raises(spark):
     empty = spark.createDataFrame([], "src long, dst long, weight double")
     with pytest.raises(ValueError, match="empty"):
         pagerank(empty, iters=1)
+
+
+def test_directed_includes_sink_nodes(spark):
+    """symmetrize=False: a dst-only sink must appear in the result with
+    base + damping*inflow — previously the src-derived node universe
+    dropped sinks and their received mass entirely."""
+    from inmem_vector_db_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3 (3 is a sink: no out-edges)
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=1, symmetrize=False).collect()}
+    assert set(got) == {1, 2, 3}
+    base = 0.15 / 3
+    assert abs(got[1] - base) < 1e-9                     # no in-edges
+    assert abs(got[2] - (base + 0.85 / 3)) < 1e-9        # inflow from 1
+    assert abs(got[3] - (base + 0.85 / 3)) < 1e-9        # sink receives inflow from 2
+
+
+def test_directed_two_iters_sink_mass_leaks(spark):
+    """Documented no-dangling-correction behavior: with a sink, total
+    rank after >=2 directed iterations is < 1 (mass parked on the sink
+    leaks), while every node still gets >= base."""
+    from inmem_vector_db_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=2, symmetrize=False).collect()}
+    assert set(got) == {1, 2, 3}
+    assert sum(got.values()) < 1.0
+    assert all(v >= 0.15 / 3 - 1e-12 for v in got.values())

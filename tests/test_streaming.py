@@ -122,10 +122,11 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir):
     stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     got_df = run_stream_to_memory(
         running_user_totals(stream_in), output_mode="update"
-    )
+    ).select("user_id", "n_events", F.round("value_sum", 6).alias("value_sum"))
     # update mode re-emits a user on every batch that touches them; the
     # LAST emission carries the final total — with one input file there
-    # is one batch, so rows are final already.
+    # is one batch, so rows are final already.  The operator emits raw
+    # sums; rounding is Spark-side (oracle-identical semantics).
     got = {r["user_id"]: (r["n_events"], round(r["value_sum"], 4)) for r in got_df.collect()}
     batch = load_table(spark, sf_dir, "events")
     want = {

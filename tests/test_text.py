@@ -299,7 +299,7 @@ def test_pmi_prefers_exclusive_pairs(spark):
     assert all(rows["zig zag"] >= v for v in rows.values())
 
 
-def test_quality_quantile_filter_median_split(spark):
+def test_quality_quantile_filter_median_split(spark, sf_dir):
     """n_above_median must be < n_docs and >= floor((n-1)/2) for any
     real-valued quality distribution (strictly-above semantics)."""
     from unittest import mock
@@ -307,7 +307,7 @@ def test_quality_quantile_filter_median_split(spark):
     import inmem_vector_db_spark.plans.textops as TX
     from inmem_vector_db_spark.sources.loader import load_table as real_load
 
-    docs = real_load(spark, "/root/testdata/sf0.001", "documents")
+    docs = real_load(spark, sf_dir, "documents")
     with mock.patch.object(TX, "load_table", lambda s, d, n: docs):
         rows = TX.quality_quantile_filter_q(spark, "unused").collect()
     assert rows
