@@ -704,6 +704,234 @@ LIMIT 10
 """
 
 
+_RECALL_QIDS = (2, 7, 11, 19)
+
+
+def _recall_vs_exact(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, k: int = 10
+) -> DataFrame:
+    """(query_id, recall_at_10) of an approx (query_id, vec_id) result
+    against the exact euclidean top-k — shared by the IVF-PQ and
+    int8-quantized recall entries (mirrors ``_ann_ivf_recall``)."""
+    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join_vectorized(emb, queries, k=k, metric="euclidean").select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            "query_id",
+            F.round(F.col("n_hit") / F.lit(float(k)), 6).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the full IVF-PQ pipeline (coarse prune -> ADC rank
+    -> exact re-rank) vs the exact scan, per query — the eval row that
+    decides nprobe/oversample for the two-level index, matching the
+    existing ``ann_ivf_recall``/``lsh_recall_at_k`` rows.  Each query is
+    one bounded search over the probed lists; the recall join moves only
+    2*Q*k id pairs."""
+    from functools import reduce
+
+    from inmem_vector_db_spark.operators.ann import ivfpq_search
+
+    emb = _emb(spark, sf_dir)
+    per = [
+        ivfpq_search(
+            emb, _query_vec(spark, sf_dir, qid), k=10, nprobe=3, stride=50,
+            m=4, codebook_k=16, pq_stride=25, oversample=5,
+        ).select(F.lit(qid).cast("long").alias("query_id"), "vec_id")
+        for qid in _RECALL_QIDS
+    ]
+    return _recall_vs_exact(spark, sf_dir, reduce(DataFrame.union, per))
+
+
+_ANN_IVFPQ_RECALL_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id IN {tuple(_RECALL_QIDS)}),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid
+           ) AS rn
+    FROM cents c, q
+  ) WHERE rn <= 3
+),
+pruned AS (
+  SELECT p.query_id, a.vec_id, a.embedding
+  FROM assigned a JOIN probe p ON a.cluster_id = p.cid
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16)
+),
+sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+-- PQ codes are query-independent: encode each DISTINCT pruned vector once
+enc AS (
+  SELECT e.vec_id, s.j, cb.c,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> pow(e.embedding[s.j * 16 + i]::DOUBLE - cb.cv[s.j * 16 + i], 2))) AS d
+  FROM (SELECT DISTINCT vec_id, embedding FROM pruned) e, sub s, cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.query_id, s.j, cb.c,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> pow(q.qv[s.j * 16 + i] - cb.cv[s.j * 16 + i], 2))) AS ld
+  FROM q, sub s, cb
+),
+adc AS (
+  SELECT p.query_id, p.vec_id, list_sum(list(lut.ld ORDER BY codes.j)) AS adc_d
+  FROM pruned p
+  JOIN codes ON codes.vec_id = p.vec_id
+  JOIN lut ON lut.query_id = p.query_id AND codes.j = lut.j AND codes.c = lut.c
+  GROUP BY p.query_id, p.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 50
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, p.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_distance(p.embedding::DOUBLE[], q.qv::DOUBLE[]), p.vec_id
+           ) AS rn
+    FROM pruned p JOIN cand USING (query_id, vec_id)
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+           ) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
+def _knn_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8-quantized two-stage path (quantized
+    candidate scan -> exact re-rank) vs the exact scan, per query.
+    int8 rounding rarely perturbs the top-k ordering past the 4x
+    oversample, so recall is expected at ~1.0 — this row PINS that."""
+    from functools import reduce
+
+    from inmem_vector_db_spark.operators.quantize import (
+        knn_quantized_rerank,
+        with_quantized,
+    )
+
+    corpus = with_quantized(_emb(spark, sf_dir))
+    per = [
+        knn_quantized_rerank(
+            corpus, _query_vec(spark, sf_dir, qid), k=10, oversample=4
+        ).select(F.lit(qid).cast("long").alias("query_id"), "vec_id")
+        for qid in _RECALL_QIDS
+    ]
+    return _recall_vs_exact(spark, sf_dir, reduce(DataFrame.union, per))
+
+
+_KNN_QUANTIZED_RECALL_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN {tuple(_RECALL_QIDS)}),
+quant AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0::FLOAT
+              ELSE (list_max(list_transform(v, x -> abs(x))) / 127.0)::FLOAT
+         END AS scale
+  FROM base
+),
+deq AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> round(x / scale) * scale::DOUBLE) AS dv
+  FROM quant
+),
+cand AS (
+  SELECT query_id, vec_id, v FROM (
+    SELECT q.query_id, d.vec_id, d.v,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(d.dv, q.qv), d.vec_id
+           ) AS rn
+    FROM deq d, q
+  ) WHERE rn <= 40
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY list_distance(c.v, q.qv), c.vec_id
+           ) AS rn
+    FROM cand c JOIN q USING (query_id)
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(b.v, q.qv), b.vec_id
+           ) AS rn
+    FROM base b, q
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
 def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector aggregation: per-label centroid embedding (posexplode ->
     per-position mean -> re-assemble ordered array).  The primitive
@@ -1597,6 +1825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_parity_search": _store_parity_search,
         "knn_quantized": _knn_quantized,
         "knn_pq": _knn_pq,
+        "ann_ivfpq_recall": _ann_ivfpq_recall,
+        "knn_quantized_recall": _knn_quantized_recall,
         "label_centroids": _label_centroids,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
@@ -1650,6 +1880,8 @@ def oracle_sql() -> dict[str, str]:
         "store_parity_search": _STORE_PARITY_ORACLE,
         "knn_quantized": _KNN_QUANTIZED_ORACLE,
         "knn_pq": _KNN_PQ_ORACLE,
+        "ann_ivfpq_recall": _ANN_IVFPQ_RECALL_ORACLE,
+        "knn_quantized_recall": _KNN_QUANTIZED_RECALL_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
     out.update({name: sql for name, (_fn, sql) in REL.items()})

@@ -466,6 +466,20 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-speed SimHash variant: 64-bit xxhash64 signature
+    (JVM shingle hashing + numpy majority vote, 4 x 16-bit bands) —
+    identical banding pipeline to ``dedup_simhash`` but with Spark's
+    native hash instead of the engine-portable md5 scheme.  xxhash64 is
+    not reproducible in DuckDB, so this entry carries a rows-only check
+    (deterministic: same data -> same signatures -> same pairs); the
+    md5 sibling above carries the full value-hash oracle for the shared
+    banding/verify logic."""
+    return simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=6, portable=False
+    )
+
+
 DEDUP_SIMHASH_SQL = """
 WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
 sh2 AS (
@@ -2876,6 +2890,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard_q, DEDUP_NGRAM_SQL),
     "embedding_near_dup": (embedding_near_dup_q, EMBEDDING_NEAR_DUP_SQL),
     "dedup_simhash": (dedup_simhash_q, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_fast": (dedup_simhash_fast_q, None),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "dedup_canonical": (dedup_canonical_q, DEDUP_CANONICAL_SQL),

@@ -136,3 +136,25 @@ def test_select_centroids_collect_is_bounded(emb):
     assert cids == sorted(cids)
     full, _ = select_centroids(emb, stride=1, max_centroids=1_000_000)
     assert cids == sorted(full)[:7]
+
+
+def test_recall_entries_meet_thresholds(spark, sf_dir):
+    """The recall@10 eval rows must stay above their pinned floors:
+    int8 quantization + 4x oversample recovers the exact top-10
+    (recall 1.0); IVF-PQ at nprobe=3 trades recall for a 3-list scan
+    (floor 0.2 per query, 0.3 mean at the tiny test sf — tighter at
+    larger corpora where lists are better populated)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    quant = {
+        r["query_id"]: r["recall_at_10"]
+        for r in qs["knn_quantized_recall"](spark, sf_dir).collect()
+    }
+    assert quant and all(v == 1.0 for v in quant.values())
+    ivfpq = {
+        r["query_id"]: r["recall_at_10"]
+        for r in qs["ann_ivfpq_recall"](spark, sf_dir).collect()
+    }
+    assert ivfpq and all(v >= 0.2 for v in ivfpq.values())
+    assert sum(ivfpq.values()) / len(ivfpq) >= 0.3

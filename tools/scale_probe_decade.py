@@ -1,0 +1,113 @@
+"""Fourth-decade scaling probe for the text/dedup family.
+
+The driver provides sf0.001/0.01/0.1 (100x span).  This tool extends the
+probe ONE more decade with a synthetic 10x corpus derived from sf0.1:
+each of the 10 copies keeps the original's intra-copy duplicate
+structure but is made textually disjoint from the other copies by a
+per-copy vowel substitution (``translate``), so near-dup pair counts —
+and therefore candidate-join work — grow LINEARLY with the copy count
+instead of quadratically (a naive 10x concat would make every doc
+collide with its 9 clones and measure an artifact, not the engine).
+
+Writes the corpus to /tmp/spark_graft_sf1_synth/documents.parquet on
+first run (50k docs), then times each query at sf0.1 vs the synthetic
+sf1 and prints the per-decade alpha (t ~ n^alpha over THIS decade).
+
+Usage: python tools/scale_probe_decade.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from inmem_vector_db_spark.session import get_spark  # noqa: E402
+
+SYNTH_DIR = "/tmp/spark_graft_sf1_synth"
+SRC_DIR = "/root/testdata/sf0.1"
+COPIES = 10
+# per-copy vowel permutations: copy 0 is the original corpus; each other
+# copy rewrites vowels so its tokens (hence shingles/signatures) are
+# disjoint from every other copy's
+_VOWEL_MAPS = [
+    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
+    "aeoiu", "eoiau", "oiaue", "iauoe", "uoeia",
+]
+
+DEFAULT = [
+    "dedup_signature_index",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "crossdoc_shingle_dup",
+    "decontam_overlap",
+    "boilerplate_ngrams",
+    "text_quality",
+]
+
+
+def build_synth(spark) -> None:
+    if os.path.exists(f"{SYNTH_DIR}/documents.parquet"):
+        return
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).head()[0] + 1
+    parts = []
+    for i in range(COPIES):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        if i > 0:
+            d = d.withColumn("text", F.translate("text", "aeiou", _VOWEL_MAPS[i]))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SYNTH_DIR}/documents.parquet"
+    )
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark("scale-probe-decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_synth(spark)
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        fn = qs[name]
+        times = []
+        for sf_dir in (SRC_DIR, SYNTH_DIR):
+            fn(spark, sf_dir).collect()  # warm (builds/caches the artifact)
+            if name == "dedup_signature_index":
+                # measure the BUILD, not a cache read: drop the memoized
+                # artifact so the timed run re-hashes the corpus (and
+                # re-caches it for the queries that follow)
+                from inmem_vector_db_spark.operators.signatures import (
+                    clear_signature_cache,
+                )
+
+                clear_signature_cache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            times.append(time.perf_counter() - t0)
+        alpha = (math.log(times[1]) - math.log(times[0])) / math.log(10.0)
+        out[name] = {
+            "sf0.1_s": round(times[0], 3),
+            "sf1_synth_s": round(times[1], 3),
+            "alpha": round(alpha, 3),
+        }
+        print(f"{name:28s} {times[0]:7.2f}s {times[1]:7.2f}s  alpha={alpha:+.2f}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
