@@ -748,13 +748,25 @@ def _ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*Q*k id pairs."""
     from functools import reduce
 
-    from inmem_vector_db_spark.operators.ann import ivfpq_search
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivfpq_search,
+        select_centroids,
+    )
+    from inmem_vector_db_spark.operators.pq import pq_codebooks
 
     emb = _emb(spark, sf_dir)
+    # index artifacts computed ONCE and shared by all queries — the
+    # persisted-index posture (assignment is the expensive pass; the
+    # per-query work is probe + ADC + re-rank only)
+    centroids = select_centroids(emb, stride=50)
+    assigned = ivf_assign(emb, *centroids).persist()
+    cb = pq_codebooks(emb, m=4, k=16, stride=25)
     per = [
         ivfpq_search(
             emb, _query_vec(spark, sf_dir, qid), k=10, nprobe=3, stride=50,
             m=4, codebook_k=16, pq_stride=25, oversample=5,
+            assigned=assigned, centroids=centroids, codebooks=cb,
         ).select(F.lit(qid).cast("long").alias("query_id"), "vec_id")
         for qid in _RECALL_QIDS
     ]
@@ -866,7 +878,10 @@ def _knn_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_quantized,
     )
 
-    corpus = with_quantized(_emb(spark, sf_dir))
+    # quantize once, persist: the 4 query scans read the cached int8
+    # corpus instead of re-quantizing (at rest this is the written
+    # int8 column, not a cache)
+    corpus = with_quantized(_emb(spark, sf_dir)).persist()
     per = [
         knn_quantized_rerank(
             corpus, _query_vec(spark, sf_dir, qid), k=10, oversample=4

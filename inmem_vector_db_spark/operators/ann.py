@@ -333,10 +333,12 @@ def ivfpq_search(
     vec_col: str = "embedding",
     assigned: DataFrame | None = None,
     centroids: tuple[list, np.ndarray] | None = None,
+    codebooks=None,
 ) -> DataFrame:
     """Two-level ANN: IVF coarse pruning + PQ fine quantization — the
     architecture every production billion-vector index uses (FAISS
-    IVFPQ).
+    IVFPQ).  Pass precomputed ``assigned``/``centroids``/``codebooks``
+    (the persisted index artifacts) to amortize them across queries.
 
     Stage 0 prunes the corpus to the ``nprobe`` inverted lists nearest
     the query (partition pruning when the codes table is written
@@ -365,8 +367,9 @@ def ivfpq_search(
     order = np.lexsort((np.asarray(cids), cd))
     probe = [cids[i] for i in order[:nprobe]]
     pruned = assigned.filter(F.col("cluster_id").isin(probe)).select(id_col, vec_col)
-    cb = pq_codebooks(corpus, m=m, k=codebook_k, stride=pq_stride,
-                      id_col=id_col, vec_col=vec_col)
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        corpus, m=m, k=codebook_k, stride=pq_stride, id_col=id_col, vec_col=vec_col
+    )
     codes = pq_encode(pruned, cb, id_col=id_col, vec_col=vec_col)
     return pq_search(pruned, codes, query_vec, cb, k=k, oversample=oversample,
                      metric=metric, id_col=id_col, vec_col=vec_col)
