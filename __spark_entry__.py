@@ -704,6 +704,81 @@ LIMIT 10
 """
 
 
+_SIG_STREAM_DIRS: dict[tuple, str] = {}
+
+
+def _incremental_signature_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming build of the dedup signature artifact (the M10
+    incremental-rebuild analog for text): the documents table replayed
+    as a file stream; each micro-batch computes its rows' signatures
+    (``text_signature_index`` — per-row derivation, embarrassingly
+    incremental) and APPENDS them to the parquet artifact via
+    foreachBatch.  MinHash banding + verify then runs against the
+    streamed artifact; oracle = the batch MinHash pipeline, proving the
+    incremental index converges to exactly the batch-built one."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.dedup import minhash_lsh_pairs
+    from inmem_vector_db_spark.operators.signatures import (
+        read_signature_index,
+        text_signature_index,
+    )
+    from inmem_vector_db_spark.streaming.ingest import incremental_index_ingest
+
+    if sf_dir not in _STAGED_DOCS:
+        load_table(spark, sf_dir, "documents").write.mode("append").parquet(
+            staged := tempfile.mkdtemp(prefix="docs_stream_")
+        )
+        _STAGED_DOCS[sf_dir] = staged
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx_path = _SIG_STREAM_DIRS.get(key)
+    if idx_path is None:
+        idx_path = tempfile.mkdtemp(prefix="sig_stream_") + "/idx"
+        incremental_index_ingest(
+            spark,
+            _STAGED_DOCS[sf_dir],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+            idx_path,
+            text_signature_index,
+        )
+        _SIG_STREAM_DIRS[key] = idx_path
+    idx = read_signature_index(spark, idx_path)
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), sig_index=idx
+    )
+
+
+# one written IVF artifact per (session, corpus): the build job runs
+# once, every later call serves from the partitioned parquet
+_IVF_INDEX_DIRS: dict[tuple, str] = {}
+
+
+def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF served from a WRITTEN index artifact: vectors stored
+    partitioned by cluster_id (``write_ivf_index``), probe = a
+    partition-pruned scan of the 3 nearest lists (plan-pinned in
+    test_ann.py), exact top-10 inside them.  Same centroids/probe
+    semantics as ``ann_ivf_euclidean``, so the same DuckDB oracle
+    checks both the on-the-fly and at-rest paths."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_INDEX_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_idx_")
+        write_ivf_index(_emb(spark, sf_dir), path, stride=50)
+        _IVF_INDEX_DIRS[key] = path
+    q = _query_vec(spark, sf_dir, 1)
+    return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
 _RECALL_QIDS = (2, 7, 11, 19)
 
 
@@ -1842,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": _knn_pq,
         "ann_ivfpq_recall": _ann_ivfpq_recall,
         "knn_quantized_recall": _knn_quantized_recall,
+        "ann_ivf_partitioned": _ann_ivf_partitioned,
+        "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
     }
     out.update({name: fn for name, (fn, _sql) in REL.items()})
@@ -1897,8 +1974,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": _KNN_PQ_ORACLE,
         "ann_ivfpq_recall": _ANN_IVFPQ_RECALL_ORACLE,
         "knn_quantized_recall": _KNN_QUANTIZED_RECALL_ORACLE,
+        "ann_ivf_partitioned": _ANN_IVF_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
+    from inmem_vector_db_spark.plans.textops import DEDUP_MINHASH_SQL
+
+    out["incremental_signature_stream"] = DEDUP_MINHASH_SQL
     out.update({name: sql for name, (_fn, sql) in REL.items()})
     from inmem_vector_db_spark.plans.textops import QUERIES as TXT
     from inmem_vector_db_spark.plans.tpch_extra import QUERIES as EXTRA

@@ -30,6 +30,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: JVM, parquet footer reads, Arrow path
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    # warm the heavy codegen families (md5/conv shingle hashing, nested
+    # HOFs, pandas-UDF worker pool) on the TINY sf0.001 corpus, so
+    # per-query timings measure steady-state execution rather than
+    # first-touch JIT of whole expression classes.  This builds nothing
+    # reusable: text_signature_index here is unpersisted and on a
+    # different corpus than the timed queries.
+    try:
+        from inmem_vector_db_spark.operators.signatures import text_signature_index
+
+        tiny = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        text_signature_index(tiny).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass  # warmup is best-effort; timings just run colder
 
     # Default 1 pass: the suite is 113 queries and min-of-2 doubled the
     # wall past 10 minutes; cross-round comparisons weight per-query

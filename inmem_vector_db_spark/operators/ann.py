@@ -102,6 +102,67 @@ def ivf_assign(
     return corpus.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 4096,
+) -> None:
+    """Materialize the IVF index as a parquet artifact PARTITIONED BY
+    cluster_id — the at-rest layout every earlier docstring promises:
+
+        path/centroids/            (cid, centroid) — broadcast-class
+        path/vectors/cluster_id=*/ the inverted lists
+
+    A probe then reads exactly ``nprobe`` directories: the cluster_id
+    filter is a PARTITION filter, so Spark lists and scans only the
+    probed lists — IO proportional to |probed lists|, independent of
+    corpus size.  This is the build job (reference analog: the
+    build-once indexer artifact / rebuild job M10); searches against
+    the artifact never re-assign or re-shuffle the corpus.
+    """
+    cids, cmat = select_centroids(corpus, stride, id_col, vec_col, max_centroids)
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, [float(x) for x in row]) for c, row in zip(cids, cmat)],
+        f"cid {corpus.schema[id_col].dataType.simpleString()}, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/vectors"
+    )
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 3,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a query from a written IVF artifact (``write_ivf_index``):
+    read the (bounded) centroid table, pick the ``nprobe`` nearest lists
+    driver-side, scan ONLY those ``cluster_id=`` partitions (partition
+    pruning — plan-pinned in tests), exact top-k inside them."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    cids = [r["cid"] for r in crows]
+    cmat = np.asarray([list(r["centroid"]) for r in crows], dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    cd = np.linalg.norm(cmat - q[None, :], axis=1)
+    order = np.lexsort((np.asarray(cids), cd))
+    probe = [cids[i] for i in order[:nprobe]]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cluster_id").isin(probe)
+    )
+    return knn(vecs, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
+
+
 def kmeans_refine(
     corpus: DataFrame,
     cids: Sequence,

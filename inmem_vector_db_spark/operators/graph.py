@@ -61,10 +61,15 @@ def pagerank(
         )
     e = e.persist()
     strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
-    # transition weight per edge: w / strength(src), computed once
+    # transition weight per edge: w / strength(src), computed once.
+    # Partitioned by dst: with broadcast ranks the per-iteration join is
+    # map-side, so the contribution groupBy(dst) finds its input already
+    # dst-partitioned and needs NO exchange — one shuffle when the table
+    # is built, zero per iteration (the classic cached-transition-matrix
+    # layout).
     trans = e.join(strength, "src").select(
         "src", "dst", (F.col("w") / F.col("strength")).alias("p")
-    ).persist()
+    ).repartition(F.col("dst")).persist()
     if symmetrize:
         # strength doubles as the node universe: one row per node (every
         # node appears as src after symmetrization), so no separate

@@ -158,3 +158,28 @@ def test_recall_entries_meet_thresholds(spark, sf_dir):
     }
     assert ivfpq and all(v >= 0.2 for v in ivfpq.values())
     assert sum(ivfpq.values()) / len(ivfpq) >= 0.3
+
+
+def test_written_ivf_index_partition_pruning(emb, tmp_path):
+    """The at-rest IVF artifact must serve probes via PARTITION pruning
+    (scan lists only the probed cluster_id directories) and return
+    exactly what the on-the-fly path returns."""
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_search,
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, stride=50)
+    spark = emb.sparkSession
+    q = [float(x) for x in emb.filter("vec_id = 1").head()["embedding"]]
+    got = ivf_search_indexed(spark, path, q, k=10, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    want = ivf_search(emb, q, k=10, nprobe=3, stride=50)
+    assert sorted((r["vec_id"], round(r["dist"], 6)) for r in got.collect()) == sorted(
+        (r["vec_id"], round(r["dist"], 6)) for r in want.collect()
+    )

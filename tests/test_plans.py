@@ -225,3 +225,41 @@ def test_ivf_batch_plan_broadcasts_allowlist(emb):
     plan = _plan(ivf_search_batch(emb, queries, k=3, nprobe=2, stride=100))
     assert "BroadcastHashJoin" in plan and "cluster_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_has_no_shuffle(spark):
+    """The per-iteration contribution aggregate must read the cached
+    dst-partitioned transition table and aggregate WITHOUT an Exchange:
+    broadcast-rank join preserves partitioning, so groupBy(dst) is
+    partial+final with no shuffle.  (One repartition happens once when
+    the transition table is built — inside the InMemoryRelation.)"""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0)], "src long, dst long, weight double"
+    )
+    e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).persist()
+    strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
+    trans = (
+        e.join(strength, "src")
+        .select("src", "dst", (F.col("w") / F.col("strength")).alias("p"))
+        .repartition(F.col("dst"))
+        .persist()
+    )
+    trans.count()
+    ranks = strength.select(F.col("src").alias("node"), F.lit(0.3).alias("rank"))
+    contrib = (
+        trans.join(F.broadcast(ranks), trans["src"] == ranks["node"])
+        .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    plan = contrib._jdf.queryExecution().executedPlan().toString()
+    # only the plan ABOVE the cached table matters: the iteration itself
+    iteration_part = plan.split("InMemoryTableScan")[0]
+    assert "Exchange" not in iteration_part, iteration_part
+    for df in (e, strength, trans):
+        df.unpersist()
