@@ -183,6 +183,23 @@ HEADLINERS = {
     "partial-aggregable, so map-side combine ships one candidate per "
     "user per partition instead of the whole event stream (the "
     "row_number window would sort-shuffle every row).",
+    "dedup_signature_index": "the build-once signature artifact: one "
+    "pass over documents computes shingle sets + MinHash + SimHash + "
+    "blocking keys together (per-shingle md5 happens exactly once), "
+    "persisted so every dedup query's plan starts at an "
+    "InMemoryTableScan instead of re-hashing text.",
+    "dedup_minhash_pairs": "banding + verify reading the shared "
+    "signature artifact: both self-join sides are InMemoryTableScans "
+    "of the cached signature table — the md5/shingle expression tree "
+    "appears NOWHERE in this plan; shuffles move band keys and ids.",
+    "ann_ivf_partitioned": "IVF served from the written artifact: the "
+    "scan node carries PartitionFilters on cluster_id, so only the "
+    "nprobe probed list directories are listed and read — per-query "
+    "IO independent of corpus size.",
+    "pagerank_bipartite": "transition table cached partitioned by dst; "
+    "each iteration is BroadcastHashJoin(ranks) -> partial+final "
+    "HashAggregate with NO Exchange — the per-iteration shuffle is "
+    "gone, one repartition total at build.",
 }
 
 
