@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the portable text-signature
+functions: Spark expressions vs direct Python references on arbitrary
+token streams.  Complements the fixed-corpus tests in test_text.py /
+test_dedup.py the way test_distance_properties.py does for metrics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.functions.text import (
+    MINHASH_P,
+    minhash_signature,
+    shingle_hash,
+    simhash60,
+    word_shingles,
+)
+
+# lowercase single-space token streams (the tokenizer contract: split on
+# single space after lower())
+_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+_text = st.lists(_word, min_size=0, max_size=24).map(" ".join)
+
+
+def _py_shingles(text: str, n: int) -> list[str]:
+    toks = text.lower().split(" ")
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _py_shingle_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _one_row(spark, text: str, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col.alias("out")
+    ).head()["out"]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text=_text, n=st.integers(min_value=1, max_value=4))
+def test_word_shingles_matches_python(spark, text, n):
+    got = _one_row(spark, text, word_shingles(F.col("text"), n))
+    assert list(got) == _py_shingles(text, n)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text=_text)
+def test_minhash_signature_matches_python(spark, text):
+    got = _one_row(spark, text, minhash_signature(F.col("text"), 12, 3))
+    sh = _py_shingles(text, 3)
+    if not sh:
+        assert list(got) == [None] * 12
+        return
+    hs = [_py_shingle_hash(s) % MINHASH_P for s in sh]
+    a, b = 507_952_114, 40_503
+    want = [
+        min((((a * (i + 1)) % MINHASH_P) * h + b * (i + 7)) % MINHASH_P for h in hs)
+        for i in range(12)
+    ]
+    assert list(got) == want
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text=_text)
+def test_simhash60_matches_python(spark, text):
+    got = _one_row(spark, text, simhash60(F.col("text"), 2))
+    sh = _py_shingles(text, 2)
+    if not sh:
+        assert got == 0
+        return
+    hs = [_py_shingle_hash(s) for s in sh]
+    sig = 0
+    for bit in range(60):
+        ones = sum((h >> bit) & 1 for h in hs)
+        if 2 * ones >= len(hs):
+            sig |= 1 << bit
+    assert got == sig
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(s=_word)
+def test_shingle_hash_matches_python(spark, s):
+    got = _one_row(spark, s, shingle_hash(F.col("text")))
+    assert got == _py_shingle_hash(s)
