@@ -55,24 +55,37 @@ DEFAULT = [
 
 
 def build_synth(spark) -> None:
-    if os.path.exists(f"{SYNTH_DIR}/documents.parquet"):
-        return
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
-    n = docs.agg(F.max("doc_id")).head()[0] + 1
-    parts = []
-    for i in range(COPIES):
-        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        if i > 0:
-            d = d.withColumn("text", F.translate("text", "aeiou", _VOWEL_MAPS[i]))
-        parts.append(d)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        f"{SYNTH_DIR}/documents.parquet"
-    )
+    if not os.path.exists(f"{SYNTH_DIR}/documents.parquet"):
+        docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+        n = docs.agg(F.max("doc_id")).head()[0] + 1
+        parts = []
+        for i in range(COPIES):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+            if i > 0:
+                d = d.withColumn("text", F.translate("text", "aeiou", _VOWEL_MAPS[i]))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{SYNTH_DIR}/documents.parquet"
+        )
+    if not os.path.exists(f"{SYNTH_DIR}/embeddings.parquet"):
+        # vector-family decade: 10 id-offset copies.  Exact duplicate
+        # vectors are fine for timing kNN/ANN/LSH/PQ (per-row work is
+        # duplicate-insensitive); the embedding near-dup family is NOT
+        # probed here because clone collisions would measure an
+        # artifact, not the engine (same reasoning as the vowel maps).
+        emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+        n = emb.agg(F.max("vec_id")).head()[0] + 1
+        out = emb
+        for i in range(1, COPIES):
+            out = out.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n)))
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{SYNTH_DIR}/embeddings.parquet"
+        )
 
 
 def main() -> None:
