@@ -28,7 +28,11 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "64",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    "spark.driver.memory": "8g",
+    # local-mode driver = the whole JVM (all executor threads + cached
+    # artifacts share this heap); 16g keeps GC pressure off the bench
+    # now that signature/quantized/IVF artifacts stay persisted
+    # in-session.  On a real cluster this is an executor-memory knob.
+    "spark.driver.memory": "16g",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }
