@@ -960,21 +960,18 @@ def _knn_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate scan -> exact re-rank) vs the exact scan, per query.
     int8 rounding rarely perturbs the top-k ordering past the 4x
     oversample, so recall is expected at ~1.0 — this row PINS that."""
-    from functools import reduce
-
-    from inmem_vector_db_spark.operators.quantize import knn_quantized_rerank
+    from inmem_vector_db_spark.operators.quantize import knn_quantized_rerank_multi
 
     # the shared session artifact: quantized once, read by all 4 query
     # scans AND by knn_quantized (at rest this is the written int8
-    # column, not a cache)
+    # column, not a cache).  All 4 queries share ONE int8 candidate
+    # scan and ONE exact re-rank (2 corpus passes total, not 8).
     corpus = _quantized_corpus(spark, sf_dir)
-    per = [
-        knn_quantized_rerank(
-            corpus, _query_vec(spark, sf_dir, qid), k=10, oversample=4
-        ).select(F.lit(qid).cast("long").alias("query_id"), "vec_id")
-        for qid in _RECALL_QIDS
-    ]
-    return _recall_vs_exact(spark, sf_dir, reduce(DataFrame.union, per))
+    qvecs = [(qid, _query_vec(spark, sf_dir, qid)) for qid in _RECALL_QIDS]
+    approx = knn_quantized_rerank_multi(corpus, qvecs, k=10, oversample=4).select(
+        "query_id", "vec_id"
+    )
+    return _recall_vs_exact(spark, sf_dir, approx)
 
 
 _KNN_QUANTIZED_RECALL_ORACLE = f"""

@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 from inmem_vector_db_spark.operators.knn import knn
 from inmem_vector_db_spark.operators.quantize import (
     dequantize,
+    knn_int8,
     knn_quantized_rerank,
+    knn_quantized_rerank_multi,
     with_quantized,
+    with_quantized_expr,
 )
 
 
@@ -46,6 +49,70 @@ def test_zero_vector_scale_one(spark):
     )
     r = df.head()
     assert r["emb_scale"] == 1.0 and list(r["emb_q"]) == [0, 0, 0, 0]
+
+
+def test_numpy_build_matches_expression_build(spark, sf_dir):
+    """The Arrow/numpy fast build is pinned code-for-code and
+    scale-for-scale to the pure-Column reference build over the whole
+    sf corpus (same double arithmetic, same half-away rounding, same
+    float32 scale narrowing)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fast = with_quantized(emb).select("vec_id", "emb_q", "emb_scale")
+    ref = with_quantized_expr(emb).select(
+        "vec_id",
+        F.col("emb_q").alias("q_ref"),
+        F.col("emb_scale").alias("scale_ref"),
+    )
+    diff = (
+        fast.join(ref, "vec_id")
+        .filter(
+            (F.col("emb_q") != F.col("q_ref"))
+            | (F.col("emb_scale") != F.col("scale_ref"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_knn_int8_matches_expression_stage1(spark, embq):
+    """The numpy int8 scan returns the same candidate top-k as ranking
+    the expression-dequantized column (ties broken by id in both)."""
+    qr = embq.filter(F.col("vec_id") == 3).head()
+    q = [float(x) for x in qr["embedding"]]
+    via_expr = [
+        r["vec_id"]
+        for r in knn(
+            embq.select("vec_id", dequantize("emb_q", "emb_scale").alias("dv")),
+            q,
+            k=20,
+            metric="euclidean",
+            vec_col="dv",
+        ).collect()
+    ]
+    via_numpy = [
+        r["vec_id"]
+        for r in knn_int8(embq, [(3, q)], k=20, metric="euclidean")
+        .orderBy("dist", "vec_id")
+        .collect()
+    ]
+    assert via_numpy == via_expr
+
+
+def test_multi_matches_single_query_rerank(spark, embq):
+    """Batched two-stage search == per-query two-stage search."""
+    qrows = embq.filter(F.col("vec_id").isin([1, 4])).select(
+        "vec_id", "embedding"
+    ).collect()
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    multi = knn_quantized_rerank_multi(embq, queries, k=5, oversample=4)
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in multi.collect()
+    }
+    for qid, qv in queries:
+        single = knn_quantized_rerank(embq, qv, k=5, oversample=4).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == r["vec_id"]
 
 
 def test_two_stage_recall(spark, embq):
