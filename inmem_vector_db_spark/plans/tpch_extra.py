@@ -699,8 +699,93 @@ FROM z GROUP BY cell ORDER BY n_rows DESC, cell LIMIT 10
 ZORDER_CELLS_SQL = _zorder_sql()
 
 
+# ---------------------------------------------------------------------------
+# bucketed co-located join: the write-time shuffle
+
+
+# one bucketed warehouse per (session, corpus dir): lineitem and orders
+# hash-bucketed on orderkey at WRITE time, so the daily fact-fact join
+# reads co-located buckets and runs with NO Exchange under the join
+# (pinned by tests/test_sources_and_indexer.py::
+# test_bucketed_join_eliminates_shuffle).  At 100 TB this is the single
+# biggest repeated-cost lever: the orderkey shuffle is paid once at
+# ingest, then every downstream join/agg on the key is shuffle-free.
+_BUCKETED_FACTS: dict[tuple, tuple[str, str]] = {}
+
+
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import tempfile
+
+    from inmem_vector_db_spark.sources.maintenance import write_bucketed
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BUCKETED_FACTS.get(key)
+    if got is None:
+        tag = f"b{abs(hash(key)) % 10**8}"
+        li_name, ord_name = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+        base = tempfile.mkdtemp(prefix="bucketed_facts_")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        for df, name, cols in (
+            (li, li_name, ["l_orderkey"]),
+            (orders, ord_name, ["o_orderkey"]),
+        ):
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(8, *cols)
+                .sortBy(*cols)
+                .option("path", f"{base}/{name}")
+                .saveAsTable(name)
+            )
+        got = (li_name, ord_name)
+        _BUCKETED_FACTS[key] = got
+    return got
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through the BUCKETED join path: both
+    facts were hash-bucketed on orderkey at write time (the artifact the
+    session memoizes, a written table on a real lake), so the merge join
+    consumes the write-time layout and the plan has no Exchange below
+    the join — the only shuffle left is the final groupBy.  The merge
+    hint keeps the plan on the sort-merge path (a broadcast of orders
+    would also be Exchange-free but wouldn't exercise the layout).
+    Values must match the plain-join oracle exactly: bucketing moves
+    placement, never content."""
+    li_name, ord_name = _bucketed_fact_tables(spark, sf_dir)
+    li = spark.table(li_name)
+    orders = spark.table(ord_name).hint("merge")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_JOIN_REVENUE_SQL = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "zorder_cells": (zorder_cells, ZORDER_CELLS_SQL),
+    "bucketed_join_revenue": (bucketed_join_revenue, BUCKETED_JOIN_REVENUE_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),

@@ -263,3 +263,35 @@ def test_pagerank_iteration_has_no_shuffle(spark):
     assert "Exchange" not in iteration_part, iteration_part
     for df in (e, strength, trans):
         df.unpersist()
+
+
+def test_bucketed_join_revenue_plan_and_values(spark, sf_dir):
+    """The bucketed-join entry consumes the write-time bucket layout:
+    no Exchange below the sort-merge join (the only shuffle is the final
+    groupBy), and values equal the plain join exactly — bucketing moves
+    placement, never content."""
+    from pyspark.sql import functions as F
+
+    from inmem_vector_db_spark.plans.tpch_extra import bucketed_join_revenue
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    df = bucketed_join_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in join_part, join_part
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain.collect()]
