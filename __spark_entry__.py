@@ -168,14 +168,38 @@ LIMIT 5
 """
 
 
+# one IVF coarse index per (session, corpus dir): stride-50 centroids +
+# the cluster-assigned corpus, shared by every ann_ivf*/ann_ivfpq* entry
+# (same amortization posture as the dedup signature table and the
+# quantized corpus; at rest this is write_ivf_index's partitioned
+# artifact, which ann_ivf_partitioned serves from)
+_IVF_COARSE: dict[tuple, tuple] = {}
+
+
+def _ivf_coarse(spark: SparkSession, sf_dir: str):
+    from inmem_vector_db_spark.operators.ann import ivf_assign, select_centroids
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVF_COARSE.get(key)
+    if got is None:
+        emb = _emb(spark, sf_dir)
+        centroids = select_centroids(emb, stride=50)
+        assigned = ivf_assign(emb, *centroids).persist()
+        got = (centroids, assigned)
+        _IVF_COARSE[key] = got
+    return got
+
+
 def _ann_ivf_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic centroids (vec_id % 50 == 0), probe the 3
     nearest lists, exact top-10 within them."""
     from inmem_vector_db_spark.operators.ann import ivf_search
 
     q = _query_vec(spark, sf_dir, 1)
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
     return ivf_search(
-        _emb(spark, sf_dir), q, k=10, nprobe=3, stride=50, metric="euclidean"
+        _emb(spark, sf_dir), q, k=10, nprobe=3, stride=50, metric="euclidean",
+        assigned=assigned, centroids=centroids,
     ).select("vec_id", F.round("dist", 6).alias("dist"))
 
 
@@ -209,8 +233,10 @@ def _ann_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
     return ivf_search_batch(
-        emb, queries, k=5, nprobe=3, stride=50, metric="euclidean"
+        emb, queries, k=5, nprobe=3, stride=50, metric="euclidean",
+        assigned=assigned, centroids=centroids,
     ).select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
@@ -260,8 +286,10 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
     approx = ivf_search_batch(
-        emb, queries, k=10, nprobe=3, stride=50, metric="euclidean"
+        emb, queries, k=10, nprobe=3, stride=50, metric="euclidean",
+        assigned=assigned, centroids=centroids,
     ).select("query_id", "vec_id")
     exact = knn_join_vectorized(emb, queries, k=10, metric="euclidean").select(
         "query_id", "vec_id"
@@ -658,9 +686,10 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     q = _query_vec(spark, sf_dir, 7)
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
     return ivfpq_search(
         emb, q, k=10, nprobe=3, stride=50, m=4, codebook_k=16,
-        pq_stride=25, oversample=5,
+        pq_stride=25, oversample=5, assigned=assigned, centroids=centroids,
     ).select("vec_id", F.round("dist", 6).alias("dist"))
 
 
@@ -837,19 +866,15 @@ def _ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*Q*k id pairs."""
     from functools import reduce
 
-    from inmem_vector_db_spark.operators.ann import (
-        ivf_assign,
-        ivfpq_search,
-        select_centroids,
-    )
+    from inmem_vector_db_spark.operators.ann import ivfpq_search
     from inmem_vector_db_spark.operators.pq import pq_codebooks
 
     emb = _emb(spark, sf_dir)
-    # index artifacts computed ONCE and shared by all queries — the
-    # persisted-index posture (assignment is the expensive pass; the
-    # per-query work is probe + ADC + re-rank only)
-    centroids = select_centroids(emb, stride=50)
-    assigned = ivf_assign(emb, *centroids).persist()
+    # index artifacts computed ONCE per session and shared by all
+    # queries AND all ann_ivf*/ann_ivfpq* entries — the persisted-index
+    # posture (assignment is the expensive pass; the per-query work is
+    # probe + ADC + re-rank only)
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
     cb = pq_codebooks(emb, m=4, k=16, stride=25)
     per = [
         ivfpq_search(
