@@ -395,11 +395,17 @@ def ivfpq_search(
     assigned: DataFrame | None = None,
     centroids: tuple[list, np.ndarray] | None = None,
     codebooks=None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level ANN: IVF coarse pruning + PQ fine quantization — the
     architecture every production billion-vector index uses (FAISS
     IVFPQ).  Pass precomputed ``assigned``/``centroids``/``codebooks``
-    (the persisted index artifacts) to amortize them across queries.
+    (the persisted index artifacts) to amortize them across queries;
+    ``codes`` is the corpus-wide PQ codes table carrying ``cluster_id``
+    (from ``pq_encode(assigned, cb, keep_cols=("cluster_id",))``) — the
+    at-rest form, pruned here by inverted list instead of re-encoding
+    the probed slice per query.  Encode is a per-row map, so
+    encode-then-filter and filter-then-encode are value-identical.
 
     Stage 0 prunes the corpus to the ``nprobe`` inverted lists nearest
     the query (partition pruning when the codes table is written
@@ -431,6 +437,11 @@ def ivfpq_search(
     cb = codebooks if codebooks is not None else pq_codebooks(
         corpus, m=m, k=codebook_k, stride=pq_stride, id_col=id_col, vec_col=vec_col
     )
-    codes = pq_encode(pruned, cb, id_col=id_col, vec_col=vec_col)
-    return pq_search(pruned, codes, query_vec, cb, k=k, oversample=oversample,
+    if codes is not None:
+        pruned_codes = codes.filter(F.col("cluster_id").isin(probe)).select(
+            id_col, "codes"
+        )
+    else:
+        pruned_codes = pq_encode(pruned, cb, id_col=id_col, vec_col=vec_col)
+    return pq_search(pruned, pruned_codes, query_vec, cb, k=k, oversample=oversample,
                      metric=metric, id_col=id_col, vec_col=vec_col)

@@ -74,18 +74,26 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Append ``codes array<int>``: per subspace, the index of the
     nearest codebook entry (ties -> lowest code).  One numpy pass per
     Arrow batch; squared differences accumulate dimension-by-dimension
     (sequential) so the float result is bit-identical to a left-fold
-    sum — the property the value oracle depends on."""
+    sum — the property the value oracle depends on.
+
+    ``keep_cols`` passes extra columns through unchanged (e.g. the IVF
+    ``cluster_id``, so a corpus-wide codes artifact stays prunable by
+    inverted list — at rest the codes table is written partitioned by
+    it, co-located with the assignment)."""
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
     m, _kk, dsub = codebooks.shape
     schema = (
         f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, codes array<int>"
     )
+    for c in keep_cols:
+        schema += f", {c} {corpus.schema[c].dataType.simpleString()}"
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cb = bc.value
@@ -103,11 +111,12 @@ def pq_encode(
                     diff = sub[:, i, None] - cb[j][None, :, i]
                     d += diff * diff
                 codes[:, j] = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(part, schema)
+    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(part, schema)
 
 
 def pq_search(

@@ -116,6 +116,12 @@ HEADLINERS = {
     "training_shards": "md5-derived shard key evaluated in whole-stage "
     "codegen; one partial-agg shuffle over n_shards keys — the balance QA "
     "for a partitioned training-data write, reproducible across engines.",
+    "bucketed_join_revenue": "fact-fact sort-merge join served from the "
+    "write-time bucket layout: NO Exchange below the join (the write-time "
+    "shuffle replaced it); the only Exchange left is the final groupBy.",
+    "knn_quantized": "stage 1 is a mapInPandas BLAS partial top-k over "
+    "(id, int8 codes, scale) — 4x narrower scan, no interpreted HOFs; "
+    "stage 2 exact re-rank reads only the IN-pushed candidate ids.",
     "fuzzy_name_pairs": "deletion-neighborhood signature join over "
     "DISTINCT values: near-full-string keys keep the candidate equi-join "
     "selective where PassJoin's short substrings degenerated toward N^2 "
