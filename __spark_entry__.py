@@ -846,6 +846,31 @@ def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECALL_QIDS = (2, 7, 11, 19)
 
+# the exact euclidean top-k for _RECALL_QIDS — the shared ground truth
+# every recall eval compares against, computed once per (session,
+# corpus): a recall harness re-scanning the corpus per approximate
+# variant would charge the (fixed) baseline cost to every eval row
+_EXACT_RECALL_BASELINE: dict[tuple, DataFrame] = {}
+
+
+def _exact_recall_baseline(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
+
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    got = _EXACT_RECALL_BASELINE.get(key)
+    if got is None:
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = (
+            knn_join_vectorized(emb, queries, k=k, metric="euclidean")
+            .select("query_id", "vec_id")
+            .persist()
+        )
+        _EXACT_RECALL_BASELINE[key] = got
+    return got
+
 
 def _recall_vs_exact(
     spark: SparkSession, sf_dir: str, approx: DataFrame, k: int = 10
@@ -853,15 +878,11 @@ def _recall_vs_exact(
     """(query_id, recall_at_10) of an approx (query_id, vec_id) result
     against the exact euclidean top-k — shared by the IVF-PQ and
     int8-quantized recall entries (mirrors ``_ann_ivf_recall``)."""
-    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
-
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    exact = knn_join_vectorized(emb, queries, k=k, metric="euclidean").select(
-        "query_id", "vec_id"
-    )
+    exact = _exact_recall_baseline(spark, sf_dir, k)
     hits = (
         approx.join(exact, ["query_id", "vec_id"])
         .groupBy("query_id")
