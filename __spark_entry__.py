@@ -1368,6 +1368,62 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (dynamic-length, gap-merged — the
+    window shape the fixed tumbling rollup can't express): stage events
+    as a file stream, sessionize per user with a 6-hour inactivity gap,
+    drain the bounded stream.  The oracle recomputes the identical
+    sessions in DuckDB via the classic islands formulation (lag + gap
+    flag + running sum), proving ``F.session_window``'s state-merging
+    semantics equal the batch definition: a new session starts exactly
+    when the time since the previous event EXCEEDS the gap (equality
+    merges — abutting windows coalesce; boundary pinned in
+    tests/test_streaming.py)."""
+    from inmem_vector_db_spark.streaming.ingest import (
+        run_stream_to_memory,
+        sessionized_user_activity,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(staged)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_stream_to_memory(
+            sessionized_user_activity(stream_in, gap="6 hours", watermark="12 hours")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_SESSION_WINDOW_STREAM_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 6 HOUR AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
 def _click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (the continuous form of
     ``click_purchase_pairs``): stage events as a file stream, join the
@@ -1459,6 +1515,39 @@ def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("lang")
             .parquet(staged)
         )
+        _STAGED_FMT[key] = staged
+    docs = spark.read.parquet(_STAGED_FMT[key])
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the value oracle: fragment documents
+    into 64 tiny parquet files (what streaming appends / per-batch CRUD
+    leave behind), run ``sources.maintenance.compact`` (read ->
+    re-partition to target file size -> atomic swap), read the
+    compacted table back and aggregate.  The file-count reduction is
+    asserted eagerly (fail loud, not a silent no-op); the oracle proves
+    the rewrite loses nothing.  At 100 TB this is the recurring
+    maintenance job that keeps scan cost ∝ bytes instead of ∝ files."""
+    import tempfile
+
+    from inmem_vector_db_spark.sources.maintenance import compact
+
+    key = (sf_dir, "compacted")
+    if key not in _STAGED_FMT:
+        staged = tempfile.mkdtemp(prefix="docs_frag_")
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        stats = compact(spark, staged, target_file_mb=128)
+        if stats["files_after"] >= stats["files_before"]:
+            raise ValueError(f"compaction did not reduce file count: {stats}")
         _STAGED_FMT[key] = staged
     docs = spark.read.parquet(_STAGED_FMT[key])
     return docs.groupBy("lang").agg(
@@ -1971,12 +2060,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_search_pipeline": _store_search_pipeline,
         "store_crud_lifecycle": _store_crud_lifecycle,
         "events_hourly_stream": _events_hourly_stream,
+        "session_window_stream": _session_window_stream,
         "click_purchase_stream": _click_purchase_stream,
         "docs_dedup_stream": _docs_dedup_stream,
         "jsonl_source_agg": _jsonl_source_agg,
         "orc_source_agg": _orc_source_agg,
         "csv_source_agg": _csv_source_agg,
         "partitioned_write_roundtrip": _partitioned_write_roundtrip,
+        "compaction_roundtrip": _compaction_roundtrip,
         "user_distinct_stream": _user_distinct_stream,
         "value_histogram_stream": _value_histogram_stream,
         "user_totals_stateful_stream": _user_totals_stateful_stream,
@@ -2028,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
+        "session_window_stream": _SESSION_WINDOW_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,
         "user_distinct_stream": _USER_DISTINCT_STREAM_ORACLE,
@@ -2038,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,
         "partitioned_write_roundtrip": _DOCS_AGG_ORACLE,
+        "compaction_roundtrip": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "image_phash_dups": _IMAGE_PHASH_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_ORACLE,

@@ -59,6 +59,40 @@ def windowed_event_counts(
     )
 
 
+def sessionized_user_activity(
+    events: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (``F.session_window`` — state merges overlapping OR
+    abutting [t, t+gap) intervals, so a new session starts exactly when
+    the time since the previous event EXCEEDS gap; equality still
+    merges — pinned by the boundary test).  The dynamic-length window the
+    fixed ``window()`` rollup can't express, and the canonical
+    user-behavior segmentation job.  Works on batch and streaming
+    DataFrames; the watermark finalizes sessions once no in-gap event
+    can still arrive.  Output: (user_id, session_start, session_end,
+    n_events, value_sum) with session_end = last event + gap."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:

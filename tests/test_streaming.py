@@ -259,3 +259,30 @@ def test_stream_kmv_equals_batch_sketch(spark, sf_dir, events_dir):
         ).collect()
     ]
     assert got == sorted(batch)
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """A new session starts EXACTLY when the inter-event gap reaches the
+    session gap: diff < gap merges, diff == gap splits (session windows
+    are end-exclusive [t, t+gap)).  Batch form of
+    sessionized_user_activity — the plan is identical to the stream."""
+    from inmem_vector_db_spark.streaming.ingest import sessionized_user_activity
+
+    rows = [
+        # user 1: 0s, +60s exactly (still merges — Spark merges abutting
+        # [t, t+gap) windows, i.e. diff <= gap), +61s after that (splits:
+        # diff > gap)
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "a", 1.0, "{}"),
+        (3, "2024-01-01 00:02:01", 1, "a", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["session_start"].isoformat(), r["n_events"])
+        for r in sessionized_user_activity(ev, gap="60 seconds").collect()
+    )
+    assert got == [("2024-01-01T00:00:00", 2), ("2024-01-01T00:02:01", 1)]
