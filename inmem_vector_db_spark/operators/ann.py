@@ -67,16 +67,26 @@ def ivf_assign(
     cmat: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Append ``cluster_id`` = nearest centroid (euclidean).  One numpy
     distance-matrix per Arrow batch; ties go to the lowest centroid id
-    (centroids are sorted by id, argmin picks the first)."""
+    (centroids are sorted by id, argmin picks the first).
+
+    ``keep_cols``: extra attribute columns carried through into the
+    index rows — the layout filtered ANN needs (attributes live IN the
+    inverted lists, so a metadata prefilter is a column predicate on
+    the probed partitions, never a join back to the base table)."""
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((list(cids), cmat))
+    keep = [c for c in keep_cols if c not in (id_col, vec_col)]
     out_schema = (
         f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
         f"{vec_col} {corpus.schema[vec_col].dataType.simpleString()}, "
-        f"cluster_id {corpus.schema[id_col].dataType.simpleString()}"
+        + "".join(
+            f"{c} {corpus.schema[c].dataType.simpleString()}, " for c in keep
+        )
+        + f"cluster_id {corpus.schema[id_col].dataType.simpleString()}"
     )
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -91,15 +101,16 @@ def ivf_assign(
                 + (cmat_ * cmat_).sum(1)[None, :]
                 - 2.0 * mat @ cmat_.T
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "cluster_id": cid_arr[np.argmin(d2, axis=1)],
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col],
+            }
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            out["cluster_id"] = cid_arr[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+    return corpus.select(id_col, vec_col, *keep).mapInPandas(part, schema=out_schema)
 
 
 def write_ivf_index(

@@ -252,6 +252,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 16,
+    sig_index: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup: C(A,B) = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses "short doc swallowed by long doc" (the union is
+    dominated by the long side); containment is the right measure for
+    quote-inclusion / excerpt / superset duplicates in a training
+    corpus.  Reference analog: none (the reference has no dedup at all)
+    — this extends the candidates-then-verify family of this module.
+
+    Candidate generation blocks on DISCRIMINATIVE shingles: a shingle
+    is a blocking key iff its document frequency is in [2, max_df].
+    df >= 2 drops unique shingles (no partner to find); df <= max_df
+    caps the self-join fan-out at max_df^2 pairs PER SHINGLE, so the
+    shuffle volume is bounded by (#blocked shingles * max_df^2)
+    regardless of how common the head of the shingle distribution gets
+    — the standard prefix/frequency-filter posture of set-similarity
+    joins, and skew-proof by construction at 100 TB.  The DuckDB
+    oracle mirrors the same df-window blocking, so the Spark plan and
+    the oracle compute identical candidate sets.
+
+    ``sig_index``: reuse the shared signature artifact's ``shset``
+    (same ``shingle_n``) instead of re-shingling the corpus.
+    """
+    if sig_index is not None:
+        keyed = sig_index.select(F.col(id_col), "shset").filter(F.size("shset") > 0)
+    else:
+        keyed = (
+            df.select(
+                F.col(id_col),
+                F.array_distinct(word_shingles(text_col, shingle_n)).alias("shset"),
+            )
+            .filter(F.size("shset") > 0)
+            .persist()
+        )
+    ex = keyed.select(F.col(id_col), F.explode("shset").alias("s"))
+    blocked = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("s_df"))
+        .filter((F.col("s_df") >= 2) & (F.col("s_df") <= max_df))
+        .select("s")
+    )
+    rare = ex.join(blocked, "s")
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    x = keyed.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
+    y = keyed.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b")).cast("double")
+                / F.least(F.size("set_a"), F.size("set_b")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -29,6 +29,7 @@ from inmem_vector_db_spark.functions.text import (
     word_shingles,
 )
 from inmem_vector_db_spark.operators.dedup import (
+    containment_pairs,
     embedding_near_dup_pairs,
     exact_dup_pairs,
     minhash_lsh_pairs,
@@ -2868,6 +2869,136 @@ FROM s GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup: asymmetric containment (short-doc-inside-long-doc near-dup)
+
+
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.6,
+        max_df=16,
+        sig_index=corpus_signature_index(spark, sf_dir),
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SH_CTE},
+keyed AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, unnest(shset) AS s FROM keyed),
+dfq AS (SELECT s, count(*) AS s_df FROM ex GROUP BY s),
+blocked AS (SELECT s FROM dfq WHERE s_df BETWEEN 2 AND 16),
+rare AS (SELECT e.doc_id, e.s FROM ex e JOIN blocked b ON e.s = b.s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT c.id_a, c.id_b,
+         round(len(list_filter(x.shset, s -> list_contains(y.shset, s)))::DOUBLE
+               / least(len(x.shset), len(y.shset)), 6) AS containment
+  FROM cand c JOIN keyed x ON x.doc_id = c.id_a JOIN keyed y ON y.doc_id = c.id_b
+) WHERE containment >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# chunk-boundary stitch candidates (tail-of-A == head-of-B)
+
+
+def chunk_stitch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose trailing 3-gram exactly equals another document's
+    leading 3-gram — candidates for re-joining a document that an
+    upstream chunker split (boundary-artifact detection, the inverse
+    problem of ``chunk_documents``).  Pure equi-join on a compact
+    boundary key: the shuffle carries one (doc_id, 3-gram) pair per
+    side per document, never text bodies — at 100 TB this is a
+    key-join over N rows, no similarity search involved."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    )
+    b = d.filter(F.size("t") >= 6).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("t", 1, 3)).alias("head3"),
+        F.concat_ws(" ", F.slice("t", -3, 3)).alias("tail3"),
+    )
+    return (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.tail3") == F.col("c.head3"))
+            & (F.col("a.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_left"),
+            F.col("c.doc_id").alias("id_right"),
+            F.col("a.tail3").alias("boundary"),
+        )
+    )
+
+
+CHUNK_STITCH_SQL = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+b AS (SELECT doc_id,
+             array_to_string(t[1:3], ' ') AS head3,
+             array_to_string(t[len(t)-2:len(t)], ' ') AS tail3
+      FROM d WHERE len(t) >= 6)
+SELECT a.doc_id AS id_left, c.doc_id AS id_right, a.tail3 AS boundary
+FROM b a JOIN b c ON a.tail3 = c.head3 AND a.doc_id <> c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-mix concentration: Gini over per-source token mass
+
+
+def source_token_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix concentration report: Gini coefficient + top-source
+    share of token mass across sources.  The heavy stage is ONE
+    partial-aggregable groupBy(source) over the corpus; the Gini
+    window then runs over #sources rows (tiny — 20 here, maybe 10^4 in
+    a real lake), so the single-partition window is a driver-scale
+    afterthought, not a data-scale shuffle.  Ranking ties on token
+    mass are order-independent for the Gini sum (equal values commute),
+    so the (tokens, source) tie-break is for determinism only."""
+    from pyspark.sql import Window
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split(F.lower("text"), " "))).cast("bigint").alias("tokens"))
+    )
+    w = Window.orderBy("tokens", "source")
+    r = per.withColumn("rk", F.row_number().over(w))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("tokens"))
+            / (F.count(F.lit(1)) * F.sum("tokens"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.round(F.max("tokens").cast("double") / F.sum("tokens"), 6).alias(
+            "top1_share"
+        ),
+    )
+
+
+SOURCE_TOKEN_GINI_SQL = """
+WITH per AS (
+  SELECT source, sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+),
+r AS (SELECT *, row_number() OVER (ORDER BY tokens, source) AS rk FROM per)
+SELECT count(*)::BIGINT AS n_sources,
+       sum(tokens)::BIGINT AS total_tokens,
+       round(2.0*sum(rk*tokens)/(count(*)*sum(tokens)) - (count(*)+1.0)/count(*), 6) AS gini,
+       round(max(tokens)::DOUBLE/sum(tokens), 6) AS top1_share
+FROM r
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -2922,4 +3053,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_pipeline_full": (corpus_pipeline_full_q, CORPUS_PIPELINE_SQL),
     "lang_confusion": (lang_confusion_q, LANG_CONFUSION_SQL),
     "source_profile": (source_profile_q, SOURCE_PROFILE_SQL),
+    "dedup_containment": (dedup_containment_q, DEDUP_CONTAINMENT_SQL),
+    "chunk_stitch": (chunk_stitch_q, CHUNK_STITCH_SQL),
+    "source_token_gini": (source_token_gini_q, SOURCE_TOKEN_GINI_SQL),
 }

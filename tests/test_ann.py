@@ -183,3 +183,40 @@ def test_written_ivf_index_partition_pruning(emb, tmp_path):
     assert sorted((r["vec_id"], round(r["dist"], 6)) for r in got.collect()) == sorted(
         (r["vec_id"], round(r["dist"], 6)) for r in want.collect()
     )
+
+
+def test_ivf_assign_keep_cols_carries_attributes(emb):
+    cids, cmat = select_centroids(emb, stride=50)
+    a = ivf_assign(emb, cids, cmat, keep_cols=("label",))
+    assert a.columns == ["vec_id", "embedding", "label", "cluster_id"]
+    # attribute values survive the assignment pass unchanged
+    base = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    got = {r["vec_id"]: r["label"] for r in a.select("vec_id", "label").collect()}
+    assert got == base
+
+
+def test_ivf_prefilter_search_matches_filtered_probe(emb):
+    """Filtered ANN: every hit passes the predicate, and the result is
+    exactly the top-k of predicate-passing rows within probed lists."""
+    cids, cmat = select_centroids(emb, stride=50)
+    assigned = ivf_assign(emb, cids, cmat, keep_cols=("label",))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).head()["embedding"]]
+    got = ivf_search(
+        emb, q, k=10, nprobe=5,
+        assigned=assigned.filter(F.col("label") == 2),
+        centroids=(cids, cmat),
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    lab = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert ids and all(lab[i] == 2 for i in ids)
+    # reference: filter-then-knn over the same probed lists
+    import numpy as np
+    cd = np.linalg.norm(cmat - np.asarray(q)[None, :], axis=1)
+    order = np.lexsort((np.asarray(cids), cd))
+    probe = [cids[i] for i in order[:5]]
+    ref = knn(
+        assigned.filter(F.col("label") == 2)
+        .filter(F.col("cluster_id").isin(probe)),
+        q, k=10,
+    ).collect()
+    assert ids == [r["vec_id"] for r in ref]

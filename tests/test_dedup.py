@@ -271,3 +271,41 @@ def test_corpus_signature_index_memoizes(spark, sf_dir):
     c = S.corpus_signature_index(spark, sf_dir)
     assert c is not a
     S.clear_signature_cache()
+
+
+def test_containment_pairs_finds_subset_doc(spark):
+    """A short doc fully contained in a long doc: Jaccard is diluted
+    (|A∩B|/|A∪B| small) but containment = 1.0 — the pair the asymmetric
+    measure exists to catch."""
+    long_doc = BASE + " and then the story continues with many extra new words appended"
+    short_doc = "the rain falls on the quiet town and the river moves slowly"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, RANDOM)],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in D.containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in rows and rows[(1, 2)] == 1.0
+    assert all(3 not in pair for pair in rows)
+
+
+def test_containment_pairs_df_window_blocks(spark):
+    """Shingles with document frequency above max_df are not blocking
+    keys: two docs sharing ONLY a ubiquitous shingle produce no pair."""
+    common = "alpha beta gamma"
+    docs = [(i, f"{common} filler{i} x{i} y{i} z{i} w{i}") for i in range(1, 7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # the only shared shingle appears in all 6 docs; max_df=3 excludes it
+    assert D.containment_pairs(df, threshold=0.1, max_df=3).count() == 0
+    # raising max_df readmits it and candidates appear
+    assert D.containment_pairs(df, threshold=0.1, max_df=16).count() > 0
+
+
+def test_containment_sig_index_path_agrees(corpus):
+    from inmem_vector_db_spark.operators.signatures import text_signature_index
+
+    idx = text_signature_index(_with_source(corpus))
+    a = sorted(map(tuple, D.containment_pairs(corpus, threshold=0.5).collect()))
+    b = sorted(map(tuple, D.containment_pairs(
+        corpus, threshold=0.5, sig_index=idx).collect()))
+    assert a == b and len(a) > 0

@@ -314,3 +314,44 @@ def test_quality_quantile_filter_median_split(spark, sf_dir):
     for r in rows:
         assert 0 < r["n_above_median"] < r["n_docs"]
         assert r["n_above_median"] <= r["n_docs"] // 2
+
+
+def test_chunk_stitch_finds_planted_boundary(spark):
+    from inmem_vector_db_spark.plans.textops import chunk_stitch_q
+    from unittest import mock
+
+    left = "one two three four five alpha beta gamma"
+    right = "alpha beta gamma six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, left), (2, right), (3, "unrelated words entirely here now ok")],
+        "doc_id long, text string",
+    )
+    with mock.patch(
+        "inmem_vector_db_spark.plans.textops.load_table", return_value=df
+    ):
+        rows = [(r["id_left"], r["id_right"], r["boundary"])
+                for r in chunk_stitch_q(spark, "ignored").collect()]
+    assert rows == [(1, 2, "alpha beta gamma")]
+
+
+def test_source_token_gini_bounds_and_uniform(spark, sf_dir):
+    from inmem_vector_db_spark.plans.textops import source_token_gini_q
+    from unittest import mock
+
+    # perfectly uniform mass across sources -> gini 0
+    df = spark.createDataFrame(
+        [(i, "a b c d", f"s{i}") for i in range(4)],
+        "doc_id long, text string, source string",
+    )
+    with mock.patch(
+        "inmem_vector_db_spark.plans.textops.load_table", return_value=df
+    ):
+        r = source_token_gini_q(spark, "ignored").head()
+    assert r["n_sources"] == 4 and r["total_tokens"] == 16
+    assert r["gini"] == 0.0 and r["top1_share"] == 0.25
+
+    # real corpus: gini in [0, 1), top share >= 1/n
+    real = source_token_gini_q(spark, sf_dir)
+    row = real.head()
+    assert 0.0 <= row["gini"] < 1.0
+    assert row["top1_share"] >= 1.0 / row["n_sources"]
