@@ -2887,11 +2887,18 @@ WITH {_SH_CTE},
 keyed AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh WHERE len(shingles) > 0),
 ex AS (SELECT doc_id, unnest(shset) AS s FROM keyed),
 dfq AS (SELECT s, count(*) AS s_df FROM ex GROUP BY s),
-blocked AS (SELECT s FROM dfq WHERE s_df BETWEEN 2 AND 16),
-rare AS (SELECT e.doc_id, e.s FROM ex e JOIN blocked b ON e.s = b.s),
+occ AS (SELECT e.doc_id, e.s, d.s_df FROM ex e JOIN dfq d ON e.s = d.s
+        WHERE d.s_df BETWEEN 2 AND 16),
+probe AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY s_df, s) AS rk
+    FROM occ
+  ) WHERE rk <= 5
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT DISTINCT least(p.doc_id, o.doc_id) AS id_a,
+                  greatest(p.doc_id, o.doc_id) AS id_b
+  FROM probe p JOIN occ o ON p.s = o.s AND p.doc_id <> o.doc_id
 )
 SELECT * FROM (
   SELECT c.id_a, c.id_b,

@@ -206,6 +206,19 @@ HEADLINERS = {
     "each iteration is BroadcastHashJoin(ranks) -> partial+final "
     "HashAggregate with NO Exchange — the per-iteration shuffle is "
     "gone, one repartition total at build.",
+    "ann_ivf_prefilter": "filtered ANN: the label predicate filters the "
+    "cached index rows (attribute carried by ivf_assign keep_cols) "
+    "before the distance projection — no join back to the base table, "
+    "then the usual no-shuffle TakeOrderedAndProject top-k.",
+    "dedup_containment": "prefix-filtered asymmetric candidate join: "
+    "df window [2,16] from one partial-aggregable HashAggregate, probe "
+    "side thinned to each doc's 5 rarest blocking shingles by a window "
+    "partitioned on doc_id — candidate fan-out bounded by "
+    "N*probes*max_df (12x fewer pairs than the symmetric join, same "
+    "survivors), then exact containment verifies shingle SETS from the "
+    "cached signature artifact (InMemoryTableScan).  Never all-pairs.",
+    "chunk_stitch": "pure equi-join on the 3-gram boundary key: the "
+    "Exchange carries (doc_id, 12-char key) pairs, never text bodies.",
 }
 
 
