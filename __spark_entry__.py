@@ -342,10 +342,9 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial top-k); the recall join moves only 2*Q*k id pairs.
     """
     from inmem_vector_db_spark.operators.ann import ivf_search_batch
-    from inmem_vector_db_spark.operators.knn import knn_join_vectorized
 
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 8).select(
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     centroids, assigned = _ivf_coarse(spark, sf_dir)
@@ -353,28 +352,11 @@ def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=10, nprobe=3, stride=50, metric="euclidean",
         assigned=assigned, centroids=centroids,
     ).select("query_id", "vec_id")
-    exact = knn_join_vectorized(emb, queries, k=10, metric="euclidean").select(
-        "query_id", "vec_id"
-    )
-    hits = (
-        approx.join(exact, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .na.fill({"n_hit": 0})
-        .select(
-            "query_id",
-            F.round(F.col("n_hit") / F.lit(10.0), 6).alias("recall_at_10"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_vs_exact(spark, sf_dir, approx, k=10)
 
 
 _ANN_IVF_RECALL_ORACLE = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (2, 7, 11, 19)),
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
