@@ -1392,6 +1392,49 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (the canonical streaming
+    production join): the event stream is broadcast-joined per
+    micro-batch to the static customer dimension, then rolled up by
+    market segment.  Spark re-plans the static side each micro-batch,
+    so a dimension refresh (overwrite the parquet) is picked up without
+    restarting the stream; the broadcast keeps the join map-side — no
+    shuffle of the stream, state only in the final segment aggregate
+    (bounded by |segments|).  Batch-equivalence proven by the oracle:
+    same answer as the plain join + GROUP BY."""
+    from inmem_vector_db_spark.streaming.ingest import (
+        enrich_stream_with_dimension,
+        run_stream_to_memory,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(staged)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream_with_dimension(stream_in, dim, key="user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_stream_to_memory(agg)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_STREAM_STATIC_ENRICH_ORACLE = """
+SELECT c.c_mktsegment, count(*) AS n_events, round(sum(e.value), 6) AS value_sum
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION windows (dynamic-length, gap-merged — the
     window shape the fixed tumbling rollup can't express): stage events
@@ -2086,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_search_pipeline": _store_search_pipeline,
         "store_crud_lifecycle": _store_crud_lifecycle,
         "events_hourly_stream": _events_hourly_stream,
+        "stream_static_enrich": _stream_static_enrich,
         "session_window_stream": _session_window_stream,
         "click_purchase_stream": _click_purchase_stream,
         "docs_dedup_stream": _docs_dedup_stream,
@@ -2146,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
+        "stream_static_enrich": _STREAM_STATIC_ENRICH_ORACLE,
         "session_window_stream": _SESSION_WINDOW_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,

@@ -551,6 +551,50 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality eval row for approximate quantiles: per order
+    status, p50/p90/p99 from ``approx_percentile`` (the mergeable
+    KLL-style sketch — the 100 TB path, one partial-aggregable pass, no
+    sort) checked against the exact sort-based ``percentile`` with a
+    0.5% relative-error flag.  Same posture as the ANN recall rows: the
+    exact leg exists to GRADE the sketch at test scale; production runs
+    only the sketch.  The oracle computes the exact values and asserts
+    the flags TRUE — a sketch drifting out of tolerance turns the row
+    red."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("ap"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("ex"),
+    )
+    tol = 0.005
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.element_at("ex", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("ex", 2), 4).alias("exact_p90"),
+        F.round(F.element_at("ex", 3), 4).alias("exact_p99"),
+        (
+            (F.abs(F.element_at("ap", 1) - F.element_at("ex", 1))
+             <= tol * F.element_at("ex", 1))
+            & (F.abs(F.element_at("ap", 2) - F.element_at("ex", 2))
+               <= tol * F.element_at("ex", 2))
+            & (F.abs(F.element_at("ap", 3) - F.element_at("ex", 3))
+               <= tol * F.element_at("ex", 3))
+        ).alias("sketch_within_half_pct"),
+    )
+
+
+APPROX_QUANTILE_CHECK_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99,
+       true AS sketch_within_half_pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op (absent in the reference, SURVEY.md 2.6): users
     who both purchased AND hit an error, with their event counts."""
@@ -2633,6 +2677,7 @@ QUERIES = {
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "order_value_percentiles": (order_value_percentiles, ORDER_PERCENTILES_SQL),
+    "approx_quantile_check": (approx_quantile_check, APPROX_QUANTILE_CHECK_SQL),
     "users_purchase_and_error": (users_purchase_and_error, USERS_INTERSECT_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "supplier_geomean_price": (supplier_geomean_price, SUPPLIER_GEOMEAN_SQL),
