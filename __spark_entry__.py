@@ -1641,6 +1641,58 @@ def _jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAGED_FEED: dict = {}
+
+
+def _stage_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Write documents once per sf_dir as ONE jsonl file — the stand-in
+    for the reference's paginated REST feed (one JSON object per line ==
+    one API record)."""
+    import glob
+    import tempfile
+
+    if sf_dir not in _STAGED_FEED:
+        staged = tempfile.mkdtemp(prefix="docs_feed_")
+        load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+            "overwrite"
+        ).json(staged)
+        (part,) = glob.glob(f"{staged}/part-*.json")
+        _STAGED_FEED[sf_dir] = part
+    return _STAGED_FEED[sf_dir]
+
+
+def _rest_feed_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (PySpark 4 data-source API): ingest a
+    paginated document feed — the Spark-native form of the reference's
+    REST ingest loop (``app/api/endpoints/documents.py:16-38``).  The
+    driver plans one InputPartition per page from byte offsets alone;
+    executors fetch + parse pages in parallel, so ingest bandwidth
+    scales with the cluster.  page_bytes=65536 forces multiple pages
+    even at sf0.01, exercising the boundary-straddling record logic.
+    Oracle = the same aggregate off the parquet truth: the custom
+    source must preserve every value."""
+    from inmem_vector_db_spark.sources.feed import register_feed_source
+
+    register_feed_source(spark)
+    feed = _stage_feed(spark, sf_dir)
+    docs = (
+        spark.read.format("document_feed")
+        .option("path", feed)
+        .option("page_bytes", 65536)
+        .load()
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_REST_FEED_ORACLE = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
 def _csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip (reference S4, generalized from the chunk
     corpus): stage documents as quoted/escaped CSV with header, read
@@ -2134,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_purchase_stream": _click_purchase_stream,
         "docs_dedup_stream": _docs_dedup_stream,
         "jsonl_source_agg": _jsonl_source_agg,
+        "rest_feed_source_agg": _rest_feed_source_agg,
         "orc_source_agg": _orc_source_agg,
         "csv_source_agg": _csv_source_agg,
         "partitioned_write_roundtrip": _partitioned_write_roundtrip,
@@ -2199,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "user_totals_stateful_stream": _USER_TOTALS_STATEFUL_ORACLE,
         "stream_file_sink_roundtrip": _STREAM_FILE_SINK_ORACLE,
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
+        "rest_feed_source_agg": _REST_FEED_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,
         "partitioned_write_roundtrip": _DOCS_AGG_ORACLE,

@@ -1,0 +1,112 @@
+"""Custom Python DataSource: a paginated document feed.
+
+The reference ingests documents through a REST endpoint
+(``app/api/endpoints/documents.py:16-38`` — ``POST /libraries/{id}/
+documents``), pulling batches into memory one request at a time.  The
+Spark-native equivalent of "consume a paginated HTTP feed" is a custom
+`pyspark.sql.datasource.DataSource` (the PySpark 4 Python data-source
+API): the feed is split into PAGES, each page becomes an
+``InputPartition``, and EXECUTORS fetch pages in parallel — ingest
+bandwidth scales with the cluster instead of a single driver-side
+request loop.
+
+The sandbox has no network, so the "feed" is a JSONL file standing in
+for the HTTP endpoint (one JSON object per line == one record from the
+API, the standard REST-export shape).  Swapping the file read inside
+``FeedReader.read`` for an HTTP page fetch changes nothing about the
+plan: partition planning, serialization, and parallelism are identical
+— that seam is the point of the data-source API.
+
+Scale posture: ``partitions()`` plans one partition per page from byte
+offsets ONLY (the driver never reads the feed body — it stats the file
+and slices [0, size) into page ranges); each executor task reads and
+parses just its own byte slice, aligning to line boundaries the same
+way Spark's own text sources do (skip the partial first line, read one
+line past the end).  Driver memory is O(pages), data transfer is
+executor-side only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FEED_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+class _FeedPage(InputPartition):
+    def __init__(self, path: str, start: int, end: int, file_size: int):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.file_size = file_size
+
+
+class FeedReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("document_feed: 'path' option is required")
+        self.page_bytes = int(options.get("page_bytes", 1 << 20))
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        pages = []
+        start = 0
+        while start < size:
+            end = min(start + self.page_bytes, size)
+            pages.append(_FeedPage(self.path, start, end, size))
+            start = end
+        return pages or [_FeedPage(self.path, 0, 0, 0)]
+
+    def read(self, partition: _FeedPage):
+        # byte-sliced line reads, Hadoop-text-source style: a record
+        # belongs to the page containing its FIRST byte; a record that
+        # straddles the page end is read to completion by its owner and
+        # skipped by the next page.  The seek(start-1)+readline trick
+        # keeps a line that begins exactly at the boundary (seeking to
+        # start and unconditionally skipping would drop it).
+        with open(partition.path, "rb") as fh:
+            if partition.start > 0:
+                fh.seek(partition.start - 1)
+                fh.readline()  # partial (or boundary '\n') of prior page
+            while True:
+                pos = fh.tell()
+                if pos >= partition.end:
+                    break
+                line = fh.readline()
+                if not line:
+                    break
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                yield (
+                    rec["doc_id"],
+                    rec["text"],
+                    rec.get("lang"),
+                    rec.get("source"),
+                    rec["n_chars"],
+                )
+
+
+class DocumentFeedDataSource(DataSource):
+    """``spark.read.format("document_feed").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "document_feed"
+
+    def schema(self) -> str:
+        return FEED_SCHEMA
+
+    def reader(self, schema) -> FeedReader:
+        return FeedReader(self.options)
+
+
+def register_feed_source(spark) -> None:
+    """Idempotent registration (re-registering is a no-op overwrite)."""
+    spark.dataSource.register(DocumentFeedDataSource)

@@ -254,3 +254,32 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
     want = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en").count()
     assert df.count() == want
+
+
+def test_document_feed_source_page_boundaries(spark, sf_dir, tmp_path):
+    """Custom DataSource: byte-sliced pagination must neither drop nor
+    duplicate records, for any page size — including pages that split a
+    record mid-line and pages whose boundary lands exactly on a line
+    start."""
+    from inmem_vector_db_spark.sources.feed import register_feed_source
+
+    register_feed_source(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = str(tmp_path / "feed")
+    docs.coalesce(1).write.mode("overwrite").json(staged)
+    import glob
+
+    (part,) = glob.glob(f"{staged}/part-*.json")
+    want = sorted(
+        (r["doc_id"], r["n_chars"]) for r in docs.select("doc_id", "n_chars").collect()
+    )
+    for page_bytes in (257, 4096, 1 << 30):  # many tiny pages .. one page
+        got = (
+            spark.read.format("document_feed")
+            .option("path", part)
+            .option("page_bytes", page_bytes)
+            .load()
+        )
+        assert sorted(
+            (r["doc_id"], r["n_chars"]) for r in got.select("doc_id", "n_chars").collect()
+        ) == want, f"page_bytes={page_bytes}"
