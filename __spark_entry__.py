@@ -2136,7 +2136,7 @@ GROUP BY 1
 _DRIVER_WINDOW = [
     "knn_cosine", "knn_multi_cosine", "knn_prefilter_label",
     "ann_ivf_euclidean", "ann_ivf_prefilter", "ann_ivf_recall",
-    "ann_ivfpq", "knn_quantized", "dedup_containment",
+    "ann_ivfpq", "knn_quantized",
     "knn_pq", "lsh_knn_cosine", "lsh_knn_multiprobe",
     "store_search_pipeline", "store_crud_lifecycle", "store_parity_search",
     "events_hourly_stream", "click_purchase_stream",
@@ -2147,7 +2147,8 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q7_nation_volume", "q18_large_volume_customers", "q21_waiting_suppliers",
     "dedup_signature_index", "dedup_exact_summary", "dedup_minhash_pairs",
-    "dedup_clusters", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_clusters", "dedup_simhash", "dedup_containment",
+    "dedup_ngram_jaccard",
     "embedding_near_dup", "semantic_dedup", "text_quality",
     "lang_id_counts", "token_counts", "crossdoc_shingle_dup",
     "decontam_overlap",
