@@ -51,7 +51,7 @@ class FeedReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("document_feed: 'path' option is required")
-        self.page_bytes = int(options.get("page_bytes", 1 << 20))
+        self.page_bytes = max(1, int(options.get("page_bytes", 1 << 20)))
 
     def partitions(self):
         size = os.path.getsize(self.path)

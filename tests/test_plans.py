@@ -295,3 +295,39 @@ def test_bucketed_join_revenue_plan_and_values(spark, sf_dir):
         .orderBy("o_orderpriority")
     )
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in plain.collect()]
+
+
+def test_containment_plan_prefix_filtered(spark, sf_dir):
+    """Containment dedup: the candidate join must be the prefix-filtered
+    shape — a Window (rank of each doc's rarest blocking shingles)
+    feeding an equi-join, never a cartesian/nested-loop pair
+    enumeration."""
+    from inmem_vector_db_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(containment_pairs(docs, threshold=0.6))
+    assert "Window" in plan  # probes_per_doc rank
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ivf_prefilter_plan_filters_before_distance(spark, sf_dir):
+    """Filtered ANN: the label predicate must appear as a Filter over
+    the index rows below the top-k — no join back to the embeddings
+    base table on the search path (one scan/cache read, not two)."""
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_search,
+        select_centroids,
+    )
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cids, cmat = select_centroids(emb, stride=50)
+    assigned = ivf_assign(emb, cids, cmat, keep_cols=("label",))
+    q = [0.0] * 64
+    plan = _plan(
+        ivf_search(emb, q, k=5, nprobe=3, assigned=assigned.filter(F.col("label") == 2),
+                   centroids=(cids, cmat))
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("SortMergeJoin") == 0 and plan.count("BroadcastHashJoin") == 0
