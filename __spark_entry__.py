@@ -1693,6 +1693,34 @@ FROM documents GROUP BY source
 """
 
 
+def _feed_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource as a STREAMING source: tail the
+    document feed by byte offset (checkpointable — a restart resumes
+    from the committed position, `readBetweenOffsets` replays ranges
+    exactly), drain availableNow, aggregate per lang.  This is the
+    reference's background-ingest poll loop
+    (``app/api/services/background_tasks.py:4-18``) as a first-class
+    Structured Streaming source; oracle = the batch aggregate off the
+    parquet truth, proving the tailing path loses and duplicates
+    nothing."""
+    from inmem_vector_db_spark.sources.feed import register_feed_source
+    from inmem_vector_db_spark.streaming.ingest import run_stream_to_memory
+
+    register_feed_source(spark)
+    feed = _stage_feed(spark, sf_dir)
+    stream = spark.readStream.format("document_feed").option("path", feed).load()
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return run_stream_to_memory(agg)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source round-trip (reference S4, generalized from the chunk
     corpus): stage documents as quoted/escaped CSV with header, read
@@ -2188,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_stream": _docs_dedup_stream,
         "jsonl_source_agg": _jsonl_source_agg,
         "rest_feed_source_agg": _rest_feed_source_agg,
+        "feed_tail_stream": _feed_tail_stream,
         "orc_source_agg": _orc_source_agg,
         "csv_source_agg": _csv_source_agg,
         "partitioned_write_roundtrip": _partitioned_write_roundtrip,
@@ -2254,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_file_sink_roundtrip": _STREAM_FILE_SINK_ORACLE,
         "jsonl_source_agg": _DOCS_AGG_ORACLE,
         "rest_feed_source_agg": _REST_FEED_ORACLE,
+        "feed_tail_stream": _DOCS_AGG_ORACLE,
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,
         "partitioned_write_roundtrip": _DOCS_AGG_ORACLE,

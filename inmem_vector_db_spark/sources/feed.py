@@ -31,7 +31,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FEED_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -93,8 +98,65 @@ class FeedReader(DataSourceReader):
                 )
 
 
+def _parse_line(line: bytes):
+    rec = json.loads(line)
+    return (
+        rec["doc_id"],
+        rec["text"],
+        rec.get("lang"),
+        rec.get("source"),
+        rec["n_chars"],
+    )
+
+
+class FeedStreamReader(SimpleDataSourceStreamReader):
+    """Tail the feed as a STREAMING source: the offset is a byte
+    position into the append-only feed file — the reference's
+    background-ingest loop (`app/api/services/background_tasks.py:4-18`
+    polling for new work) as a checkpointable Structured Streaming
+    source.  Each micro-batch reads [last_pos, EOF) complete lines and
+    advances the offset; a restart resumes from the check-pointed byte
+    position, and ``readBetweenOffsets`` replays any committed range
+    exactly (offsets are byte positions, so replay is a seek + bounded
+    read — deterministic recovery for free)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("document_feed: 'path' option is required")
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _read_range(self, start: int, end: int | None):
+        rows = []
+        with open(self.path, "rb") as fh:
+            fh.seek(start)
+            pos = start
+            while end is None or pos < end:
+                line = fh.readline()
+                if not line or not line.endswith(b"\n"):
+                    break  # EOF or partial trailing line: next batch's work
+                pos = fh.tell()
+                if line.strip():
+                    rows.append(_parse_line(line))
+        return rows, pos
+
+    def read(self, start: dict):
+        rows, pos = self._read_range(int(start["pos"]), None)
+        return iter(rows), {"pos": pos}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._read_range(int(start["pos"]), int(end["pos"]))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing external to ack
+
+
 class DocumentFeedDataSource(DataSource):
-    """``spark.read.format("document_feed").option("path", ...)``."""
+    """``spark.read.format("document_feed").option("path", ...)`` for
+    batch; ``spark.readStream.format("document_feed")`` to tail."""
 
     @classmethod
     def name(cls) -> str:
@@ -105,6 +167,9 @@ class DocumentFeedDataSource(DataSource):
 
     def reader(self, schema) -> FeedReader:
         return FeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FeedStreamReader:
+        return FeedStreamReader(self.options)
 
 
 def register_feed_source(spark) -> None:

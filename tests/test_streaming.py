@@ -286,3 +286,46 @@ def test_session_window_gap_boundary_semantics(spark):
         for r in sessionized_user_activity(ev, gap="60 seconds").collect()
     )
     assert got == [("2024-01-01T00:00:00", 2), ("2024-01-01T00:02:01", 1)]
+
+
+def test_feed_stream_tails_appends(spark, sf_dir, tmp_path):
+    """Custom streaming DataSource: byte-offset tailing — a first drain
+    reads everything written so far, an append is picked up by the next
+    drain, nothing is dropped or double-read."""
+    import json as _json
+
+    from inmem_vector_db_spark.sources.feed import register_feed_source
+
+    register_feed_source(spark)
+    docs = [
+        {"doc_id": i, "text": f"t{i}", "lang": "en", "source": "s", "n_chars": 2}
+        for i in range(10)
+    ]
+    feed = tmp_path / "feed.jsonl"
+    with open(feed, "w") as fh:
+        for d in docs[:6]:
+            fh.write(_json.dumps(d) + "\n")
+
+    stream = (
+        spark.readStream.format("document_feed")
+        .option("path", str(feed))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("feed_tail").count() == 6
+        with open(feed, "a") as fh:
+            for d in docs[6:]:
+                fh.write(_json.dumps(d) + "\n")
+        q.processAllAvailable()
+        got = sorted(r["doc_id"] for r in spark.table("feed_tail").collect())
+        assert got == list(range(10))
+    finally:
+        q.stop()
