@@ -1177,6 +1177,43 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VariantType path (Spark 4):
+    ``parse_json`` once per row into a variant, ``variant_get`` typed
+    extractions after — at scale the open-schema alternative to
+    ``from_json`` with a fixed struct: no schema declaration up front,
+    binary-encoded storage, and (on variant-shredding writers) columnar
+    pushdown into the extracted paths.  Decile rollup over the
+    extracted value proves typed extraction end-to-end."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .withColumn("k_decile", F.floor(F.col("k") / 10).cast("bigint"))
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+PROPS_VARIANT_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_decile,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM p GROUP BY 1
+"""
+
+
 EVENTS_JSON_SQL = """
 WITH p AS (
   SELECT event_type,
@@ -2693,6 +2730,7 @@ QUERIES = {
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "order_rank_stats": (order_rank_stats, ORDER_RANK_STATS_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
+    "props_variant_stats": (props_variant_stats, PROPS_VARIANT_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "incremental_agg_merge": (incremental_agg_merge, INCREMENTAL_AGG_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_SQL),

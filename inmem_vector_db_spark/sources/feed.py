@@ -57,6 +57,26 @@ class FeedReader(DataSourceReader):
         if not self.path:
             raise ValueError("document_feed: 'path' option is required")
         self.page_bytes = max(1, int(options.get("page_bytes", 1 << 20)))
+        self._eq_filters: dict[str, object] = {}
+
+    def pushFilters(self, filters):
+        """Accept equality predicates on the low-cardinality metadata
+        columns; everything else stays with Spark.  A pushed filter is
+        applied DURING parse, before rows enter Arrow serialization —
+        for a selective predicate the executor→JVM transfer shrinks by
+        the filter's selectivity (the Python-source analog of parquet
+        PushedFilters)."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and len(f.attribute) == 1
+                and f.attribute[0] in ("lang", "source")
+            ):
+                self._eq_filters[f.attribute[0]] = f.value
+            else:
+                yield f  # unsupported: Spark keeps evaluating it
 
     def partitions(self):
         size = os.path.getsize(self.path)
@@ -89,6 +109,11 @@ class FeedReader(DataSourceReader):
                 if not line.strip():
                     continue
                 rec = json.loads(line)
+                if any(
+                    rec.get(col) != want
+                    for col, want in self._eq_filters.items()
+                ):
+                    continue
                 yield (
                     rec["doc_id"],
                     rec["text"],
@@ -173,5 +198,10 @@ class DocumentFeedDataSource(DataSource):
 
 
 def register_feed_source(spark) -> None:
-    """Idempotent registration (re-registering is a no-op overwrite)."""
+    """Idempotent registration (re-registering is a no-op overwrite).
+
+    Python-source filter pushdown is gated by a conf that defaults off;
+    a reader implementing ``pushFilters`` FAILS to initialize under the
+    default, so registration enables it (runtime-settable)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DocumentFeedDataSource)

@@ -283,3 +283,38 @@ def test_document_feed_source_page_boundaries(spark, sf_dir, tmp_path):
         assert sorted(
             (r["doc_id"], r["n_chars"]) for r in got.select("doc_id", "n_chars").collect()
         ) == want, f"page_bytes={page_bytes}"
+
+
+def test_document_feed_filter_pushdown(spark, sf_dir, tmp_path):
+    """Pushed equality filters must produce exactly the rows a plain
+    post-filter would — and unsupported predicates stay with Spark."""
+    from inmem_vector_db_spark.sources.feed import register_feed_source
+
+    register_feed_source(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = str(tmp_path / "feedf")
+    docs.coalesce(1).write.mode("overwrite").json(staged)
+    import glob
+
+    (part,) = glob.glob(f"{staged}/part-*.json")
+    feed = (
+        spark.read.format("document_feed")
+        .option("path", part)
+        .option("page_bytes", 4096)
+        .load()
+    )
+    # supported pushdown (source =) combined with one Spark-side
+    # predicate (n_chars >) — results must equal the parquet truth
+    got = sorted(
+        r["doc_id"]
+        for r in feed.filter(
+            (F.col("source") == "src7") & (F.col("n_chars") > 200)
+        ).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("source") == "src7") & (F.col("n_chars") > 200)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
