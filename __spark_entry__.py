@@ -2169,7 +2169,7 @@ _DRIVER_WINDOW = [
     "store_search_pipeline", "store_crud_lifecycle", "store_parity_search",
     "events_hourly_stream", "click_purchase_stream",
     "user_totals_stateful_stream", "stream_file_sink_roundtrip",
-    "csv_source_agg", "jsonl_source_agg", "partitioned_write_roundtrip",
+    "csv_source_agg", "rest_feed_source_agg", "partitioned_write_roundtrip",
     "image_pixel_stats", "image_phash_dups", "video_frame_sample",
     "audio_energy_stats",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
