@@ -12,12 +12,28 @@ order-insensitive value-hash is stable across engines (SURVEY.md 7.4).
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.operators.knn import knn, knn_join_vectorized
 from inmem_vector_db_spark.sources.loader import load_table
+
+
+@contextmanager
+def _small_shuffle(spark: SparkSession, n: int = 4):
+    """Temporarily size shuffle partitions for low-cardinality stateful
+    streams: Structured Streaming keeps one state store per shuffle
+    partition (per join side), so at bench volume 4 stores beat 32 —
+    fewer state-store commits dominate a bounded run.  On a real
+    cluster this knob is sized to key cardinality, not fixed."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1375,14 +1391,8 @@ def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string"
     ).parquet(staged)
-    # few windowed groups => few state rows; 4 state stores beat 32
-    # (same sizing note as _click_purchase_stream)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _small_shuffle(spark):
         return run_stream_to_memory(windowed_event_counts(stream_in))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _EVENTS_HOURLY_STREAM_ORACLE = """
@@ -1420,12 +1430,8 @@ def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("value_sum"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _small_shuffle(spark):
         return run_stream_to_memory(agg)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _STREAM_STATIC_ENRICH_ORACLE = """
@@ -1456,14 +1462,10 @@ def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts timestamp, user_id bigint, event_type string, "
         "value double, props string"
     ).parquet(staged)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _small_shuffle(spark):
         return run_stream_to_memory(
             sessionized_user_activity(stream_in, gap="6 hours", watermark="12 hours")
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _SESSION_WINDOW_STREAM_ORACLE = """
@@ -1518,12 +1520,8 @@ def _click_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side: at this volume 4 partitions beat 32 (fewer state-store
     # commits dominate the bounded run; on a real cluster this knob is
     # sized to key cardinality, not fixed)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _small_shuffle(spark):
         out = run_stream_to_memory(pairs, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.select(
         "user_id", "click_ts", "purchase_ts", F.round("value", 4).alias("value")
     )
@@ -1713,12 +1711,8 @@ def _feed_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _small_shuffle(spark):
         return run_stream_to_memory(agg)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1776,14 +1770,10 @@ def _docs_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).parquet(_STAGED_DOCS[sf_dir])
     keyed = stream_in.select(F.md5("text").alias("h"), "lang")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _small_shuffle(spark):
         return run_stream_to_memory(
             stream_exact_dedup(keyed, ["h", "lang"]), output_mode="append"
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 _DOCS_DEDUP_STREAM_ORACLE = """

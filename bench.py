@@ -64,7 +64,12 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     ok = sorted(t for t in timings.values() if t >= 0)
-    median = round(ok[len(ok) // 2], 3) if ok else None
+    if not ok:
+        median = None
+    elif len(ok) % 2:
+        median = round(ok[len(ok) // 2], 3)
+    else:
+        median = round((ok[len(ok) // 2 - 1] + ok[len(ok) // 2]) / 2, 3)
 
     # The driver keeps only the TAIL of stdout; a per-query map for the
     # full 170+ suite overflows that window and the line arrives

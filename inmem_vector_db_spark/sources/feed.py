@@ -44,11 +44,10 @@ FEED_SCHEMA = (
 
 
 class _FeedPage(InputPartition):
-    def __init__(self, path: str, start: int, end: int, file_size: int):
+    def __init__(self, path: str, start: int, end: int):
         self.path = path
         self.start = start
         self.end = end
-        self.file_size = file_size
 
 
 class FeedReader(DataSourceReader):
@@ -57,7 +56,7 @@ class FeedReader(DataSourceReader):
         if not self.path:
             raise ValueError("document_feed: 'path' option is required")
         self.page_bytes = max(1, int(options.get("page_bytes", 1 << 20)))
-        self._eq_filters: dict[str, object] = {}
+        self._eq_filters: list[tuple[str, object]] = []
 
     def pushFilters(self, filters):
         """Accept equality predicates on the low-cardinality metadata
@@ -65,7 +64,9 @@ class FeedReader(DataSourceReader):
         applied DURING parse, before rows enter Arrow serialization —
         for a selective predicate the executor→JVM transfer shrinks by
         the filter's selectivity (the Python-source analog of parquet
-        PushedFilters)."""
+        PushedFilters).  ALL accepted filters are kept and ANDed — two
+        contradictory equalities on the same column (Catalyst does not
+        fold them to false) correctly yield zero rows."""
         from pyspark.sql.datasource import EqualTo
 
         for f in filters:
@@ -74,7 +75,7 @@ class FeedReader(DataSourceReader):
                 and len(f.attribute) == 1
                 and f.attribute[0] in ("lang", "source")
             ):
-                self._eq_filters[f.attribute[0]] = f.value
+                self._eq_filters.append((f.attribute[0], f.value))
             else:
                 yield f  # unsupported: Spark keeps evaluating it
 
@@ -84,9 +85,9 @@ class FeedReader(DataSourceReader):
         start = 0
         while start < size:
             end = min(start + self.page_bytes, size)
-            pages.append(_FeedPage(self.path, start, end, size))
+            pages.append(_FeedPage(self.path, start, end))
             start = end
-        return pages or [_FeedPage(self.path, 0, 0, 0)]
+        return pages or [_FeedPage(self.path, 0, 0)]
 
     def read(self, partition: _FeedPage):
         # byte-sliced line reads, Hadoop-text-source style: a record
@@ -110,21 +111,15 @@ class FeedReader(DataSourceReader):
                     continue
                 rec = json.loads(line)
                 if any(
-                    rec.get(col) != want
-                    for col, want in self._eq_filters.items()
+                    rec.get(col) != want for col, want in self._eq_filters
                 ):
                     continue
-                yield (
-                    rec["doc_id"],
-                    rec["text"],
-                    rec.get("lang"),
-                    rec.get("source"),
-                    rec["n_chars"],
-                )
+                yield _record_tuple(rec)
 
 
-def _parse_line(line: bytes):
-    rec = json.loads(line)
+def _record_tuple(rec: dict):
+    """One FEED_SCHEMA row from a parsed feed record — the single place
+    batch and streaming reads build rows, so they cannot diverge."""
     return (
         rec["doc_id"],
         rec["text"],
@@ -132,6 +127,10 @@ def _parse_line(line: bytes):
         rec.get("source"),
         rec["n_chars"],
     )
+
+
+def _parse_line(line: bytes):
+    return _record_tuple(json.loads(line))
 
 
 class FeedStreamReader(SimpleDataSourceStreamReader):

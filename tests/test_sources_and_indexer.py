@@ -318,3 +318,8 @@ def test_document_feed_filter_pushdown(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+    # contradictory pushed equalities must yield zero rows, not last-wins
+    assert (
+        feed.filter((F.col("source") == "src7") & (F.col("source") == "src8")).count()
+        == 0
+    )
