@@ -127,11 +127,22 @@ def pagerank(
                 ).alias("rank"),
             )
         if it < iters - 1:
-            # materialize each frontier: without this, the broadcast
-            # collect (and any reuse) re-executes ALL prior iterations
-            # — O(iters^2) recomputation on an uncached lineage
-            ranks = ranks.persist()
-            ranks.count()
+            if broadcast_ranks and n_nodes <= 2_000_000:
+                # literal frontier: the broadcast join was going to
+                # collect the rank vector anyway, so collect it OURSELVES
+                # and rebuild a literal DataFrame — lineage truncated for
+                # free, no persist job, one job per iteration instead of
+                # two.  Bit-exact: collect/createDataFrame round-trips
+                # IEEE doubles unchanged.
+                rows = [(row["node"], row["rank"]) for row in ranks.collect()]
+                ranks = trans.sparkSession.createDataFrame(rows, ranks.schema)
+            else:
+                # big-graph path: materialize each frontier in the
+                # cluster; without this, the shuffle join (and any reuse)
+                # re-executes ALL prior iterations — O(iters^2)
+                # recomputation on an uncached lineage
+                ranks = ranks.persist()
+                ranks.count()
         if it == 0:
             # trans is now cached (first iteration computed it); the
             # raw edge cache has no further readers
