@@ -1062,6 +1062,60 @@ ORDER BY q.query_id
 """
 
 
+def _ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of HALF-dimension (Matryoshka-style truncation: keep
+    the first 32 of 64 dims) exact search vs full-dimension exact
+    search — the eval that decides whether a training pipeline can
+    store/serve truncated embeddings (2x cheaper IO + compute per scan)
+    for a given corpus.  Same eval-row posture as the quantized/PQ
+    recall entries; the shared exact ground truth is reused."""
+    emb = _emb(spark, sf_dir)
+    half = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    queries = half.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = knn_join_vectorized(half, queries, k=10, metric="euclidean").select(
+        "query_id", "vec_id"
+    )
+    return _recall_vs_exact(spark, sf_dir, approx)
+
+
+_ANN_TRUNCATED_RECALL_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (2, 7, 11, 19)),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(b.v[1:32], q.qv[1:32]), b.vec_id
+           ) AS rn
+    FROM base b, q
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, b.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(b.v, q.qv), b.vec_id
+           ) AS rn
+    FROM base b, q
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id, round(coalesce(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
 def _knn_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the int8-quantized two-stage path (quantized
     candidate scan -> exact re-rank) vs the exact scan, per query.
@@ -2226,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": _knn_pq,
         "ann_ivfpq_recall": _ann_ivfpq_recall,
         "knn_quantized_recall": _knn_quantized_recall,
+        "ann_truncated_recall": _ann_truncated_recall,
         "ann_ivf_partitioned": _ann_ivf_partitioned,
         "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
@@ -2289,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq": _KNN_PQ_ORACLE,
         "ann_ivfpq_recall": _ANN_IVFPQ_RECALL_ORACLE,
         "knn_quantized_recall": _KNN_QUANTIZED_RECALL_ORACLE,
+        "ann_truncated_recall": _ANN_TRUNCATED_RECALL_ORACLE,
         "ann_ivf_partitioned": _ANN_IVF_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

@@ -595,6 +595,42 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def approx_distinct_hll_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality eval for HyperLogLog distinct counting: per event
+    type, ``approx_count_distinct`` (rsd=0.02 — the mergeable,
+    fixed-state 100 TB path) graded against the exact COUNT(DISTINCT)
+    with a 5% relative-error flag.  Complements the KMV sketch entries:
+    KMV here is md5-portable and ORACLE-EXACT by construction; HLL is
+    the Spark-native sketch whose internals DuckDB can't replay, so it
+    gets the tolerance-flag treatment (same as approx_quantile_check).
+    The oracle computes the exact counts and asserts the flags TRUE."""
+    events = load_table(spark, sf_dir, "events")
+    tol = 0.05
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("hll") - F.col("exact_users"))
+                <= tol * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+APPROX_DISTINCT_HLL_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS hll_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 def users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT set op (absent in the reference, SURVEY.md 2.6): users
     who both purchased AND hit an error, with their event counts."""
@@ -2715,6 +2751,7 @@ QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "order_value_percentiles": (order_value_percentiles, ORDER_PERCENTILES_SQL),
     "approx_quantile_check": (approx_quantile_check, APPROX_QUANTILE_CHECK_SQL),
+    "approx_distinct_hll_check": (approx_distinct_hll_check, APPROX_DISTINCT_HLL_SQL),
     "users_purchase_and_error": (users_purchase_and_error, USERS_INTERSECT_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "supplier_geomean_price": (supplier_geomean_price, SUPPLIER_GEOMEAN_SQL),
