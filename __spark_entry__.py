@@ -1116,6 +1116,59 @@ ORDER BY q.query_id
 """
 
 
+def _contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor, the rank-1
+    cosine neighbor (excluding self) is the POSITIVE and the rank-10
+    neighbor the HARD NEGATIVE — the near-but-not-nearest band that
+    contrastive objectives (InfoNCE/triplet) need, mined with ONE
+    batched top-k pass (no second scan for negatives).  At 100 TB this
+    is the same partial-top-k shape as every kNN entry: per-partition
+    numpy top-k, Q×k-row merge.  Anchors = the shared eval query set."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    nn = knn_join_vectorized(emb, queries, k=11, metric="cosine")
+    nn = nn.filter(F.col("vec_id") != F.col("query_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    ranked = nn.withColumn("rk", F.row_number().over(w))
+    pos = ranked.filter(F.col("rk") == 1).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id").alias("positive_id"),
+        F.round("dist", 6).alias("positive_dist"),
+    )
+    neg = ranked.filter(F.col("rk") == 10).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id").alias("negative_id"),
+        F.round("dist", 6).alias("negative_dist"),
+    )
+    return pos.join(neg, "anchor_id").orderBy("anchor_id")
+
+
+_CONTRASTIVE_PAIR_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS anchor_id, v AS qv FROM base WHERE vec_id IN (2, 7, 11, 19)),
+ranked AS (
+  SELECT q.anchor_id, b.vec_id,
+         round(1.0 - list_cosine_similarity(b.v, q.qv), 6) AS dist,
+         row_number() OVER (
+           PARTITION BY q.anchor_id
+           ORDER BY 1.0 - list_cosine_similarity(b.v, q.qv), b.vec_id
+         ) AS rk
+  FROM base b, q
+  WHERE b.vec_id <> q.anchor_id
+)
+SELECT p.anchor_id,
+       p.vec_id AS positive_id, p.dist AS positive_dist,
+       n.vec_id AS negative_id, n.dist AS negative_dist
+FROM ranked p JOIN ranked n ON p.anchor_id = n.anchor_id
+WHERE p.rk = 1 AND n.rk = 10
+ORDER BY p.anchor_id
+"""
+
+
 def _knn_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the int8-quantized two-stage path (quantized
     candidate scan -> exact re-rank) vs the exact scan, per query.
@@ -2281,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": _ann_ivfpq_recall,
         "knn_quantized_recall": _knn_quantized_recall,
         "ann_truncated_recall": _ann_truncated_recall,
+        "contrastive_pair_mining": _contrastive_pair_mining,
         "ann_ivf_partitioned": _ann_ivf_partitioned,
         "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
@@ -2345,6 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_recall": _ANN_IVFPQ_RECALL_ORACLE,
         "knn_quantized_recall": _KNN_QUANTIZED_RECALL_ORACLE,
         "ann_truncated_recall": _ANN_TRUNCATED_RECALL_ORACLE,
+        "contrastive_pair_mining": _CONTRASTIVE_PAIR_ORACLE,
         "ann_ivf_partitioned": _ANN_IVF_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
