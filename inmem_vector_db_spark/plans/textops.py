@@ -3006,6 +3006,57 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# data-mix reweighting: per-source sampling weights toward a uniform target
+
+
+def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalancing plan: per-source sampling weight that moves
+    the corpus token mix toward the UNIFORM target (weight_s ∝ target
+    share / current share, normalized so max = 1 — i.e., downsample
+    every source relative to the scarcest one, never upsample).  The
+    report also gives the expected post-sampling token count.  One
+    partial-aggregable groupBy(source) + a broadcast-scale scalar join;
+    at 100 TB the output IS the sampling plan a reweighting job
+    (DoReMi-style mix tuning, uniform proxy) executes with
+    hash_sample-per-source."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.lower("text"), " ")))
+            .cast("bigint")
+            .alias("tokens")
+        )
+    )
+    # min share == scarcest source; weight_s = min_tokens / tokens_s
+    scalars = per.agg(F.min("tokens").alias("min_tokens"))
+    return (
+        per.crossJoin(F.broadcast(scalars))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("min_tokens") / F.col("tokens"), 6).alias("weight"),
+            F.floor(
+                F.col("tokens") * (F.col("min_tokens") / F.col("tokens"))
+            ).cast("bigint").alias("expected_tokens"),
+        )
+    )
+
+
+SOURCE_MIX_WEIGHTS_SQL = """
+WITH per AS (
+  SELECT source, sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+),
+m AS (SELECT min(tokens) AS min_tokens FROM per)
+SELECT source, tokens,
+       round(m.min_tokens::DOUBLE / tokens, 6) AS weight,
+       CAST(floor(tokens * (m.min_tokens::DOUBLE / tokens)) AS BIGINT) AS expected_tokens
+FROM per, m
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -3063,4 +3114,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_containment": (dedup_containment_q, DEDUP_CONTAINMENT_SQL),
     "chunk_stitch": (chunk_stitch_q, CHUNK_STITCH_SQL),
     "source_token_gini": (source_token_gini_q, SOURCE_TOKEN_GINI_SQL),
+    "source_mix_weights": (source_mix_weights_q, SOURCE_MIX_WEIGHTS_SQL),
 }
