@@ -56,6 +56,14 @@ class FeedReader(DataSourceReader):
         if not self.path:
             raise ValueError("document_feed: 'path' option is required")
         self.page_bytes = max(1, int(options.get("page_bytes", 1 << 20)))
+        # "fail" (default): a malformed record fails the task — the
+        # correctness posture.  "skip": drop malformed lines — the
+        # real-feed ingest posture (a poisoned record must not wedge a
+        # 100 TB backfill; the skipped count is recoverable by diffing
+        # row counts against the feed's line count).
+        self.mode = options.get("mode", "fail")
+        if self.mode not in ("fail", "skip"):
+            raise ValueError("document_feed: mode must be 'fail' or 'skip'")
         self._eq_filters: list[tuple[str, object]] = []
 
     def pushFilters(self, filters):
@@ -109,12 +117,18 @@ class FeedReader(DataSourceReader):
                     break
                 if not line.strip():
                     continue
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                    row = _record_tuple(rec)
+                except (ValueError, KeyError, TypeError):
+                    if self.mode == "skip":
+                        continue
+                    raise
                 if any(
                     rec.get(col) != want for col, want in self._eq_filters
                 ):
                     continue
-                yield _record_tuple(rec)
+                yield row
 
 
 def _record_tuple(rec: dict):

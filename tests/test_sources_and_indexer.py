@@ -323,3 +323,32 @@ def test_document_feed_filter_pushdown(spark, sf_dir, tmp_path):
         feed.filter((F.col("source") == "src7") & (F.col("source") == "src8")).count()
         == 0
     )
+
+
+def test_document_feed_malformed_modes(spark, tmp_path):
+    """mode=skip drops poisoned lines and keeps the rest; the default
+    fail mode surfaces the error instead of silently losing data."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from inmem_vector_db_spark.sources.feed import register_feed_source
+
+    register_feed_source(spark)
+    feed = tmp_path / "bad.jsonl"
+    good = [{"doc_id": i, "text": f"t{i}", "lang": "en", "source": "s",
+             "n_chars": 2} for i in range(3)]
+    with open(feed, "w") as fh:
+        fh.write(_json.dumps(good[0]) + "\n")
+        fh.write("{not json at all\n")
+        fh.write(_json.dumps(good[1]) + "\n")
+        fh.write(_json.dumps({"doc_id": 99}) + "\n")  # missing fields
+        fh.write(_json.dumps(good[2]) + "\n")
+
+    read = lambda mode: (
+        spark.read.format("document_feed")
+        .option("path", str(feed)).option("mode", mode).load()
+    )
+    assert sorted(r["doc_id"] for r in read("skip").collect()) == [0, 1, 2]
+    with _pytest.raises(Exception):
+        read("fail").collect()
