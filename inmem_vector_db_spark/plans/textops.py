@@ -3057,6 +3057,54 @@ FROM per, m
 """
 
 
+# ---------------------------------------------------------------------------
+# privacy QA: k-anonymity over quasi-identifier combinations
+
+
+def k_anonymity_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the corpus metadata: treating (lang,
+    source, n_chars rounded to 50) as the quasi-identifier tuple, how
+    many documents sit in equivalence classes smaller than k=5 — the
+    re-identification-risk QA a privacy review runs before a corpus
+    ships.  One partial-aggregable groupBy over the QI tuple, then a
+    bounded second agg over class sizes; no row-level data leaves the
+    executors."""
+    k = 5
+    docs = load_table(spark, sf_dir, "documents")
+    classes = (
+        docs.groupBy(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("chars_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_docs"),
+        F.sum((F.col("class_size") < k).cast("long")).alias("small_classes"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("docs_below_k"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT lang, source, CAST(floor(n_chars / 50.0) * 50 AS BIGINT) AS chars_bucket,
+         count(*) AS class_size
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT count(*)::BIGINT AS n_classes,
+       sum(class_size)::BIGINT AS n_docs,
+       sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)::BIGINT AS small_classes,
+       sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::BIGINT AS docs_below_k,
+       min(class_size)::BIGINT AS min_class_size
+FROM classes
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -3115,4 +3163,5 @@ QUERIES: dict[str, tuple] = {
     "chunk_stitch": (chunk_stitch_q, CHUNK_STITCH_SQL),
     "source_token_gini": (source_token_gini_q, SOURCE_TOKEN_GINI_SQL),
     "source_mix_weights": (source_mix_weights_q, SOURCE_MIX_WEIGHTS_SQL),
+    "k_anonymity_report": (k_anonymity_report_q, K_ANONYMITY_SQL),
 }
