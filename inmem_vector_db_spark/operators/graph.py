@@ -127,22 +127,17 @@ def pagerank(
                 ).alias("rank"),
             )
         if it < iters - 1:
-            if broadcast_ranks and n_nodes <= 2_000_000:
-                # literal frontier: the broadcast join was going to
-                # collect the rank vector anyway, so collect it OURSELVES
-                # and rebuild a literal DataFrame — lineage truncated for
-                # free, no persist job, one job per iteration instead of
-                # two.  Bit-exact: collect/createDataFrame round-trips
-                # IEEE doubles unchanged.
-                rows = [(row["node"], row["rank"]) for row in ranks.collect()]
-                ranks = trans.sparkSession.createDataFrame(rows, ranks.schema)
-            else:
-                # big-graph path: materialize each frontier in the
-                # cluster; without this, the shuffle join (and any reuse)
-                # re-executes ALL prior iterations — O(iters^2)
-                # recomputation on an uncached lineage
-                ranks = ranks.persist()
-                ranks.count()
+            # materialize each frontier in the cluster: without this,
+            # the broadcast collect (and any reuse) re-executes ALL
+            # prior iterations — O(iters^2) recomputation on an
+            # uncached lineage.  (A driver-side literal frontier was
+            # tried and reverted: createDataFrame routes the rank
+            # vector JVM->Python->executors, its BroadcastExchange
+            # still runs a collect job, and near the broadcast
+            # threshold the Python row objects risk driver OOM the
+            # compact JVM-side collect never does.)
+            ranks = ranks.persist()
+            ranks.count()
         if it == 0:
             # trans is now cached (first iteration computed it); the
             # raw edge cache has no further readers

@@ -3015,7 +3015,9 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus token mix toward the UNIFORM target (weight_s ∝ target
     share / current share, normalized so max = 1 — i.e., downsample
     every source relative to the scarcest one, never upsample).  The
-    report also gives the expected post-sampling token count.  One
+    report also gives each source's pre-sampling share of token mass
+    (post-sampling every source lands at min_tokens by construction,
+    so the weight column alone determines the outcome).  One
     partial-aggregable groupBy(source) + a broadcast-scale scalar join;
     at 100 TB the output IS the sampling plan a reweighting job
     (DoReMi-style mix tuning, uniform proxy) executes with
@@ -3030,16 +3032,19 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # min share == scarcest source; weight_s = min_tokens / tokens_s
-    scalars = per.agg(F.min("tokens").alias("min_tokens"))
+    scalars = per.agg(
+        F.min("tokens").alias("min_tokens"),
+        F.sum("tokens").alias("total_tokens"),
+    )
     return (
         per.crossJoin(F.broadcast(scalars))
         .select(
             "source",
             "tokens",
+            F.round(F.col("tokens") / F.col("total_tokens"), 6).alias(
+                "share_before"
+            ),
             F.round(F.col("min_tokens") / F.col("tokens"), 6).alias("weight"),
-            F.floor(
-                F.col("tokens") * (F.col("min_tokens") / F.col("tokens"))
-            ).cast("bigint").alias("expected_tokens"),
         )
     )
 
@@ -3049,10 +3054,10 @@ WITH per AS (
   SELECT source, sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
   FROM documents GROUP BY source
 ),
-m AS (SELECT min(tokens) AS min_tokens FROM per)
+m AS (SELECT min(tokens) AS min_tokens, sum(tokens) AS total_tokens FROM per)
 SELECT source, tokens,
-       round(m.min_tokens::DOUBLE / tokens, 6) AS weight,
-       CAST(floor(tokens * (m.min_tokens::DOUBLE / tokens)) AS BIGINT) AS expected_tokens
+       round(tokens::DOUBLE / m.total_tokens, 6) AS share_before,
+       round(m.min_tokens::DOUBLE / tokens, 6) AS weight
 FROM per, m
 """
 

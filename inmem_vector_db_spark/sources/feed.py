@@ -119,16 +119,23 @@ class FeedReader(DataSourceReader):
                     continue
                 try:
                     rec = json.loads(line)
-                    row = _record_tuple(rec)
-                except (ValueError, KeyError, TypeError):
+                except ValueError:
                     if self.mode == "skip":
                         continue
                     raise
+                # pushed filters run BEFORE row construction: a record
+                # the predicate excludes must not fail the read just
+                # because it is missing other schema fields
                 if any(
                     rec.get(col) != want for col, want in self._eq_filters
                 ):
                     continue
-                yield row
+                try:
+                    yield _record_tuple(rec)
+                except (KeyError, TypeError):
+                    if self.mode == "skip":
+                        continue
+                    raise
 
 
 def _record_tuple(rec: dict):
@@ -162,6 +169,13 @@ class FeedStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("document_feed: 'path' option is required")
+        # same contract as the batch reader: "skip" drops malformed
+        # lines instead of failing the micro-batch — without it a
+        # poisoned record wedges the stream forever (every retry
+        # re-reads the same line before the offset can advance)
+        self.mode = options.get("mode", "fail")
+        if self.mode not in ("fail", "skip"):
+            raise ValueError("document_feed: mode must be 'fail' or 'skip'")
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
@@ -176,8 +190,14 @@ class FeedStreamReader(SimpleDataSourceStreamReader):
                 if not line or not line.endswith(b"\n"):
                     break  # EOF or partial trailing line: next batch's work
                 pos = fh.tell()
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     rows.append(_parse_line(line))
+                except (ValueError, KeyError, TypeError):
+                    if self.mode == "skip":
+                        continue
+                    raise
         return rows, pos
 
     def read(self, start: dict):

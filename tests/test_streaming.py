@@ -377,3 +377,40 @@ def test_feed_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
     q2.stop()
     got = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert got == list(range(7))  # everything exactly once, no re-reads
+
+
+def test_feed_stream_skip_mode_survives_poison(spark, sf_dir, tmp_path):
+    """mode=skip on the STREAMING path: a malformed appended line is
+    dropped and the offset advances past it — the stream is not
+    permanently wedged re-reading the poisoned record."""
+    import json as _json
+
+    from inmem_vector_db_spark.sources.feed import register_feed_source
+
+    register_feed_source(spark)
+    feed = tmp_path / "feed.jsonl"
+    mk = lambda i: {"doc_id": i, "text": f"t{i}", "lang": "en",
+                    "source": "s", "n_chars": 2}
+    with open(feed, "w") as fh:
+        fh.write(_json.dumps(mk(0)) + "\n")
+    q = (
+        spark.readStream.format("document_feed")
+        .option("path", str(feed))
+        .option("mode", "skip")
+        .load()
+        .writeStream.format("memory")
+        .queryName("feed_poison")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(feed, "a") as fh:
+            fh.write("{poisoned line\n")
+            fh.write(_json.dumps(mk(1)) + "\n")
+        q.processAllAvailable()
+        got = sorted(r["doc_id"] for r in spark.table("feed_poison").collect())
+        assert got == [0, 1]
+    finally:
+        q.stop()
