@@ -3062,6 +3062,58 @@ FROM per, m
 """
 
 
+def source_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the mix-rebalancing plan (`source_mix_weights`): apply
+    each source's sampling weight as a deterministic md5-bucket filter
+    (`hash_sample` semantics, per-source threshold) and report the
+    realized per-source kept docs/tokens — the downsample job itself,
+    not just its plan.  The weight table is source-cardinality-sized
+    and broadcast; the corpus sees ONE scan with a pipelined filter, no
+    shuffle before the final rollup.  Deterministic and md5-portable,
+    so the oracle replays the exact sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower("text"), " "))).cast("bigint").alias("tokens")
+    )
+    scal = per.agg(F.min("tokens").alias("min_tokens"))
+    w = per.crossJoin(F.broadcast(scal)).select(
+        "source",
+        F.floor(F.col("min_tokens") / F.col("tokens") * 10000)
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    kept = docs.join(F.broadcast(w), "source").filter(
+        hash_bucket(F.col("text")) < F.col("thresh")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )
+
+
+SOURCE_MIX_RESAMPLE_SQL = """
+WITH per AS (
+  SELECT source, sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+),
+m AS (SELECT min(tokens) AS min_tokens FROM per),
+w AS (
+  SELECT source,
+         CAST(floor(m.min_tokens::DOUBLE / per.tokens * 10000) AS BIGINT) AS thresh
+  FROM per, m
+),
+kept AS (
+  SELECT d.source, len(string_split(lower(d.text), ' ')) AS ntok
+  FROM documents d JOIN w ON d.source = w.source
+  WHERE ('0x' || substr(md5(d.text), 1, 15))::UBIGINT % 10000 < w.thresh
+)
+SELECT source, count(*)::BIGINT AS kept_docs, sum(ntok)::BIGINT AS kept_tokens
+FROM kept GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # privacy QA: k-anonymity over quasi-identifier combinations
 
@@ -3169,4 +3221,5 @@ QUERIES: dict[str, tuple] = {
     "source_token_gini": (source_token_gini_q, SOURCE_TOKEN_GINI_SQL),
     "source_mix_weights": (source_mix_weights_q, SOURCE_MIX_WEIGHTS_SQL),
     "k_anonymity_report": (k_anonymity_report_q, K_ANONYMITY_SQL),
+    "source_mix_resample": (source_mix_resample_q, SOURCE_MIX_RESAMPLE_SQL),
 }
