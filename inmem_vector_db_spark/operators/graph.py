@@ -37,6 +37,7 @@ def pagerank(
     damping: float = 0.85,
     symmetrize: bool = True,
     broadcast_ranks: bool | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Weighted PageRank:
     ``r'(v) = (1-d)/N + d * sum over (u,v) of r(u) * w_uv / strength(u)``.
@@ -44,6 +45,11 @@ def pagerank(
     ``edges``: (src long, dst long, weight double).  Returns
     (node, rank double) after ``iters`` synchronous iterations from the
     uniform start r0 = 1/N.
+
+    ``tol``: when set, iteration stops early once the L1 delta between
+    successive rank vectors drops below it (``iters`` becomes the
+    max-iteration budget) — one extra distributed aggregation per
+    iteration over the already-cached frontiers.
 
     Join strategy: the rank vector is 16 bytes/node, so up to tens of
     millions of nodes it BROADCASTS into the edge join — each iteration
@@ -100,6 +106,7 @@ def pagerank(
         broadcast_ranks = n_nodes <= 10_000_000
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    prev_ranks = ranks
     for it in range(iters):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
@@ -126,7 +133,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
-        if it < iters - 1:
+        if it < iters - 1 or tol is not None:
             # materialize each frontier in the cluster: without this,
             # the broadcast collect (and any reuse) re-executes ALL
             # prior iterations — O(iters^2) recomputation on an
@@ -138,6 +145,21 @@ def pagerank(
             # compact JVM-side collect never does.)
             ranks = ranks.persist()
             ranks.count()
+        if tol is not None:
+            # convergence stop: L1 delta between successive rank
+            # vectors, one distributed agg over the (already cached)
+            # frontiers.  `iters` becomes the max-iteration budget.
+            delta_row = (
+                ranks.alias("new")
+                .join(prev_ranks.alias("old"), F.col("new.node") == F.col("old.node"))
+                .agg(
+                    F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d")
+                )
+                .head()
+            )
+            if delta_row["d"] is not None and delta_row["d"] < tol:
+                break
+        prev_ranks = ranks
         if it == 0:
             # trans is now cached (first iteration computed it); the
             # raw edge cache has no further readers

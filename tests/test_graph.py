@@ -90,3 +90,29 @@ def test_directed_two_iters_sink_mass_leaks(spark):
     assert set(got) == {1, 2, 3}
     assert sum(got.values()) < 1.0
     assert all(v >= 0.15 / 3 - 1e-12 for v in got.values())
+
+
+def test_pagerank_tol_early_stop(spark):
+    """With tol set, iteration stops once the L1 delta converges; a
+    tol too tight to trigger matches the fixed-iteration run exactly,
+    and a loose tol stays near the fixed point."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (3, 4, 2.0)],
+        "src long, dst long, weight double",
+    )
+    from inmem_vector_db_spark.operators.graph import pagerank
+
+    converged = {
+        r["node"]: round(r["rank"], 8)
+        for r in pagerank(edges, iters=8, tol=1e-12).collect()
+    }
+    fixed = {
+        r["node"]: round(r["rank"], 8)
+        for r in pagerank(edges, iters=8).collect()
+    }
+    assert converged == fixed
+    # loose tol stops early yet stays close to the 8-iteration point
+    loose = {
+        r["node"]: r["rank"] for r in pagerank(edges, iters=8, tol=0.05).collect()
+    }
+    assert all(abs(loose[n] - fixed[n]) < 0.05 for n in fixed)
