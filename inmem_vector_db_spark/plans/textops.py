@@ -3115,6 +3115,136 @@ FROM kept GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# iterative BPE training: learn the top-3 merges distributed
+
+
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a (tiny) BPE tokenizer distributed: 3 merge rounds over
+    the corpus word-frequency table.  Each round is (1) a distributed
+    adjacent-pair census weighted by word frequency, (2) a 1-row
+    collect of the argmax pair, (3) a greedy left-to-right merge fold
+    applied to every word's symbol sequence as a Catalyst ``aggregate``
+    HOF — the canonical BPE induction loop (Sennrich et al. 2016)
+    with each round one shuffle over the VOCABULARY (distinct words),
+    never the corpus; corpus text is read once to build the frequency
+    table.  Completes the tokenizer story begun by ``bpe_merge_pairs``
+    (single-round census) and ``vocab_encode``.  Returns the learned
+    merge table — the model artifact a tokenizer ships.
+
+    At 100 TB: vocabulary size, not corpus size, bounds every round
+    (typically <10M distinct words), and the per-round driver transfer
+    is ONE row.  The DuckDB oracle replays all three rounds with the
+    same greedy fold (``reduce``), so merge choices, tie-breaks
+    ((count desc, pair) lexicographic), and counts are value-checked
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cur = words.select(
+        "w",
+        "n",
+        F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))").alias(
+            "syms"
+        ),
+    ).persist()
+    merges = []
+    for rnd in (1, 2, 3):
+        top = (
+            cur.select(
+                "n",
+                # guard 1-symbol words: Spark sequence(1, 0) DESCENDS
+                # ([1, 0]) instead of being empty, and element_at(syms,
+                # 0) is an error — emit an empty pair list explicitly
+                F.expr(
+                    "explode(CASE WHEN size(syms) < 2"
+                    " THEN array() ELSE transform(sequence(1, size(syms)-1),"
+                    " i -> struct(element_at(syms, i) AS a,"
+                    " element_at(syms, i+1) AS b)) END)"
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .head()
+        )
+        a, b = top["a"], top["b"]
+        merges.append((rnd, a, b, int(top["cnt"]), a + b))
+        fold = (
+            "CASE WHEN size(syms) <= 1 THEN syms ELSE "
+            "aggregate(slice(syms, 2, size(syms)-1), slice(syms, 1, 1), "
+            "(acc, x) -> CASE WHEN element_at(acc, -1) = '{a}' AND x = '{b}' "
+            "THEN concat(slice(acc, 1, size(acc)-1), array('{ab}')) "
+            "ELSE concat(acc, array(x)) END) END"
+        ).format(a=a.replace("'", "''"), b=b.replace("'", "''"),
+                 ab=(a + b).replace("'", "''"))
+        nxt = cur.select("w", "n", F.expr(fold).alias("syms")).persist()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count bigint, merged string"
+    )
+
+
+BPE_TRAIN_SQL = """
+WITH words AS (
+  SELECT w, count(*)::BIGINT AS n FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS (
+  SELECT w, n, list_transform(generate_series(1, len(w)), i -> w[i]) AS syms
+  FROM words
+),
+c1 AS (
+  SELECT syms[i] AS a, syms[i+1] AS b, sum(n)::BIGINT AS cnt
+  FROM s0, unnest(generate_series(1, len(syms)-1)) AS t(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+),
+s1 AS (
+  SELECT s.w, s.n,
+         CASE WHEN len(s.syms) <= 1 THEN s.syms ELSE
+           reduce(list_transform(s.syms, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = c.a AND x[1] = c.b
+                              THEN acc[1:len(acc)-1] || [c.a || c.b]
+                              ELSE acc || x END)
+         END AS syms
+  FROM s0 s CROSS JOIN c1 c
+),
+c2 AS (
+  SELECT syms[i] AS a, syms[i+1] AS b, sum(n)::BIGINT AS cnt
+  FROM s1, unnest(generate_series(1, len(syms)-1)) AS t(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+),
+s2 AS (
+  SELECT s.w, s.n,
+         CASE WHEN len(s.syms) <= 1 THEN s.syms ELSE
+           reduce(list_transform(s.syms, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = c.a AND x[1] = c.b
+                              THEN acc[1:len(acc)-1] || [c.a || c.b]
+                              ELSE acc || x END)
+         END AS syms
+  FROM s1 s CROSS JOIN c2 c
+),
+c3 AS (
+  SELECT syms[i] AS a, syms[i+1] AS b, sum(n)::BIGINT AS cnt
+  FROM s2, unnest(generate_series(1, len(syms)-1)) AS t(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+)
+SELECT 1 AS round, a AS left, b AS right, cnt AS pair_count, a || b AS merged FROM c1
+UNION ALL
+SELECT 2, a, b, cnt, a || b FROM c2
+UNION ALL
+SELECT 3, a, b, cnt, a || b FROM c3
+"""
+
+
+# ---------------------------------------------------------------------------
 # privacy QA: k-anonymity over quasi-identifier combinations
 
 
@@ -3222,4 +3352,5 @@ QUERIES: dict[str, tuple] = {
     "source_mix_weights": (source_mix_weights_q, SOURCE_MIX_WEIGHTS_SQL),
     "k_anonymity_report": (k_anonymity_report_q, K_ANONYMITY_SQL),
     "source_mix_resample": (source_mix_resample_q, SOURCE_MIX_RESAMPLE_SQL),
+    "bpe_train_merges": (bpe_train_merges_q, BPE_TRAIN_SQL),
 }
