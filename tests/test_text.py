@@ -355,3 +355,26 @@ def test_source_token_gini_bounds_and_uniform(spark, sf_dir):
     row = real.head()
     assert 0.0 <= row["gini"] < 1.0
     assert row["top1_share"] >= 1.0 / row["n_sources"]
+
+
+def test_bpe_train_merges_planted(spark):
+    """On a corpus where 'ab' dominates, round 1 must merge (a,b); the
+    learned merge is then a single symbol in later rounds' censuses."""
+    from unittest import mock
+
+    from inmem_vector_db_spark.plans.textops import bpe_train_merges_q
+
+    df = spark.createDataFrame(
+        [(1, "abab abab abx"), (2, "abab aby abab")],
+        "doc_id long, text string",
+    )
+    with mock.patch(
+        "inmem_vector_db_spark.plans.textops.load_table", return_value=df
+    ):
+        rows = bpe_train_merges_q(spark, "ignored").collect()
+    r1 = rows[0]
+    assert (r1["left"], r1["right"], r1["merged"]) == ("a", "b", "ab")
+    # round 2 works on post-merge symbols: the dominant pair is now
+    # (ab, ab) inside the four 'abab' occurrences
+    r2 = rows[1]
+    assert (r2["left"], r2["right"]) == ("ab", "ab")
