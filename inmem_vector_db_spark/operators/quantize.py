@@ -74,27 +74,39 @@ def with_quantized(
     def _quant(col: pd.Series) -> pd.DataFrame:
         if col.empty:
             return pd.DataFrame({"q": [], "scale": []})
-        vals = [np.asarray(v, dtype=np.float64) for v in col]
-        dims = {v.shape[0] for v in vals}
+        vals = [
+            None if v is None else np.asarray(v, dtype=np.float64) for v in col
+        ]
+        dims = {v.shape[0] for v in vals if v is not None}
         qs: list = [None] * len(vals)
-        scales = np.empty(len(vals), dtype=np.float64)
-        if len(dims) == 1:
+        scales: list = [None] * len(vals)
+        if (
+            len(dims) == 1
+            and next(iter(dims)) > 0
+            and all(v is not None for v in vals)
+        ):
             # rectangular batch: one (N, D) matrix, fully vectorized
             mat = np.stack(vals)
             amax = np.abs(mat).max(axis=1)
             scale = np.where(amax == 0.0, 1.0, amax / 127.0)
             codes = _round_half_away(mat / scale[:, None]).astype(np.int8)
             qs = list(codes)
-            scales = scale
+            scales = list(scale.astype(np.float32))
         else:
-            # ragged fallback (mixed dims in one batch): per-row numpy
+            # ragged/degenerate fallback (mixed dims, empty arrays, or
+            # NULLs in the batch): per-row numpy, matching the column-
+            # expression path — NULL passes through, an empty vector
+            # gets scale 1.0 and empty codes
             for i, v in enumerate(vals):
+                if v is None:
+                    continue
                 amax = float(np.abs(v).max()) if v.size else 0.0
                 s = 1.0 if amax == 0.0 else amax / 127.0
                 qs[i] = _round_half_away(v / s).astype(np.int8)
-                scales[i] = s
+                scales[i] = np.float32(s)
         return pd.DataFrame(
-            {"q": qs, "scale": scales.astype(np.float32)}, index=col.index
+            {"q": qs, "scale": pd.array(scales, dtype="Float32")},
+            index=col.index,
         )
 
     tmp = df.withColumn("__qs", _quant(F.col(vec_col)))
@@ -286,8 +298,15 @@ def knn_quantized_rerank_multi(
     per_q: dict[int, set] = {}
     for r in cand:
         per_q.setdefault(r["query_id"], set()).add(r[id_col])
-    pruned = corpus_q.filter(F.col(id_col).isin(all_ids)).select(id_col, vec_col)
     spark = corpus_q.sparkSession
+    if not all_ids:  # empty corpus/stage-1: match the per-query path
+        return spark.createDataFrame(
+            [],
+            f"query_id long, {id_col} "
+            f"{corpus_q.schema[id_col].dataType.simpleString()}, "
+            "dist double, rank int",
+        )
+    pruned = corpus_q.filter(F.col(id_col).isin(all_ids)).select(id_col, vec_col)
     qdf = spark.createDataFrame(
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id long, query_vec array<double>",
@@ -295,9 +314,12 @@ def knn_quantized_rerank_multi(
     ranked = knn_join_vectorized(
         pruned,
         qdf,
-        # rank within each query's own candidate set (k'th neighbor must
-        # come from that query's stage-1 candidates, not another's)
-        k=max(len(s) for s in per_q.values()),
+        # rank over the WHOLE candidate union: cutting at the largest
+        # per-query set size can evict a query's own stage-1 candidate
+        # when other queries' candidates rank closer to it, silently
+        # diverging from the single-query path.  |union| is Q*k*
+        # oversample-bounded, so the full cut stays scale-free.
+        k=len(all_ids),
         metric=metric,
         id_col=id_col,
         vec_col=vec_col,

@@ -721,7 +721,11 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _BUCKETED_FACTS.get(key)
     if got is None:
-        tag = f"b{abs(hash(key)) % 10**8}"
+        # stable digest (Python hash() is PYTHONHASHSEED-salted and
+        # would mint new table names every interpreter run)
+        import hashlib
+
+        tag = "b" + hashlib.md5(repr(key).encode()).hexdigest()[:8]
         li_name, ord_name = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
         base = tempfile.mkdtemp(prefix="bucketed_facts_")
         li = load_table(spark, sf_dir, "lineitem").select(

@@ -130,3 +130,34 @@ def test_two_stage_recall(spark, embq):
         assert len(two_stage) == 10
         total_hits += len(set(exact) & set(two_stage))
     assert total_hits >= 45  # >=90% average recall over 5 queries
+
+
+def test_with_quantized_degenerate_rows(spark):
+    """NULL and empty embeddings must survive the fast build the same
+    way the column-expression build handles them: NULL passes through,
+    an empty vector gets scale 1.0 and empty codes."""
+    from inmem_vector_db_spark.operators.quantize import with_quantized
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, None), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in with_quantized(df).collect()}
+    assert rows[2]["emb_q"] is None and rows[2]["emb_scale"] is None
+    assert rows[3]["emb_q"] == [] and abs(rows[3]["emb_scale"] - 1.0) < 1e-9
+    assert rows[1]["emb_q"] == [64, -127]
+
+
+def test_rerank_multi_empty_corpus(spark):
+    """An empty corpus returns an empty result, matching the per-query
+    path, instead of raising."""
+    from inmem_vector_db_spark.operators.quantize import (
+        knn_quantized_rerank_multi,
+        with_quantized,
+    )
+
+    empty = with_quantized(
+        spark.createDataFrame([], "vec_id long, embedding array<float>")
+    )
+    out = knn_quantized_rerank_multi(empty, [(0, [0.0, 0.0])], k=3)
+    assert out.count() == 0

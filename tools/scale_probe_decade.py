@@ -32,13 +32,17 @@ from inmem_vector_db_spark.session import get_spark  # noqa: E402
 SYNTH_DIR = "/tmp/spark_graft_sf1_synth"
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
-# per-copy vowel permutations: copy 0 is the original corpus; each other
-# copy rewrites vowels so its tokens (hence shingles/signatures) are
-# disjoint from every other copy's
-_VOWEL_MAPS = [
-    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
-    "aeoiu", "eoiau", "oiaue", "iauoe", "uoeia",
-]
+# per-copy Caesar substitution over the full alphabet: copy i shifts
+# every letter by i.  Any two copies' maps differ at EVERY letter
+# (shift difference != 0 mod 26), so every token — hence every shingle
+# and signature — is textually disjoint across copies while each copy
+# keeps the original's intra-copy duplicate structure.  (The earlier
+# per-copy vowel permutations were not pairwise derangements: maps
+# like 'aeoiu' fixed several vowels, letting vowel-only tokens collide
+# across copies and re-admitting the cross-copy artifact this corpus
+# exists to eliminate.)
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_COPY_MAPS = [_ALPHA[i:] + _ALPHA[:i] for i in range(10)]
 
 DEFAULT = [
     "dedup_signature_index",
@@ -57,14 +61,17 @@ DEFAULT = [
 def build_synth(spark) -> None:
     from pyspark.sql import functions as F
 
-    if not os.path.exists(f"{SYNTH_DIR}/documents.parquet"):
+    # gate on Spark's _SUCCESS marker, not bare directory existence: an
+    # interrupted write leaves a partial corpus a later run would
+    # silently probe
+    if not os.path.exists(f"{SYNTH_DIR}/documents.parquet/_SUCCESS"):
         docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
         n = docs.agg(F.max("doc_id")).head()[0] + 1
         parts = []
         for i in range(COPIES):
             d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
             if i > 0:
-                d = d.withColumn("text", F.translate("text", "aeiou", _VOWEL_MAPS[i]))
+                d = d.withColumn("text", F.translate("text", _ALPHA, _COPY_MAPS[i]))
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:
@@ -72,7 +79,7 @@ def build_synth(spark) -> None:
         out.repartition(32).write.mode("overwrite").parquet(
             f"{SYNTH_DIR}/documents.parquet"
         )
-    if not os.path.exists(f"{SYNTH_DIR}/embeddings.parquet"):
+    if not os.path.exists(f"{SYNTH_DIR}/embeddings.parquet/_SUCCESS"):
         # vector-family decade: 10 id-offset copies.  Exact duplicate
         # vectors are fine for timing kNN/ANN/LSH/PQ (per-row work is
         # duplicate-insensitive); the embedding near-dup family is NOT
