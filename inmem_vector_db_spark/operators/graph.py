@@ -31,6 +31,44 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank"]
 
 
+def _transition_table(edges: DataFrame, symmetrize: bool = True):
+    """(e, strength, trans): the cached PageRank transition layout.
+
+    Transition weight per edge = w / strength(src), computed once.
+    ``trans`` is partitioned by dst: with broadcast ranks the
+    per-iteration join is map-side, so the contribution groupBy(dst)
+    finds its input already dst-partitioned and needs NO exchange —
+    one shuffle when the table is built, zero per iteration (the
+    classic cached-transition-matrix layout).  Shared with the plan
+    test so the no-Exchange pin guards THIS code, not a copy."""
+    e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    if symmetrize:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    e = e.persist()
+    strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
+    trans = e.join(strength, "src").select(
+        "src", "dst", (F.col("w") / F.col("strength")).alias("p")
+    ).repartition(F.col("dst")).persist()
+    return e, strength, trans
+
+
+def _iteration_contrib(trans: DataFrame, ranks: DataFrame, broadcast: bool):
+    """One PageRank iteration's inflow aggregate (shared with the plan
+    test): broadcast-rank join into the dst-partitioned transition
+    table, then partial+final groupBy(dst) with no Exchange."""
+    r = F.broadcast(ranks) if broadcast else ranks
+    return (
+        trans.join(r, trans["src"] == r["node"])
+        .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("inflow"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -58,24 +96,7 @@ def pagerank(
     auto-picks by node count; pass ``False`` for billion-node graphs,
     where the partitioned shuffle join is the only option.
     """
-    e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
-    if symmetrize:
-        e = e.unionByName(
-            e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
-    e = e.persist()
-    strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
-    # transition weight per edge: w / strength(src), computed once.
-    # Partitioned by dst: with broadcast ranks the per-iteration join is
-    # map-side, so the contribution groupBy(dst) finds its input already
-    # dst-partitioned and needs NO exchange — one shuffle when the table
-    # is built, zero per iteration (the classic cached-transition-matrix
-    # layout).
-    trans = e.join(strength, "src").select(
-        "src", "dst", (F.col("w") / F.col("strength")).alias("p")
-    ).repartition(F.col("dst")).persist()
+    e, strength, trans = _transition_table(edges, symmetrize)
     if symmetrize:
         # strength doubles as the node universe: one row per node (every
         # node appears as src after symmetrization), so no separate
@@ -108,13 +129,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     prev_ranks = ranks
     for it in range(iters):
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = (
-            trans.join(r, trans["src"] == r["node"])
-            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
+        contrib = _iteration_contrib(trans, ranks, broadcast_ranks)
         if symmetrize:
             # symmetrized graph: every node has degree >= 1, hence an
             # in-edge, hence inflow — no node-universe join needed

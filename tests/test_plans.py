@@ -231,32 +231,20 @@ def test_pagerank_iteration_has_no_shuffle(spark):
     """The per-iteration contribution aggregate must read the cached
     dst-partitioned transition table and aggregate WITHOUT an Exchange:
     broadcast-rank join preserves partitioning, so groupBy(dst) is
-    partial+final with no shuffle.  (One repartition happens once when
-    the transition table is built — inside the InMemoryRelation.)"""
-    from pyspark.sql import functions as F
+    partial+final with no shuffle.  Pins the PRODUCTION helpers
+    (_transition_table / _iteration_contrib), not a re-built copy."""
+    from inmem_vector_db_spark.operators.graph import (
+        _iteration_contrib,
+        _transition_table,
+    )
 
     edges = spark.createDataFrame(
         [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0)], "src long, dst long, weight double"
     )
-    e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
-    e = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-    ).persist()
-    strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
-    trans = (
-        e.join(strength, "src")
-        .select("src", "dst", (F.col("w") / F.col("strength")).alias("p"))
-        .repartition(F.col("dst"))
-        .persist()
-    )
+    e, strength, trans = _transition_table(edges, symmetrize=True)
     trans.count()
     ranks = strength.select(F.col("src").alias("node"), F.lit(0.3).alias("rank"))
-    contrib = (
-        trans.join(F.broadcast(ranks), trans["src"] == ranks["node"])
-        .select("dst", (F.col("rank") * F.col("p")).alias("c"))
-        .groupBy("dst")
-        .agg(F.sum("c").alias("inflow"))
-    )
+    contrib = _iteration_contrib(trans, ranks, broadcast=True)
     plan = contrib._jdf.queryExecution().executedPlan().toString()
     # only the plan ABOVE the cached table matters: the iteration itself
     iteration_part = plan.split("InMemoryTableScan")[0]
