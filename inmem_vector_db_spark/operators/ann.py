@@ -61,6 +61,19 @@ def select_centroids(
     return cids, cmat
 
 
+
+def probe_lists(cids, cmat: np.ndarray, query_vec, nprobe: int) -> list:
+    """The ``nprobe`` inverted lists nearest a query (euclidean over
+    centroids; ties -> lowest centroid id).  THE single probe-selection
+    rule — every IVF search path (on-the-fly, batched, PQ, written
+    artifact) calls this, so probe tie-breaking can never diverge
+    between the index forms."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    cd = np.linalg.norm(cmat - q[None, :], axis=1)
+    order = np.lexsort((np.asarray(cids), cd))
+    return [cids[i] for i in order[:nprobe]]
+
+
 def ivf_assign(
     corpus: DataFrame,
     cids: Sequence,
@@ -164,10 +177,7 @@ def ivf_search_indexed(
     crows = spark.read.parquet(f"{path}/centroids").collect()
     cids = [r["cid"] for r in crows]
     cmat = np.asarray([list(r["centroid"]) for r in crows], dtype=np.float64)
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    cd = np.linalg.norm(cmat - q[None, :], axis=1)
-    order = np.lexsort((np.asarray(cids), cd))
-    probe = [cids[i] for i in order[:nprobe]]
+    probe = probe_lists(cids, cmat, query_vec, nprobe)
     vecs = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cluster_id").isin(probe)
     )
@@ -265,10 +275,7 @@ def ivf_search(
     )
     if assigned is None:
         assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    cd = np.linalg.norm(cmat - q[None, :], axis=1)
-    order = np.lexsort((np.asarray(cids), cd))
-    probe = [cids[i] for i in order[:nprobe]]
+    probe = probe_lists(cids, cmat, query_vec, nprobe)
     pruned = assigned.filter(F.col("cluster_id").isin(probe))
     return knn(pruned, query_vec, k=k, metric=metric, id_col=id_col, vec_col=vec_col)
 
@@ -353,13 +360,9 @@ def ivf_search_batch(
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
         raise ValueError("queries is empty")
-    cid_arr = np.asarray(cids)
     allow = []
     for r in qrows:
-        q = np.asarray(list(r[1]), dtype=np.float64)
-        cd = np.linalg.norm(cmat - q[None, :], axis=1)
-        order = np.lexsort((cid_arr, cd))
-        allow += [(r[0], cids[i]) for i in order[:nprobe]]
+        allow += [(r[0], c) for c in probe_lists(cids, cmat, r[1], nprobe)]
     spark = corpus.sparkSession
     allow_df = F.broadcast(
         spark.createDataFrame(
@@ -440,10 +443,7 @@ def ivfpq_search(
     )
     if assigned is None:
         assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    cd = np.linalg.norm(cmat - q[None, :], axis=1)
-    order = np.lexsort((np.asarray(cids), cd))
-    probe = [cids[i] for i in order[:nprobe]]
+    probe = probe_lists(cids, cmat, query_vec, nprobe)
     pruned = assigned.filter(F.col("cluster_id").isin(probe)).select(id_col, vec_col)
     cb = codebooks if codebooks is not None else pq_codebooks(
         corpus, m=m, k=codebook_k, stride=pq_stride, id_col=id_col, vec_col=vec_col
