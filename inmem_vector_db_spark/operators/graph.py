@@ -127,19 +127,19 @@ def pagerank(
         broadcast_ranks = n_nodes <= 10_000_000
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    prev_ranks = ranks
+    pinned: list[DataFrame] = []  # frontiers currently persisted
     for it in range(iters):
         contrib = _iteration_contrib(trans, ranks, broadcast_ranks)
         if symmetrize:
             # symmetrized graph: every node has degree >= 1, hence an
             # in-edge, hence inflow — no node-universe join needed
-            ranks = contrib.select(
+            new_ranks = contrib.select(
                 F.col("dst").alias("node"),
                 (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("rank"),
             )
         else:
             # directed graph: nodes with no in-edges fall back to base
-            ranks = nodes.join(
+            new_ranks = nodes.join(
                 contrib, nodes["node"] == contrib["dst"], "left"
             ).select(
                 "node",
@@ -148,35 +148,50 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
-        if it < iters - 1 or tol is not None:
-            # materialize each frontier in the cluster: without this,
-            # the broadcast collect (and any reuse) re-executes ALL
-            # prior iterations — O(iters^2) recomputation on an
-            # uncached lineage.  (A driver-side literal frontier was
-            # tried and reverted: createDataFrame routes the rank
-            # vector JVM->Python->executors, its BroadcastExchange
-            # still runs a collect job, and near the broadcast
-            # threshold the Python row objects risk driver OOM the
-            # compact JVM-side collect never does.)
-            ranks = ranks.persist()
-            ranks.count()
+        # materialize each frontier in the cluster: without this, the
+        # broadcast collect (and any reuse) re-executes ALL prior
+        # iterations — O(iters^2) recomputation on an uncached lineage.
+        # (A driver-side literal frontier was tried and reverted:
+        # createDataFrame routes the rank vector JVM->Python->executors,
+        # its BroadcastExchange still runs a collect job, and near the
+        # broadcast threshold the Python row objects risk driver OOM the
+        # compact JVM-side collect never does.)
+        new_ranks = new_ranks.persist()
+        new_ranks.count()
+        pinned.append(new_ranks)
+        if it == 0:
+            # trans is now cached (the count above computed it); the
+            # raw edge cache has no further readers.  Runs BEFORE any
+            # convergence break so an it==0 stop can't leak it.
+            e.unpersist()
+        converged = False
         if tol is not None:
             # convergence stop: L1 delta between successive rank
             # vectors, one distributed agg over the (already cached)
             # frontiers.  `iters` becomes the max-iteration budget.
             delta_row = (
-                ranks.alias("new")
-                .join(prev_ranks.alias("old"), F.col("new.node") == F.col("old.node"))
+                new_ranks.alias("new")
+                .join(ranks.alias("old"), F.col("new.node") == F.col("old.node"))
                 .agg(
                     F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d")
                 )
                 .head()
             )
-            if delta_row["d"] is not None and delta_row["d"] < tol:
-                break
-        prev_ranks = ranks
-        if it == 0:
-            # trans is now cached (first iteration computed it); the
-            # raw edge cache has no further readers
-            e.unpersist()
-    return ranks
+            converged = delta_row["d"] is not None and delta_row["d"] < tol
+        # the superseded frontier has no readers once the new one is
+        # materialized and the delta read — drop it so long runs (and
+        # repeated pagerank() calls in one session) pin only O(1) caches
+        if len(pinned) > 1:
+            pinned.pop(0).unpersist()
+        ranks = new_ranks
+        if converged:
+            break
+    if not pinned:  # iters == 0: uniform start, nothing cached
+        return ranks
+    # hand back a lineage-free result so the final frontier's cache can
+    # be released too: localCheckpoint scans the (small, already-cached)
+    # rank vector once and the checkpoint blocks are GC'd with the
+    # DataFrame, unlike CacheManager entries which pin until unpersist
+    out = ranks.localCheckpoint(eager=True)
+    pinned.pop().unpersist()
+    return out

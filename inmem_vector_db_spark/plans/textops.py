@@ -277,7 +277,7 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT CAST(coalesce(sum(len(s5)), 0) AS BIGINT) FROM sh5) AS total_shingles5,
        (SELECT count(DISTINCT sig) FROM ssig) AS distinct_sim60,
        (SELECT count(DISTINCT block) FROM keyed) AS distinct_blocks,
-       (SELECT min(sig[1]) FROM msig) AS min_h1
+       (SELECT CAST(min(sig[1]) AS BIGINT) FROM msig) AS min_h1
 """
 
 
@@ -540,7 +540,11 @@ def token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("ws").alias("ws_tokens"),
             F.sum("bpe").alias("bpe_tokens"),
-            F.round(F.avg(F.col("bpe") / F.col("ws")), 6).alias("bpe_per_ws"),
+            # ratio of already-summed integers: exact on both engines, no
+            # order-dependent float summation near a rounding boundary
+            F.round(
+                F.sum("bpe").cast("double") / F.sum("ws").cast("double"), 6
+            ).alias("bpe_per_ws"),
         )
     )
 
@@ -555,8 +559,10 @@ WITH d AS (
          len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS bpe
   FROM documents
 )
-SELECT lang, count(*) AS n_docs, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens,
-       round(avg(bpe::DOUBLE / ws), 6) AS bpe_per_ws
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(bpe) AS BIGINT)::DOUBLE / CAST(sum(ws) AS BIGINT)::DOUBLE, 6) AS bpe_per_ws
 FROM d GROUP BY lang
 """
 

@@ -34,6 +34,52 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
+_INT_SPARK = {"tinyint", "smallint", "int", "bigint"}
+_FLT_SPARK = {"float", "double"}
+
+
+def dtype_class_spark(dt: str) -> str | None:
+    if dt in _INT_SPARK:
+        return "int"
+    if dt in _FLT_SPARK:
+        return "float"
+    return None
+
+
+def dtype_class_pandas(kind: str) -> str | None:
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    return None
+
+
+def dtype_mismatches(sdf, odf) -> list[str]:
+    """Driver-faithful dtype check: DuckDB results go through pandas before
+    hashing, so a HUGEINT column that pandas renders as float64 mismatches a
+    Spark int64 even when values are bit-identical (CORRECTNESS_r03 lesson).
+    Compare int-like vs float-like class per shared column name."""
+    sclass = {f.name: dtype_class_spark(f.dataType.simpleString())
+              for f in sdf.schema.fields}
+    bad = []
+    for col in odf.columns:
+        sc, oc = sclass.get(col), dtype_class_pandas(odf[col].dtype.kind)
+        if sc == "int" and oc == "float":
+            # int columns WITH nulls go float64 on BOTH engines' pandas
+            # paths (NaN), so the hash still matches; only a null-free
+            # float rendering of a Spark int (the HUGEINT artifact) is
+            # a real driver mismatch
+            if odf[col].notna().all():
+                bad.append(f"{col}: spark={sc} duck-pandas={oc} (no nulls)")
+        elif sc is not None and oc is not None and sc != oc:
+            bad.append(f"{col}: spark={sc} duck-pandas={oc}")
+        elif sc == "int" and odf[col].dtype.kind == "O" and len(odf):
+            v = odf[col].dropna()
+            if len(v) and isinstance(v.iloc[0], float):
+                bad.append(f"{col}: spark=int duck-pandas=object(float)")
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -59,13 +105,18 @@ def main() -> int:
         t0 = time.time()
         rel = con.sql(oracles[name])
         ocols = [c for c in rel.columns]
-        orows = rel.fetchall()
+        odf = rel.df()  # pandas path — same conversion the driver hashes through
+        orows = [tuple(r) for r in con.sql(oracles[name]).fetchall()]
         t_duck = time.time() - t0
         ok_cols = sorted(scols) == sorted(ocols)
+        bad_dtypes = dtype_mismatches(sdf, odf)
         a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
         ok_rows = a == b
-        status = "OK " if (ok_cols and ok_rows) else "FAIL"
+        status = "OK " if (ok_cols and ok_rows and not bad_dtypes) else "FAIL"
         print(f"  {name}: {status} spark={len(srows)}r/{t_spark:.1f}s duck={len(orows)}r/{t_duck:.1f}s")
+        if bad_dtypes:
+            failures += 1
+            print(f"    dtype drift (driver hash would mismatch): {bad_dtypes}")
         if not ok_cols:
             failures += 1
             print(f"    cols spark={scols} duck={ocols}")
