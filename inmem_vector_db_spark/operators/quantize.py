@@ -73,7 +73,17 @@ def with_quantized(
     @F.pandas_udf("struct<q: array<tinyint>, scale: float>")
     def _quant(col: pd.Series) -> pd.DataFrame:
         if col.empty:
-            return pd.DataFrame({"q": [], "scale": []})
+            # pin dtypes for the empty batch: unpinned empty columns
+            # default to float64, and pandas' concat across batches
+            # (inside the pyspark serializer) is deprecating dtype
+            # inference over empty/all-NA frames — keep the result
+            # dtype independent of pandas' concat rules
+            return pd.DataFrame(
+                {
+                    "q": pd.Series([], dtype=object),
+                    "scale": pd.array([], dtype="Float32"),
+                }
+            )
         vals = [
             None if v is None else np.asarray(v, dtype=np.float64) for v in col
         ]
@@ -105,7 +115,13 @@ def with_quantized(
                 qs[i] = _round_half_away(v / s).astype(np.int8)
                 scales[i] = np.float32(s)
         return pd.DataFrame(
-            {"q": qs, "scale": pd.array(scales, dtype="Float32")},
+            {
+                # object-pinned: an all-None batch must not let pandas
+                # infer float64 and change the struct field dtype under
+                # future concat rules
+                "q": pd.Series(qs, dtype=object, index=col.index),
+                "scale": pd.array(scales, dtype="Float32"),
+            },
             index=col.index,
         )
 

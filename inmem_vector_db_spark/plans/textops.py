@@ -3178,6 +3178,11 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .head()
         )
+        if top is None:
+            raise ValueError(
+                "bpe_train_merges: no adjacent symbol pairs in corpus "
+                "(empty vocabulary or only 1-char words)"
+            )
         a, b = top["a"], top["b"]
         merges.append((rnd, a, b, int(top["cnt"]), a + b))
         fold = (

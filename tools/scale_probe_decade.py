@@ -32,17 +32,24 @@ from inmem_vector_db_spark.session import get_spark  # noqa: E402
 SYNTH_DIR = "/tmp/spark_graft_sf1_synth"
 SRC_DIR = "/root/testdata/sf0.1"
 COPIES = 10
-# per-copy Caesar substitution over the full alphabet: copy i shifts
-# every letter by i.  Any two copies' maps differ at EVERY letter
-# (shift difference != 0 mod 26), so every token — hence every shingle
-# and signature — is textually disjoint across copies while each copy
-# keeps the original's intra-copy duplicate structure.  (The earlier
+# per-copy Caesar substitution over the full alphabet AND digits:
+# copy i shifts every letter by i and every digit by i.  Any two
+# copies' maps differ at EVERY letter and digit (shift difference
+# != 0 mod 26 / mod 10), so every token containing at least one
+# alphanumeric — hence every shingle and signature built from them —
+# is textually disjoint across copies while each copy keeps the
+# original's intra-copy duplicate structure.  (Punctuation-only
+# tokens are the one residual collision class; the corpus generator
+# produces none.)  (The earlier
 # per-copy vowel permutations were not pairwise derangements: maps
 # like 'aeoiu' fixed several vowels, letting vowel-only tokens collide
 # across copies and re-admitting the cross-copy artifact this corpus
 # exists to eliminate.)
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
-_COPY_MAPS = [_ALPHA[i:] + _ALPHA[:i] for i in range(10)]
+_DIGIT = "0123456789"
+_COPY_MAPS = [
+    _ALPHA[i:] + _ALPHA[:i] + _DIGIT[i:] + _DIGIT[:i] for i in range(10)
+]
 
 DEFAULT = [
     "dedup_signature_index",
@@ -71,7 +78,7 @@ def build_synth(spark) -> None:
         for i in range(COPIES):
             d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
             if i > 0:
-                d = d.withColumn("text", F.translate("text", _ALPHA, _COPY_MAPS[i]))
+                d = d.withColumn("text", F.translate("text", _ALPHA + _DIGIT, _COPY_MAPS[i]))
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:
