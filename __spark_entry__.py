@@ -858,19 +858,12 @@ def _incremental_signature_stream(spark: SparkSession, sf_dir: str) -> DataFrame
 _IVF_INDEX_DIRS: dict[tuple, str] = {}
 
 
-def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF served from a WRITTEN index artifact: vectors stored
-    partitioned by cluster_id (``write_ivf_index``), probe = a
-    partition-pruned scan of the 3 nearest lists (plan-pinned in
-    test_ann.py), exact top-10 inside them.  Same centroids/probe
-    semantics as ``ann_ivf_euclidean``, so the same DuckDB oracle
-    checks both the on-the-fly and at-rest paths."""
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """The written IVF artifact for one corpus, built at most once per
+    session (the index-build job; M10 analog for vectors)."""
     import tempfile
 
-    from inmem_vector_db_spark.operators.ann import (
-        ivf_search_indexed,
-        write_ivf_index,
-    )
+    from inmem_vector_db_spark.operators.ann import write_ivf_index
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _IVF_INDEX_DIRS.get(key)
@@ -878,6 +871,55 @@ def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tempfile.mkdtemp(prefix="ivf_idx_")
         write_ivf_index(_emb(spark, sf_dir), path, stride=50)
         _IVF_INDEX_DIRS[key] = path
+    return path
+
+
+def _ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index-build job as its OWN entry (like
+    ``dedup_signature_index`` for the text side): write the
+    cluster_id-partitioned artifact once, return an oracle-checkable
+    summary of the inverted-list layout.  Window-ordered before
+    ``ann_ivf_partitioned`` so the per-query bench numbers are marginal
+    probe costs, not build+probe."""
+    path = _ivf_index_path(spark, sf_dir)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    sizes = vecs.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_lists"),
+        F.max("n").cast("long").alias("max_list_size"),
+        F.min("n").cast("long").alias("min_list_size"),
+    )
+
+
+_ANN_IVF_INDEX_BUILD_ORACLE = """
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+sizes AS (SELECT cluster_id, count(*) AS n FROM assigned GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+       count(*) AS n_lists,
+       CAST(max(n) AS BIGINT) AS max_list_size,
+       CAST(min(n) AS BIGINT) AS min_list_size
+FROM sizes
+"""
+
+
+def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF served from a WRITTEN index artifact: vectors stored
+    partitioned by cluster_id (``write_ivf_index``), probe = a
+    partition-pruned scan of the 3 nearest lists (plan-pinned in
+    test_ann.py), exact top-10 inside them.  Same centroids/probe
+    semantics as ``ann_ivf_euclidean``, so the same DuckDB oracle
+    checks both the on-the-fly and at-rest paths.  The artifact write
+    itself is ``ann_ivf_index_build``'s row; this entry times the
+    probe alone."""
+    from inmem_vector_db_spark.operators.ann import ivf_search_indexed
+
+    path = _ivf_index_path(spark, sf_dir)
     q = _query_vec(spark, sf_dir, 1)
     return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
         "vec_id", F.round("dist", 6).alias("dist")
@@ -2258,27 +2300,34 @@ GROUP BY 1
 # ``dedup_signature_index`` precedes its consumers: it materializes the
 # shared signature artifact, so both the correctness run and the bench
 # attribute the one-time index build to the explicit build entry.
+# Round-4 rotation (VERDICT item 5): ~20 first-time entries — the window
+# is the driver's only hard signal, so never-windowed families rotate in
+# each round while every family keeps >= 1 representative.  Kept pinned:
+# token_counts + dedup_signature_index (round-3 red rows; their green
+# rows prove the HUGEINT-cast fix), dedup_minhash_pairs (bench-recovery
+# target), and ann_ivf_index_build ordered BEFORE ann_ivf_partitioned /
+# dedup_signature_index before its consumers (build-cost attribution).
 _DRIVER_WINDOW = [
-    "knn_cosine", "knn_multi_cosine", "knn_prefilter_label",
-    "ann_ivf_euclidean", "ann_ivf_prefilter", "ann_ivf_recall",
-    "ann_ivfpq", "knn_quantized",
-    "knn_pq", "lsh_knn_cosine", "lsh_knn_multiprobe",
-    "store_search_pipeline", "store_crud_lifecycle", "store_parity_search",
-    "events_hourly_stream", "click_purchase_stream",
-    "user_totals_stateful_stream", "stream_file_sink_roundtrip",
-    "csv_source_agg", "rest_feed_source_agg", "partitioned_write_roundtrip",
-    "image_pixel_stats", "image_phash_dups", "video_frame_sample",
-    "audio_energy_stats",
+    "knn_cosine", "knn_pq", "lsh_knn_cosine",
+    "ann_ivf_euclidean", "ann_ivf_index_build", "ann_ivf_partitioned",
+    "ann_truncated_recall", "contrastive_pair_mining", "label_centroids",
+    "store_search_pipeline", "store_crud_lifecycle",
+    "events_hourly_stream", "user_totals_stateful_stream",
+    "feed_tail_stream", "docs_dedup_stream", "session_window_stream",
+    "csv_source_agg", "rest_feed_source_agg",
+    "compaction_roundtrip", "zorder_cells",
+    "image_pixel_stats", "audio_energy_stats",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q7_nation_volume", "q18_large_volume_customers", "q21_waiting_suppliers",
-    "dedup_signature_index", "dedup_exact_summary", "dedup_minhash_pairs",
-    "dedup_clusters", "dedup_simhash", "dedup_containment",
-    "dedup_ngram_jaccard",
-    "embedding_near_dup", "semantic_dedup", "text_quality",
-    "lang_id_counts", "token_counts", "crossdoc_shingle_dup",
-    "decontam_overlap",
-    "degree_distribution", "purchase_attribution_asof",
-    "salted_join_revenue", "bloom_pruned_revenue",
+    "q18_large_volume_customers", "bucketed_join_revenue",
+    "dedup_signature_index", "dedup_minhash_pairs", "dedup_clusters",
+    "dedup_containment", "dedup_canonical",
+    "embedding_near_dup", "text_quality", "token_counts",
+    "decontam_overlap", "chunk_documents",
+    "repetition_filters", "boilerplate_ngrams", "training_shards",
+    "bpe_train_merges", "source_mix_resample", "k_anonymity_report",
+    "fuzzy_name_pairs", "pagerank_bipartite",
+    "purchase_attribution_asof", "salted_join_revenue",
+    "corpus_merge_upsert", "corpus_scd2_history",
     "sequence_packing",
 ]
 
@@ -2335,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized_recall": _knn_quantized_recall,
         "ann_truncated_recall": _ann_truncated_recall,
         "contrastive_pair_mining": _contrastive_pair_mining,
+        "ann_ivf_index_build": _ann_ivf_index_build,
         "ann_ivf_partitioned": _ann_ivf_partitioned,
         "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
@@ -2400,6 +2450,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_quantized_recall": _KNN_QUANTIZED_RECALL_ORACLE,
         "ann_truncated_recall": _ANN_TRUNCATED_RECALL_ORACLE,
         "contrastive_pair_mining": _CONTRASTIVE_PAIR_ORACLE,
+        "ann_ivf_index_build": _ANN_IVF_INDEX_BUILD_ORACLE,
         "ann_ivf_partitioned": _ANN_IVF_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
