@@ -15,7 +15,9 @@ cache (``app/core/embedding.py:19-82``).  Spark-first equivalents:
   uses Python ``hash()`` (process-seeded, irreproducible); here md5
   keeps the same shape but is stable across runs/engines so fixtures
   are oracle-checkable (SURVEY.md 7.4).  A real model provider slots in
-  as another ``EmbeddingProvider`` without touching callers.
+  without touching callers: ``sources.providers.RestEmbeddingProvider``
+  is the live-API example (Cohere-style REST endpoint, reference
+  batch+dedup+cache semantics, credential-gated; see test_providers.py).
 """
 
 from __future__ import annotations
