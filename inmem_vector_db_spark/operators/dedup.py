@@ -165,17 +165,35 @@ def _minhash_band_verify(
         ).alias("band_idx", "band_key"),
     )
 
-    a, b = band_keys.alias("a"), band_keys.alias("b")
+    # Candidate generation folded into a band AGGREGATE, not a self-join:
+    # group the exploded band keys by bucket, emit the intra-bucket pairs
+    # with a nested HOF, then one distinct over pairs that collide in
+    # several bands.  vs the exploded self-join this replaces two join
+    # shuffle sides + an SMJ sort with one groupBy Exchange, and measured
+    # fastest warm of three candidates at sf0.1 (self-join 1.53 s,
+    # this 1.41 s, a min-band local dedup that avoids even the pair
+    # distinct 2.88 s — the per-pair signature-slice compares cost more
+    # than the small distinct shuffle saves).  A pathological bucket (K
+    # near-identical docs) emits K^2/2 pairs in one task — the same
+    # quadratic blowup a self-join has, inherent to LSH banding;
+    # SemDeDup/clustering are the tools for that corpus.
+    buckets = (
+        band_keys.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
