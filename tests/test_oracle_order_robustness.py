@@ -1,0 +1,88 @@
+"""Windowed-oracle float robustness pin (round-4 VERDICT item 4).
+
+The driver hashes round(value, 6) floats; a float computed by an
+order-dependent summation can sit one ULP from a rounding boundary and
+flip its 6th digit between engines (or between runs of the same engine
+with different partition orders).  The robust pattern is ratios/means of
+exactly-representable pre-aggregated operands (e.g. ``sum(int)::DOUBLE /
+sum(int)``, fixed 16-byte digests) — ``bpe_per_ws`` was rewritten that
+way this round.
+
+This test pins the property EMPIRICALLY for every windowed oracle: run
+each one against the tables in their natural parquet order and against a
+md5-shuffled row order, and require bit-identical results.  An
+order-dependent float summation over non-representable addends is
+exactly what this catches (DuckDB streams aggregation in input order, so
+permuting input permutes the summation order).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from inmem_vector_db_spark.sources.loader import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# deterministic shuffle key per table: md5 over ALL columns' string forms
+# would be slow and unnecessary — hashing the row's first column value +
+# a rowid-ish tiebreak permutes rows thoroughly
+_SHUFFLE_SQL = (
+    "CREATE TABLE {t} AS SELECT * FROM read_parquet('{p}') "
+    "ORDER BY md5(CAST(COLUMNS(*)[1] AS VARCHAR))"
+)
+
+
+def _connect(shuffled: bool) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if shuffled:
+            cols = [
+                r[0]
+                for r in con.sql(
+                    f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+                ).fetchall()
+            ]
+            first = cols[0]
+            con.sql(
+                f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{path}') "
+                f'ORDER BY md5(CAST("{first}" AS VARCHAR))'
+            )
+        else:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def cons():
+    return _connect(shuffled=False), _connect(shuffled=True)
+
+
+def test_windowed_oracles_are_input_order_invariant(cons):
+    natural, shuffled = cons
+    oracles = entrymod.oracle_sql()
+    window = entrymod._DRIVER_WINDOW
+    diffs: dict[str, str] = {}
+    def norm(rows):  # None-safe total order across mixed-type columns
+        return sorted((tuple(r) for r in rows), key=repr)
+
+    for name in window:
+        sql = oracles.get(name)
+        if sql is None:  # rows-only entries have no oracle to perturb
+            continue
+        a = norm(natural.sql(sql).fetchall())
+        b = norm(shuffled.sql(sql).fetchall())
+        if a != b:
+            only_a = [r for r in a if r not in b][:2]
+            only_b = [r for r in b if r not in a][:2]
+            diffs[name] = f"natural={only_a} shuffled={only_b}"
+    assert not diffs, (
+        "windowed oracle output depends on input row order — an "
+        "order-dependent float aggregation is one rounding boundary away "
+        f"from a driver hash mismatch: {diffs}"
+    )
