@@ -2313,8 +2313,10 @@ _DRIVER_WINDOW = [
     "ann_truncated_recall", "contrastive_pair_mining", "label_centroids",
     "store_search_pipeline", "store_crud_lifecycle",
     "events_hourly_stream", "user_totals_stateful_stream",
-    "feed_tail_stream", "docs_dedup_stream", "session_window_stream",
+    "docs_dedup_stream", "session_window_stream",
     "csv_source_agg", "rest_feed_source_agg",
+    "feed_tail_stream",  # after rest_feed_source_agg: that row owns the
+    # one-time feed staging, this one times only the stream drain
     "compaction_roundtrip", "zorder_cells",
     "image_pixel_stats", "audio_energy_stats",
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",

@@ -195,9 +195,21 @@ HEADLINERS = {
     "persisted so every dedup query's plan starts at an "
     "InMemoryTableScan instead of re-hashing text.",
     "dedup_minhash_pairs": "banding + verify reading the shared "
-    "signature artifact: both self-join sides are InMemoryTableScans "
-    "of the cached signature table — the md5/shingle expression tree "
-    "appears NOWHERE in this plan; shuffles move band keys and ids.",
+    "signature artifact (InMemoryTableScans — the md5/shingle "
+    "expression tree appears NOWHERE in this plan): candidates come "
+    "from ONE bucket aggregate (groupBy band key -> intra-bucket pair "
+    "HOF -> distinct), replacing the former self-join's two shuffle "
+    "sides + SMJ sort; shuffles move band keys and id pairs only.",
+    "q1_pricing_summary": "scan-filter-aggregate with EXACT-DECIMAL "
+    "money math: every product/sum is Tungsten decimal (long-backed), "
+    "so the rounded outputs are permutation-invariant — no float "
+    "summation order can flip a 2-dp boundary; filter pushed to the "
+    "scan, partial+final agg over ~8 groups.",
+    "ann_ivf_index_build": "the index-build job as its own row: one "
+    "arg-min assignment pass (mapInPandas, broadcast centroid matrix), "
+    "one partitioned write; the summary agg re-reads the written "
+    "artifact so the build cost is attributed here, and every "
+    "ann_ivf_partitioned probe after it is a pruned-scan marginal cost.",
     "ann_ivf_partitioned": "IVF served from the written artifact: the "
     "scan node carries PartitionFilters on cluster_id, so only the "
     "nprobe probed list directories are listed and read — per-query "
