@@ -926,7 +926,173 @@ def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# trained (k-means) coarse centroids per (session, corpus): 2 Lloyd
+# iterations from the stride init — the trainer the stride-sampled IVF
+# lacked.  Shared by the clustering-summary and trained-recall entries.
+_KMEANS_COARSE: dict[tuple, tuple] = {}
+
+
+def _kmeans_coarse(spark: SparkSession, sf_dir: str):
+    from inmem_vector_db_spark.operators.ann import ivf_assign
+    from inmem_vector_db_spark.operators.kmeans import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _KMEANS_COARSE.get(key)
+    if got is None:
+        emb = _emb(spark, sf_dir)
+        cids, cmat = kmeans_fit(emb, iters=2, stride=50)
+        assigned = ivf_assign(emb, cids, cmat).persist()
+        got = (cids, cmat, assigned)
+        _KMEANS_COARSE[key] = got
+    return got
+
+
+def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (2 Lloyd iterations, exact integer centroid
+    updates — ``operators/kmeans.py``) with the full training loop under
+    the value oracle: DuckDB replays init, both assignment passes, both
+    scaled-integer updates, and the final assignment, so every
+    arg-min and every centroid coordinate is engine-checked.  The
+    summary emits per-cluster membership plus a mean coordinate from
+    exact pre-aggregated integers."""
+    from inmem_vector_db_spark.operators.kmeans import kmeans_summary
+
+    cids, cmat, _assigned = _kmeans_coarse(spark, sf_dir)
+    return kmeans_summary(_emb(spark, sf_dir), cids, cmat)
+
+
+# 2 Lloyd iterations replayed in SQL: c0 (stride init) -> a1 -> u1/c1
+# (exact scaled-int update, empty clusters keep their centroid) -> a2 ->
+# u2/c2 -> a3 (final assignment).  Shared by both kmeans oracles.
+_KMEANS_CTES = """
+c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id % 50 = 0),
+a1 AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce)) AS cluster_id
+  FROM embeddings e, c0 c GROUP BY e.vec_id, e.embedding
+),
+u1 AS (
+  SELECT cluster_id, d.i AS dim,
+         CAST(sum(CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM a1, generate_series(1, 64) AS d(i)
+  GROUP BY cluster_id, d.i
+),
+c1u AS (
+  SELECT cluster_id AS cid, list(s::DOUBLE / (1e6 * cnt) ORDER BY dim) AS ce
+  FROM u1 GROUP BY cluster_id
+),
+c1 AS (
+  SELECT c0.cid, COALESCE(c1u.ce, c0.ce) AS ce
+  FROM c0 LEFT JOIN c1u ON c0.cid = c1u.cid
+),
+a2 AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce)) AS cluster_id
+  FROM embeddings e, c1 c GROUP BY e.vec_id, e.embedding
+),
+u2 AS (
+  SELECT cluster_id, d.i AS dim,
+         CAST(sum(CAST(floor(CAST(embedding[d.i] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM a2, generate_series(1, 64) AS d(i)
+  GROUP BY cluster_id, d.i
+),
+c2u AS (
+  SELECT cluster_id AS cid, list(s::DOUBLE / (1e6 * cnt) ORDER BY dim) AS ce
+  FROM u2 GROUP BY cluster_id
+),
+c2 AS (
+  SELECT c1.cid, COALESCE(c2u.ce, c1.ce) AS ce
+  FROM c1 LEFT JOIN c2u ON c1.cid = c2u.cid
+),
+a3 AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce)) AS cluster_id
+  FROM embeddings e, c2 c GROUP BY e.vec_id, e.embedding
+)
+"""
+
+_KMEANS_EMB_ORACLE = f"""
+WITH {_KMEANS_CTES}
+SELECT cluster_id AS cid, count(*) AS n_members, min(vec_id) AS min_member,
+       round(CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)::DOUBLE
+             / (1e6 * count(*)), 6) AS mean_dim1
+FROM a3 GROUP BY cluster_id
+"""
+
+
+def _ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF over TRAINED centroids vs the exact scan — the
+    eval row that justifies training: Lloyd-tightened lists put true
+    neighbors in fewer probes than stride-sampled ones at the same
+    nprobe.  Same harness as ``ann_ivf_recall``, so the two rows are
+    directly comparable."""
+    from inmem_vector_db_spark.operators.ann import ivf_search_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cids, cmat, assigned = _kmeans_coarse(spark, sf_dir)
+    approx = ivf_search_batch(
+        emb, queries, k=10, nprobe=3, stride=50, metric="euclidean",
+        assigned=assigned, centroids=(cids, cmat),
+    ).select("query_id", "vec_id")
+    return _recall_vs_exact(spark, sf_dir, approx, k=10)
+
+
+
+
 _RECALL_QIDS = (2, 7, 11, 19)
+
+_ANN_IVF_KMEANS_RECALL_ORACLE = f"""
+WITH {_KMEANS_CTES},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN {tuple(_RECALL_QIDS)}),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(c.ce, q.qv), c.cid
+           ) AS rn
+    FROM c2 c, q
+  ) WHERE rn <= 3
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_distance(a.embedding::DOUBLE[], q.qv), a.vec_id
+           ) AS rn
+    FROM a3 a
+    JOIN probe p ON a.cluster_id = p.cid
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id
+           ) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id, round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
 
 # the exact euclidean top-k for _RECALL_QIDS — the shared ground truth
 # every recall eval compares against, computed once per (session,
@@ -2310,7 +2476,7 @@ GROUP BY 1
 _DRIVER_WINDOW = [
     "knn_cosine", "knn_pq", "lsh_knn_cosine",
     "ann_ivf_euclidean", "ann_ivf_index_build", "ann_ivf_partitioned",
-    "ann_truncated_recall", "contrastive_pair_mining", "label_centroids",
+    "kmeans_embeddings", "ann_ivf_kmeans_recall", "ann_truncated_recall",
     "store_search_pipeline", "store_crud_lifecycle",
     "events_hourly_stream", "user_totals_stateful_stream",
     "docs_dedup_stream", "session_window_stream",
@@ -2388,6 +2554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pair_mining": _contrastive_pair_mining,
         "ann_ivf_index_build": _ann_ivf_index_build,
         "ann_ivf_partitioned": _ann_ivf_partitioned,
+        "kmeans_embeddings": _kmeans_embeddings,
+        "ann_ivf_kmeans_recall": _ann_ivf_kmeans_recall,
         "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
     }
@@ -2454,6 +2622,8 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pair_mining": _CONTRASTIVE_PAIR_ORACLE,
         "ann_ivf_index_build": _ANN_IVF_INDEX_BUILD_ORACLE,
         "ann_ivf_partitioned": _ANN_IVF_ORACLE,
+        "kmeans_embeddings": _KMEANS_EMB_ORACLE,
+        "ann_ivf_kmeans_recall": _ANN_IVF_KMEANS_RECALL_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
     from inmem_vector_db_spark.plans.textops import DEDUP_MINHASH_SQL
