@@ -210,6 +210,12 @@ HEADLINERS = {
     "one partitioned write; the summary agg re-reads the written "
     "artifact so the build cost is attributed here, and every "
     "ann_ivf_partitioned probe after it is a pruned-scan marginal cost.",
+    "kmeans_embeddings": "distributed Lloyd training: assignment is the "
+    "broadcast-centroid mapInPandas pass (no shuffle of vectors); the "
+    "update aggregates per-partition floor(x*1e6) int64 partial sums — "
+    "the combine shuffles partitions x k rows, the driver collects "
+    "k x dim, and the exact integer operands make trained centroids "
+    "bit-identical under any partitioning (order-robustness pinned).",
     "ann_ivf_partitioned": "IVF served from the written artifact: the "
     "scan node carries PartitionFilters on cluster_id, so only the "
     "nprobe probed list directories are listed and read — per-query "
