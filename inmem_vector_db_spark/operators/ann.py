@@ -194,37 +194,21 @@ def kmeans_refine(
 ) -> tuple[list, np.ndarray]:
     """Lloyd's k-means starting from the deterministic stride centroids
     — the refinement step that upgrades IVF list balance without
-    changing the search path.
+    changing the search path.  Thin wrapper over the single Lloyd
+    implementation (``operators.kmeans.lloyd_iterations``): exact
+    scaled-integer centroid updates, so the shuffle carries
+    partitions x k partial rows (never the n x dim exploded corpus an
+    avg-over-posexplode update would move) and the result is
+    bit-identical under any partitioning or input order.  Centroid ids
+    stay the original seeds' ids (k fixed, empty clusters keep their
+    previous position), so the result plugs into
+    ``ivf_assign``/``ivf_search`` unchanged."""
+    from inmem_vector_db_spark.operators.kmeans import lloyd_iterations
 
-    Each iteration is one distributed pass: assign (numpy distance
-    matrix per Arrow batch, ``ivf_assign``) then recompute means with a
-    single groupBy over exploded positions.  Centroid ids stay the
-    original seeds' ids (k fixed, empty clusters keep their previous
-    position), so the result plugs into ``ivf_assign``/``ivf_search``
-    unchanged.  Deterministic: no random init, fixed iteration count.
-    """
-    from pyspark.sql import functions as F
-
-    cmat = cmat.copy()
-    dim = cmat.shape[1]
-    for _ in range(iterations):
-        assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
-        rows = (
-            assigned.select("cluster_id", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = {cid: np.zeros(dim) for cid in cids}
-        seen = set()
-        for r in rows:
-            new[r["cluster_id"]][r["pos"]] = r["m"]
-            seen.add(r["cluster_id"])
-        for i, cid in enumerate(cids):
-            if cid in seen:
-                cmat[i] = new[cid]
-            # empty cluster: keep previous centroid (deterministic)
-    return list(cids), cmat
+    return lloyd_iterations(
+        corpus, list(cids), cmat, iters=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
 
 
 def kmeans_inertia(

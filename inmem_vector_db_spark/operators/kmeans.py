@@ -72,30 +72,22 @@ def _partial_sums(vec_col: str):
     return part
 
 
-def kmeans_fit(
+def lloyd_iterations(
     corpus: DataFrame,
-    iters: int = 2,
-    stride: int = 50,
+    cids: list,
+    cmat: np.ndarray,
+    iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_centroids: int = 4096,
 ) -> tuple[list, np.ndarray]:
-    """Lloyd iterations from the deterministic stride init; returns
-    ``(cids, cmat)`` in the same shape ``select_centroids`` yields, so
-    the trained centroids drop into every existing IVF search/write
-    path unchanged.  Cluster labels stay the INITIAL centroid ids
-    (stable across iterations — an inverted-list directory name that
-    survives retraining).
-
-    A cluster that loses all members keeps its previous centroid (it
-    can re-acquire members later); with stride init each centroid is a
-    corpus point at distance 0 from itself, so this is a guard, not a
-    common path.
-    """
-    cids, cmat = select_centroids(
-        corpus, stride=stride, id_col=id_col, vec_col=vec_col,
-        max_centroids=max_centroids,
-    )
+    """Run ``iters`` exact-integer Lloyd updates from the given
+    centroids.  Cluster labels stay the INITIAL centroid ids (stable
+    across iterations — an inverted-list directory name that survives
+    retraining); a cluster that loses all members keeps its previous
+    centroid (it can re-acquire members later).  This is the single
+    Lloyd implementation — ``kmeans_fit`` and ``ann.kmeans_refine``
+    both delegate here."""
+    cmat = np.array(cmat, dtype=np.float64, copy=True)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cids, cmat, id_col=id_col, vec_col=vec_col)
         partials = assigned.select("cluster_id", vec_col).mapInPandas(
@@ -124,7 +116,28 @@ def kmeans_fit(
             for d, (s, cnt) in dims.items():
                 new[i, d] = s / (SCALE * cnt)
         cmat = new
-    return cids, cmat
+    return list(cids), cmat
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    iters: int = 2,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 4096,
+) -> tuple[list, np.ndarray]:
+    """Deterministic stride init + ``iters`` Lloyd updates; returns
+    ``(cids, cmat)`` in the same shape ``select_centroids`` yields, so
+    the trained centroids drop into every existing IVF search/write
+    path unchanged."""
+    cids, cmat = select_centroids(
+        corpus, stride=stride, id_col=id_col, vec_col=vec_col,
+        max_centroids=max_centroids,
+    )
+    return lloyd_iterations(
+        corpus, cids, cmat, iters=iters, id_col=id_col, vec_col=vec_col
+    )
 
 
 def kmeans_summary(
