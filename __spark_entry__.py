@@ -926,6 +926,64 @@ def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# incremental-maintenance artifact per (session, corpus): index built on
+# the first half of the corpus, second half APPENDED against the frozen
+# centroids — the M10 steady-state ingest path (vs. the full rebuild)
+_IVF_APPEND_DIRS: dict[tuple, str] = {}
+
+
+def _ann_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance under the value oracle: build the
+    partitioned artifact on vectors with ``vec_id < 250``, then
+    ``append_ivf_index`` the rest against the FROZEN centroids (append
+    touches only the lists the batch lands in — O(|batch|), no
+    rewrite), and search the combined index.  The oracle assigns the
+    whole corpus to the base build's centroids, proving append+search
+    loses and duplicates nothing vs a from-scratch build with the same
+    centroids."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.ann import (
+        append_ivf_index,
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_APPEND_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_append_")
+        emb = _emb(spark, sf_dir)
+        write_ivf_index(emb.filter(F.col("vec_id") < 250), path, stride=50)
+        append_ivf_index(emb.filter(F.col("vec_id") >= 250), path)
+        _IVF_APPEND_DIRS[key] = path
+    q = _query_vec(spark, sf_dir, 1)
+    return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_ANN_IVF_APPEND_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 250),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3
+)
+SELECT a.vec_id, round(list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM assigned a, q
+WHERE a.cluster_id IN (SELECT cid FROM probe)
+ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+LIMIT 10
+"""
+
+
 # trained (k-means) coarse centroids per (session, corpus): 2 Lloyd
 # iterations from the stride init — the trainer the stride-sampled IVF
 # lacked.  Shared by the clustering-summary and trained-recall entries.
@@ -2556,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_partitioned": _ann_ivf_partitioned,
         "kmeans_embeddings": _kmeans_embeddings,
         "ann_ivf_kmeans_recall": _ann_ivf_kmeans_recall,
+        "ann_ivf_append_search": _ann_ivf_append_search,
         "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
     }
@@ -2624,6 +2683,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_partitioned": _ANN_IVF_ORACLE,
         "kmeans_embeddings": _KMEANS_EMB_ORACLE,
         "ann_ivf_kmeans_recall": _ANN_IVF_KMEANS_RECALL_ORACLE,
+        "ann_ivf_append_search": _ANN_IVF_APPEND_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
     from inmem_vector_db_spark.plans.textops import DEDUP_MINHASH_SQL

@@ -133,6 +133,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_centroids: int = 4096,
+    centroids: tuple[list, np.ndarray] | None = None,
 ) -> None:
     """Materialize the IVF index as a parquet artifact PARTITIONED BY
     cluster_id — the at-rest layout every earlier docstring promises:
@@ -146,8 +147,13 @@ def write_ivf_index(
     corpus size.  This is the build job (reference analog: the
     build-once indexer artifact / rebuild job M10); searches against
     the artifact never re-assign or re-shuffle the corpus.
+
+    ``centroids``: pass ``kmeans_fit(...)``'s trained ``(cids, cmat)``
+    to write a TRAINED index; default is the stride init.
     """
-    cids, cmat = select_centroids(corpus, stride, id_col, vec_col, max_centroids)
+    if centroids is None:
+        centroids = select_centroids(corpus, stride, id_col, vec_col, max_centroids)
+    cids, cmat = centroids
     spark = corpus.sparkSession
     cdf = spark.createDataFrame(
         [(c, [float(x) for x in row]) for c, row in zip(cids, cmat)],
@@ -156,6 +162,32 @@ def write_ivf_index(
     cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/vectors"
+    )
+
+
+def append_ivf_index(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance (the M10 alternative to a full
+    rebuild): assign a NEW batch of vectors against the artifact's
+    EXISTING centroids and append them to the partitioned inverted
+    lists.  The append is dynamic-partition-sized — only the lists the
+    batch actually lands in receive new files; untouched lists are not
+    rewritten, so maintenance cost is O(|batch|), not O(|index|).
+    Centroids are intentionally NOT retrained here: a drifted corpus
+    warrants an explicit retrain + rewrite (the rebuild job), while the
+    steady-state ingest path must keep probe routing stable so readers
+    never see vectors assigned under two different centroid sets."""
+    spark = batch.sparkSession
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    cids = [r["cid"] for r in crows]
+    cmat = np.asarray([list(r["centroid"]) for r in crows], dtype=np.float64)
+    assigned = ivf_assign(batch, cids, cmat, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(
         f"{path}/vectors"
     )
 

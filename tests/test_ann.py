@@ -220,3 +220,35 @@ def test_ivf_prefilter_search_matches_filtered_probe(emb):
         q, k=10,
     ).collect()
     assert ids == [r["vec_id"] for r in ref]
+
+
+def test_append_ivf_matches_full_build(emb, tmp_path):
+    """Incremental append against frozen centroids == one-shot build
+    with the same centroids: same lists, same search results, nothing
+    lost or duplicated."""
+    from inmem_vector_db_spark.operators.ann import (
+        append_ivf_index,
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    spark = emb.sparkSession
+    cids, cmat = select_centroids(emb.filter(F.col("vec_id") < 250), stride=50)
+
+    inc = str(tmp_path / "inc")
+    write_ivf_index(emb.filter(F.col("vec_id") < 250), inc, stride=50)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 250), inc)
+
+    full = str(tmp_path / "full")
+    write_ivf_index(emb, full, centroids=(cids, cmat))
+
+    a = spark.read.parquet(f"{inc}/vectors")
+    b = spark.read.parquet(f"{full}/vectors")
+    rows_a = {(r["vec_id"], r["cluster_id"]) for r in a.collect()}
+    rows_b = {(r["vec_id"], r["cluster_id"]) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) == emb.count()
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    res_inc = ivf_search_indexed(spark, inc, q, k=10, nprobe=3).collect()
+    res_full = ivf_search_indexed(spark, full, q, k=10, nprobe=3).collect()
+    assert [r["vec_id"] for r in res_inc] == [r["vec_id"] for r in res_full]
