@@ -984,6 +984,62 @@ LIMIT 10
 """
 
 
+_IVF_DELETE_DIRS: dict[tuple, str] = {}
+_IVF_DELETED_IDS = (1, 3, 7)
+
+
+def _ann_ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETE under the value oracle (the reference's delete
+    endpoints, M3/M8, applied to the vector index): build the artifact,
+    ``delete_from_ivf_index`` three ids (rewrites only the lists that
+    contain them — dynamic partition overwrite; untouched lists' files
+    are never rewritten, pinned in test_ann.py), then search.  The
+    oracle assigns every NON-deleted vector to the same centroids, so
+    the hash proves the targeted rewrite dropped exactly the deleted
+    rows and nothing else."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.ann import (
+        delete_from_ivf_index,
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_DELETE_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_del_")
+        write_ivf_index(_emb(spark, sf_dir), path, stride=50)
+        delete_from_ivf_index(spark, path, list(_IVF_DELETED_IDS))
+        _IVF_DELETE_DIRS[key] = path
+    q = _query_vec(spark, sf_dir, 1)
+    return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_ANN_IVF_DELETE_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+  FROM embeddings e, cents c
+  WHERE e.vec_id NOT IN {_IVF_DELETED_IDS}
+  GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3
+)
+SELECT a.vec_id, round(list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM assigned a, q
+WHERE a.cluster_id IN (SELECT cid FROM probe)
+ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+LIMIT 10
+"""
+
+
 # trained (k-means) coarse centroids per (session, corpus): 2 Lloyd
 # iterations from the stride init — the trainer the stride-sampled IVF
 # lacked.  Shared by the clustering-summary and trained-recall entries.
@@ -2615,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _kmeans_embeddings,
         "ann_ivf_kmeans_recall": _ann_ivf_kmeans_recall,
         "ann_ivf_append_search": _ann_ivf_append_search,
+        "ann_ivf_delete_search": _ann_ivf_delete_search,
         "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
     }
@@ -2684,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_EMB_ORACLE,
         "ann_ivf_kmeans_recall": _ANN_IVF_KMEANS_RECALL_ORACLE,
         "ann_ivf_append_search": _ANN_IVF_APPEND_ORACLE,
+        "ann_ivf_delete_search": _ANN_IVF_DELETE_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }
     from inmem_vector_db_spark.plans.textops import DEDUP_MINHASH_SQL

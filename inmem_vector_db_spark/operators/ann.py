@@ -192,6 +192,66 @@ def append_ivf_index(
     )
 
 
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids: Sequence,
+    id_col: str = "vec_id",
+) -> int:
+    """Targeted delete from the written artifact (reference M3/M8 delete
+    semantics applied to the vector index): locate the inverted lists
+    that actually contain the ids (partition-pruned lookup), then
+    rewrite ONLY those ``cluster_id=`` directories without the deleted
+    rows — dynamic partition overwrite leaves every untouched list's
+    files alone, so delete cost is O(|affected lists|), not O(|index|).
+    Returns the number of affected lists.
+
+    The id lookup scans only the narrow ``id_col`` column (column
+    pruning) and the id list is a literal IN filter — bounded,
+    driver-known input, mirroring the reference's delete-by-id API
+    rather than an arbitrary predicate (use a rebuild for those)."""
+    idlist = list(ids)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    affected = [
+        r["cluster_id"]
+        for r in vecs.filter(F.col(id_col).isin(idlist))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    remaining = vecs.filter(F.col("cluster_id").isin(affected)).filter(
+        ~F.col(id_col).isin(idlist)
+    )
+    # dynamic overwrite only replaces partitions PRESENT in the new
+    # data; a list whose every vector is deleted would keep its stale
+    # files.  Find those up front and drop their directories explicitly.
+    survivors = {
+        r["cluster_id"]
+        for r in remaining.select("cluster_id").distinct().collect()
+    }
+    emptied = [c for c in affected if c not in survivors]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if survivors:
+            remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                f"{path}/vectors"
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        for c in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/vectors/cluster_id={c}")
+            fs = p.getFileSystem(conf)
+            fs.delete(p, True)
+    return len(affected)
+
+
 def ivf_search_indexed(
     spark,
     path: str,

@@ -252,3 +252,55 @@ def test_append_ivf_matches_full_build(emb, tmp_path):
     res_inc = ivf_search_indexed(spark, inc, q, k=10, nprobe=3).collect()
     res_full = ivf_search_indexed(spark, full, q, k=10, nprobe=3).collect()
     assert [r["vec_id"] for r in res_inc] == [r["vec_id"] for r in res_full]
+
+
+def test_delete_from_ivf_index(emb, tmp_path):
+    """Targeted delete: removed ids gone, untouched lists' files not
+    rewritten, fully-emptied lists' directories dropped."""
+    import glob
+    import os
+
+    from inmem_vector_db_spark.operators.ann import (
+        delete_from_ivf_index,
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, stride=50)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    by_list = {
+        r["cluster_id"]: r["n"]
+        for r in vecs.groupBy("cluster_id").count().withColumnRenamed("count", "n").collect()
+    }
+    # wipe one whole list + one id from another list
+    wipe = min(by_list, key=by_list.get)
+    wipe_ids = [r["vec_id"] for r in vecs.filter(F.col("cluster_id") == wipe).collect()]
+    other = next(c for c in by_list if c != wipe and by_list[c] > 1)
+    one_id = vecs.filter(F.col("cluster_id") == other).head()["vec_id"]
+    untouched = next(c for c in by_list if c not in (wipe, other))
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/vectors/cluster_id={untouched}/*.parquet")
+    }
+
+    n_affected = delete_from_ivf_index(spark, path, wipe_ids + [one_id])
+    assert n_affected == 2
+
+    after = spark.read.parquet(f"{path}/vectors")
+    got_ids = {r["vec_id"] for r in after.select("vec_id").collect()}
+    assert not (set(wipe_ids) | {one_id}) & got_ids
+    assert after.count() == emb.count() - len(wipe_ids) - 1
+    assert not os.path.isdir(f"{path}/vectors/cluster_id={wipe}")
+    files_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/vectors/cluster_id={untouched}/*.parquet")
+    }
+    assert files_after == files_before  # untouched list never rewritten
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == one_id).head()["embedding"]]
+    res = ivf_search_indexed(spark, path, q, k=5, nprobe=3).collect()
+    assert one_id not in [r["vec_id"] for r in res]
+
+    assert delete_from_ivf_index(spark, path, [10**9]) == 0  # absent id no-op
