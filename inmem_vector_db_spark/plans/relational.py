@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 from inmem_vector_db_spark.sources.loader import load_table
 
 
+def dec_revenue():
+    """``l_extendedprice * (1 - l_discount)`` as EXACT decimal — the
+    2-dp doubles in the synthetic tables make a double product-sum
+    order-dependent one ULP from a round(x, 2) boundary (the class
+    tests/test_oracle_order_robustness.py pins); decimal products and
+    sums are exact, permutation-invariant, and Tungsten-native.  SQL
+    mirror: :data:`DEC_REVENUE_SQL`."""
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+DEC_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-filter-aggregate on the fact table.
 
@@ -94,12 +112,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15")
     )
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.sum(dec_revenue())
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
@@ -113,7 +131,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -121,7 +139,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15'
   AND l_shipdate > TIMESTAMP '1998-03-15'
 GROUP BY l_orderkey, o_orderdate
-ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, l_orderkey
 LIMIT 10
 """
 
@@ -139,7 +157,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.sum(dec_revenue())
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -148,12 +166,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
     )
 
 
 Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1518,15 +1536,14 @@ def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey")
     return joined.agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(dec_revenue()), 2).cast("double").alias("revenue"),
     )
 
 
 BLOOM_PRUNED_SQL = """
 SELECT count(*) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 """
@@ -2591,14 +2608,21 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # decimal-exact mean: the shuffled-input pin caught the
+            # double avg() flipping its 4th decimal with row order
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
         )
     )
 
 
 ACTIVITY_HEATMAP_SQL = """
 SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS INT) AS hour,
-       count(*) AS n_events, round(avg(value), 4) AS avg_value
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -2627,9 +2651,7 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, orders, "okey", buckets=16)
     return joined.agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(dec_revenue()), 2).cast("double").alias("revenue"),
     )
 
 

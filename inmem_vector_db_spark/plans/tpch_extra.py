@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from inmem_vector_db_spark.plans.relational import dec_revenue
 from inmem_vector_db_spark.sources.loader import load_table
 
 _DEC = "decimal(18,4)"
@@ -769,9 +770,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(dec_revenue()), 2).cast("double").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -780,7 +779,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_JOIN_REVENUE_SQL = """
 SELECT o.o_orderpriority,
        count(*) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority

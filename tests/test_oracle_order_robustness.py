@@ -63,18 +63,15 @@ def cons():
     return _connect(shuffled=False), _connect(shuffled=True)
 
 
-def test_windowed_oracles_are_input_order_invariant(cons):
+def test_all_oracles_are_input_order_invariant(cons):
     natural, shuffled = cons
     oracles = entrymod.oracle_sql()
-    window = entrymod._DRIVER_WINDOW
     diffs: dict[str, str] = {}
+
     def norm(rows):  # None-safe total order across mixed-type columns
         return sorted((tuple(r) for r in rows), key=repr)
 
-    for name in window:
-        sql = oracles.get(name)
-        if sql is None:  # rows-only entries have no oracle to perturb
-            continue
+    for name, sql in oracles.items():
         a = norm(natural.sql(sql).fetchall())
         b = norm(shuffled.sql(sql).fetchall())
         if a != b:
@@ -82,7 +79,7 @@ def test_windowed_oracles_are_input_order_invariant(cons):
             only_b = [r for r in b if r not in a][:2]
             diffs[name] = f"natural={only_a} shuffled={only_b}"
     assert not diffs, (
-        "windowed oracle output depends on input row order — an "
-        "order-dependent float aggregation is one rounding boundary away "
-        f"from a driver hash mismatch: {diffs}"
+        "oracle output depends on input row order — an order-dependent "
+        "float aggregation is one rounding boundary away from a driver "
+        f"hash mismatch: {diffs}"
     )
