@@ -269,7 +269,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4).cast("double").alias("sum_value"),
             F.sum("k").alias("sum_k"),
         )
     )
@@ -279,7 +279,7 @@ EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_value,
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1, 2
@@ -331,7 +331,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4).cast("double").alias("value_sum"),
         )
         .select(
             "user_id",
@@ -358,7 +358,7 @@ s AS (
   FROM o
 )
 SELECT user_id, min(ts) AS session_start,
-       count(*) AS n_events, round(sum(value), 4) AS value_sum
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS value_sum
 FROM s GROUP BY user_id, sid
 """
 
@@ -381,7 +381,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2).cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -396,7 +396,7 @@ REVENUE_ROLLUP_SQL = """
 SELECT coalesce(r_name, 'ALL') AS region,
        coalesce(n_name, 'ALL') AS nation,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -450,16 +450,20 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
@@ -762,7 +766,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("value_sum"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4).cast("double").alias("value_sum"),
         )
         .select(
             F.col("w.start").alias("window_start"), "event_type",
@@ -781,7 +785,7 @@ WITH hits AS (
   FROM events
 )
 SELECT window_start, event_type,
-       count(*) AS n_events, round(sum(value), 4) AS value_sum
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS value_sum
 FROM hits GROUP BY 1, 2
 """
 
@@ -797,13 +801,13 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = F.sum(dec_revenue())
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(revenue, 2).alias("revenue"))
+        .agg(F.round(revenue, 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -811,7 +815,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -820,7 +824,7 @@ WHERE l_returnflag = 'R'
   AND o_orderdate >= TIMESTAMP '1995-10-01'
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY c_custkey, c_name, n_name
-ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, c_custkey
 LIMIT 20
 """
 
@@ -880,15 +884,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") >= 20)
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(dec_revenue()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_rows
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
@@ -914,7 +916,9 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             "o_orderdate", F.lag("o_orderdate").over(w)
         ).alias("days_since_prev"),
-        F.round(F.sum("o_totalprice").over(run), 2).alias("running_spend"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(run), 2
+        ).cast("double").alias("running_spend"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     ).fillna(-1, ["days_since_prev"])
 
@@ -924,9 +928,10 @@ SELECT o_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        coalesce(date_diff('day',
                 lag(o_orderdate) OVER w, o_orderdate), -1)::INT AS days_since_prev,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_spend,
        row_number() OVER w AS order_seq
 FROM orders
 WHERE o_custkey < 50
@@ -944,7 +949,7 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2).cast("double").alias("revenue"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -959,7 +964,7 @@ ORDER_CUBE_SQL = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -982,7 +987,7 @@ def customers_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2).cast("double").alias("total_spend"),
         )
     )
 
@@ -994,7 +999,7 @@ WITH never AS (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 )
 SELECT o.o_custkey, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_spend
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_spend
 FROM orders o JOIN never USING (o_custkey)
 GROUP BY o.o_custkey
 """
@@ -1326,7 +1331,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("ts").alias("day"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value"),
             F.max("ts").alias("max_ts"),
         )
 
@@ -1342,7 +1347,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round("sum_value", 2).alias("sum_value"),
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
         "max_ts",
     )
 
@@ -1468,7 +1473,12 @@ def user_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.withColumn("n_1h", F.count(F.lit(1)).over(w))
-        .withColumn("sum_1h", F.round(F.sum("value").over(w), 4))
+        .withColumn(
+            "sum_1h",
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).over(w), 4
+            ).cast("double"),
+        )
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "n_1h", "sum_1h")
     )
@@ -1478,7 +1488,7 @@ USER_ROLLING_SQL = """
 SELECT event_id, user_id, n_1h, sum_1h FROM (
   SELECT event_id, user_id, event_type,
          count(*) OVER w AS n_1h,
-         round(sum(value) OVER w, 4) AS sum_1h
+         CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 4) AS DOUBLE) AS sum_1h
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -1500,17 +1510,22 @@ def salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain GROUP BY: salting must not change a single value."""
     from inmem_vector_db_spark.operators.skew import salted_agg
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # decimal BEFORE the two-phase sum: partial + merge sums are then
+        # exact, so salting really cannot change a single value (a double
+        # sum would differ from the plain groupBy's fold one ULP at a time)
+        "value", F.col("value").cast("decimal(12,2)")
+    )
     out = salted_agg(ev, ["event_type"], sum_cols=["value"], buckets=16)
     return out.select(
         "event_type",
         F.col("n_rows").alias("n_events"),
-        F.round("sum_value", 4).alias("sum_value"),
+        F.round("sum_value", 4).cast("double").alias("sum_value"),
     )
 
 
 SALTED_EVENT_SQL = """
-SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+SELECT event_type, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type
 """
 
@@ -1725,14 +1740,19 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
         )
     )
 
 
 VALUE_HISTOGRAM_SQL = """
 SELECT CAST(least(19, greatest(0, floor(value / 5))) AS BIGINT) AS bin,
-       count(*) AS n, round(avg(value), 4) AS avg_value
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_value
 FROM events GROUP BY 1
 """
 
@@ -1940,14 +1960,18 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
         .join(region, nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name", "n_name")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
     )
     w = Window.partitionBy("r_name")
     return rev.select(
         "r_name",
         "n_name",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double"),
+            6,
+        ).alias("share"),
         F.row_number()
         .over(w.orderBy(F.desc("rev"), "n_name"))
         .alias("rank_in_region"),
@@ -1956,15 +1980,15 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_SHARE_SQL = """
 WITH rev AS (
-  SELECT r.r_name, n.n_name, sum(o.o_totalprice) AS rev
+  SELECT r.r_name, n.n_name, sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY 1, 2
 )
-SELECT r_name, n_name, round(rev, 2) AS revenue,
-       round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share,
+SELECT r_name, n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share,
        row_number() OVER (
          PARTITION BY r_name ORDER BY rev DESC, n_name)::INT AS rank_in_region
 FROM rev
@@ -1982,13 +2006,15 @@ def weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd").alias(
             "week"
         )
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
     w = Window.orderBy("week")
     return weekly.select(
         "week",
-        F.round("rev", 2).alias("revenue"),
+        F.round("rev", 2).cast("double").alias("revenue"),
         F.round(
-            (F.col("rev") - F.lag("rev").over(w)) / F.lag("rev").over(w), 6
+            (F.col("rev") - F.lag("rev").over(w)).cast("double")
+            / F.lag("rev").over(w).cast("double"),
+            6,
         ).alias("wow_growth"),
     )
 
@@ -1996,12 +2022,12 @@ def weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEEKLY_GROWTH_SQL = """
 WITH weekly AS (
   SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
-         sum(o_totalprice) AS rev
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
   FROM orders GROUP BY 1
 )
-SELECT week, round(rev, 2) AS revenue,
-       round((rev - lag(rev) OVER (ORDER BY week))
-             / lag(rev) OVER (ORDER BY week), 6) AS wow_growth
+SELECT week, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
+             / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE), 6) AS wow_growth
 FROM weekly
 """
 
@@ -2383,16 +2409,20 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.withColumn(
         "gap_us",
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).cast(
-            "double"
-        ),
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
     ).filter(F.col("gap_us").isNotNull())
     return (
         gaps.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
+            # decimal value x integer microseconds: both sums exact, the
+            # single division is the only float op
             F.round(
-                F.sum(F.col("value") * F.col("gap_us")) / F.sum("gap_us"), 6
+                F.sum(
+                    F.col("value").cast("decimal(12,2)") * F.col("gap_us")
+                ).cast("double")
+                / F.sum("gap_us").cast("double"),
+                6,
             ).alias("twap"),
         )
         .orderBy(F.desc("twap"), "user_id")
@@ -2403,13 +2433,14 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 TIME_WEIGHTED_SQL = """
 WITH gaps AS (
   SELECT user_id, value,
-         CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id))
-              - epoch_us(ts) AS DOUBLE) AS gap_us
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id))
+              - epoch_us(ts) AS gap_us
   FROM events
 )
 SELECT user_id, count(*) AS n_intervals,
-       round(sum(value * gap_us) / sum(gap_us), 6) AS twap
+       round(CAST(sum(CAST(value AS DECIMAL(12,2)) * gap_us) AS DOUBLE)
+             / CAST(sum(gap_us) AS DOUBLE), 6) AS twap
 FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY user_id
 ORDER BY twap DESC, user_id

@@ -519,7 +519,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg_bal")
     )
     recent = (
         orders.filter(F.col("o_orderdate") >= F.lit("2000-08-01"))
@@ -543,7 +546,8 @@ Q22_SQL = """
 SELECT n_name AS nation, count(*) AS numcust,
        round(sum(c_acctbal::DECIMAL(18,4)), 2)::DOUBLE AS totacctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(sum(c_acctbal::DECIMAL(18,4)) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-08-01')
@@ -592,7 +596,10 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
-        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double").alias("v")
+        )
     )
     spine = (
         agg.groupBy("event_type")
@@ -620,7 +627,8 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_GAPFILL_SQL = """
 WITH agg AS (
-  SELECT event_type, date_trunc('hour', ts) AS h, round(sum(value), 4) AS v
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS v
   FROM events GROUP BY 1, 2
 ), spine AS (
   SELECT event_type, unnest(generate_series(min_h, max_h, INTERVAL 1 HOUR)) AS h
