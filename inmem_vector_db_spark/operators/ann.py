@@ -252,6 +252,47 @@ def delete_from_ivf_index(
     return len(affected)
 
 
+def compact_ivf_index(
+    spark,
+    path: str,
+    min_files: int = 2,
+) -> int:
+    """Compact fragmented inverted lists (the small-files debt
+    ``append_ivf_index`` accrues: every append adds a file per touched
+    list).  Lists with >= ``min_files`` parquet files are rewritten to
+    one file each via dynamic partition overwrite (repartition on
+    cluster_id puts each list in exactly one task); lists below the
+    threshold are not touched, so steady-state compaction cost tracks
+    ingest volume, not index size.  Returns the number of lists
+    compacted.  Content is bit-identical before/after (pinned in
+    test_ann.py) — this is a pure layout job, the vector analog of
+    ``sources.maintenance.compact``."""
+    import glob
+    import os
+
+    vec_root = f"{path}/vectors"
+    fragmented = [
+        d
+        for d in glob.glob(f"{vec_root}/cluster_id=*")
+        if len(glob.glob(os.path.join(d, "*.parquet"))) >= min_files
+    ]
+    if not fragmented:
+        return 0
+    cids = [int(d.rsplit("=", 1)[1]) for d in fragmented]
+    rows = (
+        spark.read.parquet(vec_root)
+        .filter(F.col("cluster_id").isin(cids))
+        .repartition(len(cids), "cluster_id")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.write.mode("overwrite").partitionBy("cluster_id").parquet(vec_root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(cids)
+
+
 def ivf_search_indexed(
     spark,
     path: str,

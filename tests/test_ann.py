@@ -304,3 +304,41 @@ def test_delete_from_ivf_index(emb, tmp_path):
     assert one_id not in [r["vec_id"] for r in res]
 
     assert delete_from_ivf_index(spark, path, [10**9]) == 0  # absent id no-op
+
+
+def test_compact_ivf_index(emb, tmp_path):
+    """Append fragments lists; compaction rewrites only fragmented lists
+    down to one file each with bit-identical content."""
+    import glob
+
+    from inmem_vector_db_spark.operators.ann import (
+        append_ivf_index,
+        compact_ivf_index,
+        write_ivf_index,
+    )
+
+    spark = emb.sparkSession
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb.filter(F.col("vec_id") < 300), path, stride=50)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 300), path)
+
+    before = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    )
+    frag = [
+        d for d in glob.glob(f"{path}/vectors/cluster_id=*")
+        if len(glob.glob(f"{d}/*.parquet")) >= 2
+    ]
+    assert frag  # the append really did fragment some lists
+
+    n = compact_ivf_index(spark, path)
+    assert n == len(frag)
+    for d in glob.glob(f"{path}/vectors/cluster_id=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    after = sorted(
+        (r["vec_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    )
+    assert after == before
+    assert compact_ivf_index(spark, path) == 0  # idempotent
