@@ -267,18 +267,26 @@ def compact_ivf_index(
     compacted.  Content is bit-identical before/after (pinned in
     test_ann.py) — this is a pure layout job, the vector analog of
     ``sources.maintenance.compact``."""
-    import glob
-    import os
-
     vec_root = f"{path}/vectors"
-    fragmented = [
-        d
-        for d in glob.glob(f"{vec_root}/cluster_id=*")
-        if len(glob.glob(os.path.join(d, "*.parquet"))) >= min_files
-    ]
-    if not fragmented:
+    # Hadoop FS listing (not a local glob): works on HDFS/S3/local alike
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(vec_root)
+    fs = root.getFileSystem(conf)
+    cids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cluster_id=")):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n_files >= min_files:
+            cids.append(int(name.split("=", 1)[1]))
+    if not cids:
         return 0
-    cids = [int(d.rsplit("=", 1)[1]) for d in fragmented]
     rows = (
         spark.read.parquet(vec_root)
         .filter(F.col("cluster_id").isin(cids))
