@@ -247,7 +247,7 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 ),
 probe AS (
@@ -286,7 +286,7 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding, e.label,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding, e.label
 ),
 probe AS (
@@ -323,7 +323,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 ),
 probe AS (
@@ -376,7 +376,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 ),
 probe AS (
@@ -760,7 +760,7 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 ),
 probe AS (
@@ -853,25 +853,36 @@ def _incremental_signature_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-# one written IVF artifact per (session, corpus): the build job runs
-# once, every later call serves from the partitioned parquet
-_IVF_INDEX_DIRS: dict[tuple, str] = {}
+# one written artifact per (session, corpus, variant): each build job
+# runs once, every later call serves from the partitioned parquet
+_ARTIFACT_DIRS: dict[tuple, str] = {}
+
+
+def _memo_artifact(spark: SparkSession, sf_dir: str, prefix: str, build) -> str:
+    """Session-memoized on-disk artifact: ``build(path)`` runs at most
+    once per (session, corpus, prefix); later calls get the same
+    directory.  Shared by the IVF build/append/delete entries so their
+    memoization and cleanup semantics cannot drift apart."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, prefix)
+    path = _ARTIFACT_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=prefix)
+        build(path)
+        _ARTIFACT_DIRS[key] = path
+    return path
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     """The written IVF artifact for one corpus, built at most once per
     session (the index-build job; M10 analog for vectors)."""
-    import tempfile
-
     from inmem_vector_db_spark.operators.ann import write_ivf_index
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _IVF_INDEX_DIRS.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ivf_idx_")
-        write_ivf_index(_emb(spark, sf_dir), path, stride=50)
-        _IVF_INDEX_DIRS[key] = path
-    return path
+    return _memo_artifact(
+        spark, sf_dir, "ivf_idx_",
+        lambda path: write_ivf_index(_emb(spark, sf_dir), path, stride=50),
+    )
 
 
 def _ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,7 +907,7 @@ _ANN_IVF_INDEX_BUILD_ORACLE = """
 WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 ),
 sizes AS (SELECT cluster_id, count(*) AS n FROM assigned GROUP BY 1)
@@ -926,12 +937,6 @@ def _ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# incremental-maintenance artifact per (session, corpus): index built on
-# the first half of the corpus, second half APPENDED against the frozen
-# centroids — the M10 steady-state ingest path (vs. the full rebuild)
-_IVF_APPEND_DIRS: dict[tuple, str] = {}
-
-
 def _ann_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF maintenance under the value oracle: build the
     partitioned artifact on vectors with ``vec_id < 250``, then
@@ -941,22 +946,18 @@ def _ann_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus to the base build's centroids, proving append+search
     loses and duplicates nothing vs a from-scratch build with the same
     centroids."""
-    import tempfile
-
     from inmem_vector_db_spark.operators.ann import (
         append_ivf_index,
         ivf_search_indexed,
         write_ivf_index,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _IVF_APPEND_DIRS.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ivf_append_")
+    def build(path: str) -> None:
         emb = _emb(spark, sf_dir)
         write_ivf_index(emb.filter(F.col("vec_id") < 250), path, stride=50)
         append_ivf_index(emb.filter(F.col("vec_id") >= 250), path)
-        _IVF_APPEND_DIRS[key] = path
+
+    path = _memo_artifact(spark, sf_dir, "ivf_append_", build)
     q = _query_vec(spark, sf_dir, 1)
     return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
         "vec_id", F.round("dist", 6).alias("dist")
@@ -969,7 +970,7 @@ cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
           WHERE vec_id % 50 = 0 AND vec_id < 250),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 ),
 probe AS (
@@ -984,7 +985,6 @@ LIMIT 10
 """
 
 
-_IVF_DELETE_DIRS: dict[tuple, str] = {}
 _IVF_DELETED_IDS = (1, 3, 7)
 
 
@@ -997,21 +997,17 @@ def _ann_ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle assigns every NON-deleted vector to the same centroids, so
     the hash proves the targeted rewrite dropped exactly the deleted
     rows and nothing else."""
-    import tempfile
-
     from inmem_vector_db_spark.operators.ann import (
         delete_from_ivf_index,
         ivf_search_indexed,
         write_ivf_index,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _IVF_DELETE_DIRS.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ivf_del_")
+    def build(path: str) -> None:
         write_ivf_index(_emb(spark, sf_dir), path, stride=50)
         delete_from_ivf_index(spark, path, list(_IVF_DELETED_IDS))
-        _IVF_DELETE_DIRS[key] = path
+
+    path = _memo_artifact(spark, sf_dir, "ivf_del_", build)
     q = _query_vec(spark, sf_dir, 1)
     return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
         "vec_id", F.round("dist", 6).alias("dist")
@@ -1023,7 +1019,7 @@ WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c
   WHERE e.vec_id NOT IN {_IVF_DELETED_IDS}
   GROUP BY e.vec_id, e.embedding
@@ -1071,8 +1067,8 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pre-aggregated integers."""
     from inmem_vector_db_spark.operators.kmeans import kmeans_summary
 
-    cids, cmat, _assigned = _kmeans_coarse(spark, sf_dir)
-    return kmeans_summary(_emb(spark, sf_dir), cids, cmat)
+    cids, cmat, assigned = _kmeans_coarse(spark, sf_dir)
+    return kmeans_summary(_emb(spark, sf_dir), cids, cmat, assigned=assigned)
 
 
 # 2 Lloyd iterations replayed in SQL: c0 (stride init) -> a1 -> u1/c1
@@ -1083,7 +1079,7 @@ c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
        FROM embeddings WHERE vec_id % 50 = 0),
 a1 AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce)) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, c0 c GROUP BY e.vec_id, e.embedding
 ),
 u1 AS (
@@ -1103,7 +1099,7 @@ c1 AS (
 ),
 a2 AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce)) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, c1 c GROUP BY e.vec_id, e.embedding
 ),
 u2 AS (
@@ -1123,7 +1119,7 @@ c2 AS (
 ),
 a3 AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce)) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, c2 c GROUP BY e.vec_id, e.embedding
 )
 """
@@ -1297,7 +1293,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 ),
 probe AS (

@@ -212,26 +212,27 @@ def delete_from_ivf_index(
     rather than an arbitrary predicate (use a rebuild for those)."""
     idlist = list(ids)
     vecs = spark.read.parquet(f"{path}/vectors")
-    affected = [
-        r["cluster_id"]
-        for r in vecs.filter(F.col(id_col).isin(idlist))
-        .select("cluster_id")
-        .distinct()
+    # ONE column-pruned pass finds both the affected lists and the ones
+    # the delete fully empties (dynamic overwrite only replaces
+    # partitions PRESENT in the new data, so an emptied list would keep
+    # stale files unless its directory is dropped explicitly)
+    stats = (
+        vecs.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col(id_col).isin(idlist), 1)).alias("ndel"),
+        )
+        .filter(F.col("ndel") > 0)
         .collect()
-    ]
+    )
+    affected = [r["cluster_id"] for r in stats]
     if not affected:
         return 0
+    emptied = [r["cluster_id"] for r in stats if r["ndel"] == r["total"]]
     remaining = vecs.filter(F.col("cluster_id").isin(affected)).filter(
         ~F.col(id_col).isin(idlist)
     )
-    # dynamic overwrite only replaces partitions PRESENT in the new
-    # data; a list whose every vector is deleted would keep its stale
-    # files.  Find those up front and drop their directories explicitly.
-    survivors = {
-        r["cluster_id"]
-        for r in remaining.select("cluster_id").distinct().collect()
-    }
-    emptied = [c for c in affected if c not in survivors]
+    survivors = set(affected) - set(emptied)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -186,12 +186,21 @@ def pagerank(
         ranks = new_ranks
         if converged:
             break
-    if not pinned:  # iters == 0: uniform start, nothing cached
-        return ranks
-    # hand back a lineage-free result so the final frontier's cache can
-    # be released too: localCheckpoint scans the (small, already-cached)
+    if not pinned:  # iters == 0: uniform start — release the build caches
+        out = ranks.localCheckpoint(eager=True)
+        for df in (trans, strength, nodes, e):
+            df.unpersist()
+        return out
+    # hand back a lineage-free result so EVERY cache this call pinned can
+    # be released: localCheckpoint scans the (small, already-cached)
     # rank vector once and the checkpoint blocks are GC'd with the
-    # DataFrame, unlike CacheManager entries which pin until unpersist
+    # DataFrame, unlike CacheManager entries which pin until unpersist.
+    # Released: the final frontier, the transition table, the strength
+    # table, the node universe (directed path), and the raw edge cache
+    # (already gone after iteration 0; unpersist is idempotent) — so
+    # repeated pagerank() calls in one session pin nothing.
     out = ranks.localCheckpoint(eager=True)
     pinned.pop().unpersist()
+    for df in (trans, strength, nodes, e):
+        df.unpersist()
     return out

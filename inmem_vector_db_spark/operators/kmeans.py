@@ -146,12 +146,17 @@ def kmeans_summary(
     cmat: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Oracle-checkable view of a trained clustering: per cluster, the
     member count, lowest member id, and the (exact-integer-derived)
     first centroid coordinate.  All columns are deterministic ints or
-    ratios of pre-aggregated ints rounded once."""
-    assigned = ivf_assign(corpus, cids, cmat, id_col=id_col, vec_col=vec_col)
+    ratios of pre-aggregated ints rounded once.
+
+    ``assigned``: pass a (cached) ``ivf_assign(corpus, cids, cmat)``
+    result to skip recomputing the corpus-wide assignment pass."""
+    if assigned is None:
+        assigned = ivf_assign(corpus, cids, cmat, id_col=id_col, vec_col=vec_col)
     # mean of dim 1 over members, from exact scaled-int operands (this is
     # the dim-1 component the NEXT Lloyd update would produce — an
     # oracle-replayable witness that both assignment and update math match)

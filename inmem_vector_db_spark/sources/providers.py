@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.error
 import urllib.request
 from collections.abc import Callable
 
@@ -90,7 +91,15 @@ def _rest_transport(
                         f"for {len(texts)} texts"
                     )
                 return [[float(x) for x in v] for v in vecs]
-            except Exception as e:  # noqa: BLE001 — retry then re-raise
+            except ValueError:
+                raise  # deterministic contract violation — retry can't help
+            except urllib.error.HTTPError as e:
+                if 400 <= e.code < 500 and e.code != 429:
+                    raise  # auth/validation error: fail fast, no backoff
+                last = e  # 429 / 5xx: transient, retry with backoff
+                if attempt < retries:
+                    time.sleep(backoff * (2**attempt))
+            except Exception as e:  # noqa: BLE001 — network-ish: retry
                 last = e
                 if attempt < retries:
                     time.sleep(backoff * (2**attempt))

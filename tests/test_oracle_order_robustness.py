@@ -28,15 +28,10 @@ from inmem_vector_db_spark.sources.loader import TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-# deterministic shuffle key per table: md5 over ALL columns' string forms
-# would be slow and unnecessary — hashing the row's first column value +
-# a rowid-ish tiebreak permutes rows thoroughly
-_SHUFFLE_SQL = (
-    "CREATE TABLE {t} AS SELECT * FROM read_parquet('{p}') "
-    "ORDER BY md5(CAST(COLUMNS(*)[1] AS VARCHAR))"
-)
-
-
+# deterministic shuffle key per table: md5 of the first column's value.
+# Rows sharing that value (e.g. one order's lineitems) keep their
+# engine-arbitrary relative order, which is exactly the aspect an
+# order-robust aggregate must not depend on either.
 def _connect(shuffled: bool) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:

@@ -46,37 +46,40 @@ def dtype_class_spark(dt: str) -> str | None:
     return None
 
 
-def dtype_class_pandas(kind: str) -> str | None:
-    if kind in ("i", "u"):
+_INT_DUCK = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+# pandas renders HUGEINT as float64 — the CORRECTNESS_r03 artifact: the
+# driver's value hash then sees 3549.0 against Spark's 3549 even when
+# rows/schema match.  DECIMAL goes to object(Decimal), equally fatal.
+_FLOATISH_DUCK = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT"}
+
+
+def dtype_class_duck(typ: str) -> str | None:
+    t = typ.upper()
+    if t in _INT_DUCK:
         return "int"
-    if kind == "f":
+    if t in _FLOATISH_DUCK or t.startswith("DECIMAL"):
         return "float"
     return None
 
 
-def dtype_mismatches(sdf, odf) -> list[str]:
-    """Driver-faithful dtype check: DuckDB results go through pandas before
-    hashing, so a HUGEINT column that pandas renders as float64 mismatches a
-    Spark int64 even when values are bit-identical (CORRECTNESS_r03 lesson).
-    Compare int-like vs float-like class per shared column name."""
+def dtype_mismatches(sdf, rel) -> list[str]:
+    """Driver-faithful dtype check at the BINDER level (no extra query
+    execution): a DuckDB output type that pandas renders float-ish
+    (HUGEINT/DECIMAL/DOUBLE) against a Spark int column flips the
+    driver's value hash.  Int columns containing NULLs are not a
+    problem — both engines' pandas paths go float64 together — and at
+    binder level the nullable int keeps its int type, so that case
+    never false-positives here."""
     sclass = {f.name: dtype_class_spark(f.dataType.simpleString())
               for f in sdf.schema.fields}
     bad = []
-    for col in odf.columns:
-        sc, oc = sclass.get(col), dtype_class_pandas(odf[col].dtype.kind)
-        if sc == "int" and oc == "float":
-            # int columns WITH nulls go float64 on BOTH engines' pandas
-            # paths (NaN), so the hash still matches; only a null-free
-            # float rendering of a Spark int (the HUGEINT artifact) is
-            # a real driver mismatch
-            if odf[col].notna().all():
-                bad.append(f"{col}: spark={sc} duck-pandas={oc} (no nulls)")
-        elif sc is not None and oc is not None and sc != oc:
-            bad.append(f"{col}: spark={sc} duck-pandas={oc}")
-        elif sc == "int" and odf[col].dtype.kind == "O" and len(odf):
-            v = odf[col].dropna()
-            if len(v) and isinstance(v.iloc[0], float):
-                bad.append(f"{col}: spark=int duck-pandas=object(float)")
+    for col, typ in zip(rel.columns, map(str, rel.types)):
+        sc, oc = sclass.get(col), dtype_class_duck(typ)
+        if sc is not None and oc is not None and sc != oc:
+            bad.append(f"{col}: spark={sc} duck={typ}")
     return bad
 
 
@@ -105,11 +108,10 @@ def main() -> int:
         t0 = time.time()
         rel = con.sql(oracles[name])
         ocols = [c for c in rel.columns]
-        odf = rel.df()  # pandas path — same conversion the driver hashes through
-        orows = [tuple(r) for r in con.sql(oracles[name]).fetchall()]
+        bad_dtypes = dtype_mismatches(sdf, rel)  # binder-level, no execution
+        orows = [tuple(r) for r in rel.fetchall()]
         t_duck = time.time() - t0
         ok_cols = sorted(scols) == sorted(ocols)
-        bad_dtypes = dtype_mismatches(sdf, odf)
         a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
         ok_rows = a == b
         status = "OK " if (ok_cols and ok_rows and not bad_dtypes) else "FAIL"
