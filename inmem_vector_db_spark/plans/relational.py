@@ -2178,8 +2178,8 @@ WITH cents AS (
 ),
 assigned AS (
   SELECT e.vec_id,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]))
-           AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]),
+                         c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id
 ),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings)

@@ -1688,7 +1688,7 @@ SEMANTIC_DEDUP_SQL = """
 WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 37 = 0),
 assigned AS (
   SELECT e.vec_id, e.embedding,
-         arg_min(c.cid, list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[])) AS cluster_id
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
   FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
 )
 SELECT * FROM (
