@@ -1,0 +1,53 @@
+"""Driver-contract pins for ``__spark_entry__`` (no Spark session needed).
+
+The driver checks the FIRST 50 ``queries()`` entries for value-hash
+correctness and tails 2 KB of bench stdout — both invariants have been
+broken silently in past rounds by unrelated edits, so they are pinned
+here structurally.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_window_is_exactly_fifty_unique_named_entries():
+    w = entrymod._DRIVER_WINDOW
+    assert len(w) == 50
+    assert len(set(w)) == 50
+
+
+def test_queries_lead_with_the_window_in_order():
+    qs = entrymod.queries()
+    assert list(qs)[:50] == entrymod._DRIVER_WINDOW
+
+
+def test_every_windowed_entry_has_an_oracle():
+    # a windowed rows-only entry would silently downgrade a hard-signal
+    # slot to a weak check
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in entrymod._DRIVER_WINDOW if n not in oracles]
+    assert not missing, missing
+
+
+def test_every_oracle_has_a_query():
+    qs = entrymod.queries()
+    orphaned = [n for n in entrymod.oracle_sql() if n not in qs]
+    assert not orphaned, orphaned
+
+
+def test_build_entries_precede_their_consumers():
+    """Cost attribution: artifact builds must be window-ordered before
+    the entries that serve from them."""
+    w = entrymod._DRIVER_WINDOW
+    pos = {n: i for i, n in enumerate(w)}
+    for build, consumer in [
+        ("dedup_signature_index", "dedup_minhash_pairs"),
+        ("dedup_signature_index", "dedup_clusters"),
+        ("dedup_signature_index", "dedup_containment"),
+        ("ann_ivf_index_build", "ann_ivf_partitioned"),
+        ("rest_feed_source_agg", "feed_tail_stream"),
+        ("kmeans_embeddings", "ann_ivf_kmeans_recall"),
+    ]:
+        if build in pos and consumer in pos:
+            assert pos[build] < pos[consumer], (build, consumer)
