@@ -721,7 +721,13 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, F.col("bpe")).otherwise(0))
         .cast("long")
         .alias("bpe_tokens"),
-        F.round(F.avg(F.when(F.col("rn") == 1, F.col("q"))), 6).alias("avg_quality"),
+        F.round(
+            F.sum(
+                F.round(F.when(F.col("rn") == 1, F.col("q")) * 1e6).cast("long")
+            ).cast("double")
+            / (F.lit(1e6) * F.count(F.when(F.col("rn") == 1, F.col("q")))),
+            6,
+        ).alias("avg_quality"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
         .cast("long")
         .alias("n_dups_dropped"),
@@ -752,7 +758,8 @@ k AS (SELECT * FROM s WHERE lang_pred = 'en' AND q >= 0.45),
 r AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM k)
 SELECT CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN rn = 1 THEN bpe ELSE 0 END) AS BIGINT) AS bpe_tokens,
-       round(avg(CASE WHEN rn = 1 THEN q END), 6) AS avg_quality,
+       round(CAST(sum(CAST(round(CASE WHEN rn = 1 THEN q END * 1e6) AS BIGINT)) AS BIGINT)::DOUBLE
+             / (1e6 * count(CASE WHEN rn = 1 THEN q END)), 6) AS avg_quality,
        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_dropped
 FROM r
 """
@@ -2570,7 +2577,13 @@ def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("nt").alias("min_tokens"),
             F.max("nt").alias("max_tokens"),
             F.sum("nt").cast("long").alias("total_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            # exact mean of 6dp-rounded per-doc scores: scaled-int sum
+            # over count — permutation-invariant (a double avg is not)
+            F.round(
+                F.sum(F.round(F.col("q") * 1e6).cast("long")).cast("double")
+                / (F.lit(1e6) * F.count("q")),
+                6,
+            ).alias("avg_quality"),
         )
     )
 
@@ -2590,7 +2603,8 @@ b AS (SELECT *, ntile(4) OVER (ORDER BY nt, doc_id) AS bucket FROM s)
 SELECT bucket, count(*) AS n_docs,
        min(nt) AS min_tokens, max(nt) AS max_tokens,
        CAST(sum(nt) AS BIGINT) AS total_tokens,
-       round(avg(q), 6) AS avg_quality
+       round(CAST(sum(CAST(round(q * 1e6) AS BIGINT)) AS BIGINT)::DOUBLE
+             / (1e6 * count(q)), 6) AS avg_quality
 FROM b GROUP BY bucket
 """.replace("{SW}", _sql_list(STOPWORDS_EN))
 
@@ -2712,7 +2726,13 @@ def corpus_pipeline_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("bpe").cast("long").alias("bpe_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            # exact mean of 6dp-rounded per-doc scores: scaled-int sum
+            # over count — permutation-invariant (a double avg is not)
+            F.round(
+                F.sum(F.round(F.col("q") * 1e6).cast("long")).cast("double")
+                / (F.lit(1e6) * F.count("q")),
+                6,
+            ).alias("avg_quality"),
         )
     )
 
@@ -2788,7 +2808,8 @@ sp AS (
 )
 SELECT split, count(*) AS n_docs,
        CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
-       round(avg(q), 6) AS avg_quality
+       round(CAST(sum(CAST(round(q * 1e6) AS BIGINT)) AS BIGINT)::DOUBLE
+             / (1e6 * count(q)), 6) AS avg_quality
 FROM sp GROUP BY split
 """
 
@@ -2852,7 +2873,13 @@ def source_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("h").alias("n_unique"),
             F.sum("nt").cast("long").alias("n_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            # exact mean of 6dp-rounded per-doc scores: scaled-int sum
+            # over count — permutation-invariant (a double avg is not)
+            F.round(
+                F.sum(F.round(F.col("q") * 1e6).cast("long")).cast("double")
+                / (F.lit(1e6) * F.count("q")),
+                6,
+            ).alias("avg_quality"),
         )
     )
 
@@ -2870,7 +2897,8 @@ s AS (
 SELECT source, count(*) AS n_docs,
        count(DISTINCT h) AS n_unique,
        CAST(sum(nt) AS BIGINT) AS n_tokens,
-       round(avg(q), 6) AS avg_quality
+       round(CAST(sum(CAST(round(q * 1e6) AS BIGINT)) AS BIGINT)::DOUBLE
+             / (1e6 * count(q)), 6) AS avg_quality
 FROM s GROUP BY source
 """
 
