@@ -2904,6 +2904,85 @@ FROM s GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# distribution-drift monitor (population stability index): the data-
+# quality observability op a continuously-ingesting corpus needs — did
+# the newest crawl cohort's length distribution shift against the
+# established corpus?
+
+
+def source_drift_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between two ingestion cohorts (sources src0-9 vs src10-19)
+    over the doc-length distribution, 10 equi-width bins with +1
+    Laplace smoothing.  Emitted PER BIN — counts are exact ints, the
+    proportions and the PSI contribution are single expressions over
+    pre-aggregated ints, so there is no cross-row float summation to be
+    order-dependent; the total PSI is the (tiny, driver-side or
+    downstream) sum of the contributions.  At 100 TB this is one
+    partial-aggregable groupBy over the histogram key per cohort —
+    monitor cost is independent of corpus width."""
+    docs = load_table(spark, sf_dir, "documents")
+    cohort = F.when(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10, "a"
+    ).otherwise("b")
+    b = F.least(F.lit(9), F.floor(F.col("n_chars") / 60)).cast("long")
+    counts = (
+        docs.select(cohort.alias("c"), b.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("c") == "a", 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("c") == "b", 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    pa = (F.col("n_a") + 1).cast("double") / (F.col("ta") + 10).cast("double")
+    pb = (F.col("n_b") + 1).cast("double") / (F.col("tb") + 10).cast("double")
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_contrib"),
+    )
+
+
+SOURCE_DRIFT_PSI_SQL = r"""
+WITH d AS (
+  SELECT CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) < 10
+              THEN 'a' ELSE 'b' END AS c,
+         least(9, CAST(floor(n_chars / 60) AS BIGINT)) AS bin
+  FROM documents
+),
+counts AS (
+  SELECT bin,
+         CAST(count(*) FILTER (c = 'a') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (c = 'b') AS BIGINT) AS n_b
+  FROM d GROUP BY bin
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+  FROM counts
+)
+SELECT bin, n_a, n_b,
+       round((n_a + 1)::DOUBLE / (ta + 10)::DOUBLE, 6) AS p_a,
+       round((n_b + 1)::DOUBLE / (tb + 10)::DOUBLE, 6) AS p_b,
+       round(((n_a + 1)::DOUBLE / (ta + 10)::DOUBLE
+              - (n_b + 1)::DOUBLE / (tb + 10)::DOUBLE)
+             * ln(((n_a + 1)::DOUBLE / (ta + 10)::DOUBLE)
+                  / ((n_b + 1)::DOUBLE / (tb + 10)::DOUBLE)), 6) AS psi_contrib
+FROM counts, tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup: asymmetric containment (short-doc-inside-long-doc near-dup)
 
 
@@ -3385,6 +3464,7 @@ QUERIES: dict[str, tuple] = {
     "corpus_pipeline_full": (corpus_pipeline_full_q, CORPUS_PIPELINE_SQL),
     "lang_confusion": (lang_confusion_q, LANG_CONFUSION_SQL),
     "source_profile": (source_profile_q, SOURCE_PROFILE_SQL),
+    "source_drift_psi": (source_drift_psi_q, SOURCE_DRIFT_PSI_SQL),
     "dedup_containment": (dedup_containment_q, DEDUP_CONTAINMENT_SQL),
     "chunk_stitch": (chunk_stitch_q, CHUNK_STITCH_SQL),
     "source_token_gini": (source_token_gini_q, SOURCE_TOKEN_GINI_SQL),
