@@ -27,15 +27,19 @@ import __spark_entry__ as entrymod
 from inmem_vector_db_spark.sources.loader import TABLES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# rounding-boundary flips are data-dependent, so the pin also runs at the
+# driver's correctness scale (q1's flip reproduced at sf0.001, but a sum
+# that is safe at one SF can sit on a boundary at another)
+SF_DIRS = sorted({SF_DIR, "/root/testdata/sf0.01"})
 
 # deterministic shuffle key per table: md5 of the first column's value.
 # Rows sharing that value (e.g. one order's lineitems) keep their
 # engine-arbitrary relative order, which is exactly the aspect an
 # order-robust aggregate must not depend on either.
-def _connect(shuffled: bool) -> duckdb.DuckDBPyConnection:
+def _connect(sf_dir: str, shuffled: bool) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        path = f"{SF_DIR}/{t}.parquet"
+        path = f"{sf_dir}/{t}.parquet"
         if shuffled:
             cols = [
                 r[0]
@@ -53,13 +57,10 @@ def _connect(shuffled: bool) -> duckdb.DuckDBPyConnection:
     return con
 
 
-@pytest.fixture(scope="module")
-def cons():
-    return _connect(shuffled=False), _connect(shuffled=True)
-
-
-def test_all_oracles_are_input_order_invariant(cons):
-    natural, shuffled = cons
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_all_oracles_are_input_order_invariant(sf_dir):
+    natural = _connect(sf_dir, shuffled=False)
+    shuffled = _connect(sf_dir, shuffled=True)
     oracles = entrymod.oracle_sql()
     diffs: dict[str, str] = {}
 
