@@ -210,6 +210,11 @@ HEADLINERS = {
     "one partitioned write; the summary agg re-reads the written "
     "artifact so the build cost is attributed here, and every "
     "ann_ivf_partitioned probe after it is a pruned-scan marginal cost.",
+    "source_drift_psi": "drift observability: two partial-aggregable "
+    "shuffles total (per-bin cohort counts, then the 1-row totals "
+    "broadcast back) — every float is a single expression over exact "
+    "integer operands, so the monitor is permutation-invariant and "
+    "costs O(bins), independent of corpus width.",
     "kmeans_embeddings": "distributed Lloyd training: assignment is the "
     "broadcast-centroid mapInPandas pass (no shuffle of vectors); the "
     "update aggregates per-partition floor(x*1e6) int64 partial sums — "
