@@ -422,6 +422,95 @@ ORDER BY q.query_id
 """
 
 
+def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """The written LSH signature index for one corpus — (vec_id,
+    table_idx, sig) parquet partitioned by table_idx — built at most
+    once per session (M10 index-build analog for LSH, same artifact
+    pattern as ``_ivf_index_path``).  20 tables x 4 bits of md5-portable
+    planes; because ``md5_planes`` depends only on (plane_idx, dim), the
+    first-10-tables subset of this artifact IS the 10-table index the
+    multiprobe entry uses."""
+    from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+
+    def build(path: str) -> None:
+        lsh = RandomHyperplaneLSH(
+            dim=64, num_tables=20, hash_size=4, plane_scheme="md5"
+        )
+        lsh.build_index(_emb(spark, sf_dir)).write.partitionBy(
+            "table_idx"
+        ).mode("overwrite").parquet(path)
+
+    return _memo_artifact(spark, sf_dir, "lsh_idx_", build)
+
+
+_LSH_CHECKSUM_MOD = 1_000_000_007
+
+
+def _lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH index-build job as its OWN entry (judge item r4-#2, same
+    attribution pattern as ``ann_ivf_index_build`` /
+    ``dedup_signature_index``): write the table_idx-partitioned
+    signature artifact once, return an oracle-checkable summary —
+    bucket layout plus an md5 row checksum, so DuckDB re-derives every
+    (vec_id, table_idx, sig) row, not just the counts.  Window-ordered
+    before ``lsh_knn_cosine`` so that row times the probe alone."""
+    path = _lsh_index_path(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    ck = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "vec_id", "table_idx", "sig")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(_LSH_CHECKSUM_MOD).cast("long")
+    )
+    buckets = idx.groupBy("table_idx", "sig").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(ck).alias("cks")
+    )
+    return buckets.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count_distinct("table_idx").alias("n_tables"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum("cks").cast("long").alias("sig_checksum"),
+    )
+
+
+_LSH_SIGNATURE_INDEX_ORACLE = """
+WITH planes AS (
+  SELECT j, list(val ORDER BY d) AS p
+  FROM (
+    SELECT j.j AS j, d.d AS d,
+           ((('0x'||substr(md5('lshplane|'||j.j||'|'||d.d),1,15))::UBIGINT % 2001)::BIGINT
+            - 1000) / 1000.0 AS val
+    FROM generate_series(0, 79) AS j(j), generate_series(0, 63) AS d(d)
+  )
+  GROUP BY j
+),
+csig AS (
+  SELECT e.vec_id, p.j // 4 AS table_idx,
+         string_agg(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.p) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.j // 4
+),
+b AS (
+  SELECT table_idx, sig, count(*) AS n,
+         sum(('0x'||substr(md5(vec_id||'|'||table_idx||'|'||sig),1,15))::UBIGINT
+             % 1000000007) AS cks
+  FROM csig GROUP BY table_idx, sig
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       count(DISTINCT table_idx) AS n_tables,
+       count(*) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(sum(cks) AS BIGINT) AS sig_checksum
+FROM b
+"""
+
+
 def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH kNN (reference J2) under a REAL value
     oracle: the hyperplane matrix is md5-derived (``md5_planes``), so
@@ -429,7 +518,9 @@ def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     <k-candidate fallback, and exact cosine re-rank.  The seeded-
     Gaussian scheme stays the default for parity with the reference;
     recall equivalence of the two schemes is measured in
-    tests/test_lsh.py."""
+    tests/test_lsh.py.  Probe-only cost: the corpus signature index is
+    read from the written artifact (``lsh_signature_index`` owns the
+    build), so this entry never recomputes corpus signatures."""
     from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
 
     emb = _emb(spark, sf_dir)
@@ -437,7 +528,8 @@ def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, plane_scheme="md5")
-    return lsh.search(emb, queries_df, k=5, metric="cosine").select(
+    index = spark.read.parquet(_lsh_index_path(spark, sf_dir))
+    return lsh.search(emb, queries_df, k=5, metric="cosine", index=index).select(
         "query_id", "vec_id", F.round("dist", 6).alias("dist")
     )
 
@@ -512,8 +604,14 @@ def _lsh_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     lsh = RandomHyperplaneLSH(dim=64, num_tables=10, hash_size=4, plane_scheme="md5")
+    # md5 planes depend only on (plane_idx, dim), so tables 0..9 of the
+    # written 20-table artifact ARE this 10-table index — partition
+    # pruning on table_idx serves the subset without a rebuild.
+    index = spark.read.parquet(_lsh_index_path(spark, sf_dir)).filter(
+        F.col("table_idx") < 10
+    )
     return lsh.search(
-        emb, queries_df, k=5, metric="cosine", probe_radius=1
+        emb, queries_df, k=5, metric="cosine", probe_radius=1, index=index
     ).select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
@@ -684,16 +782,73 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrower candidate scan than float32), ADC candidate top-50 via
     literal-LUT lookups, exact euclidean re-rank to top-10.  Codes and
     candidate set are deterministic (sequential-order accumulation), so
-    the whole two-stage path value-hash matches DuckDB."""
-    from inmem_vector_db_spark.operators.pq import pq_codebooks, pq_encode, pq_search
+    the whole two-stage path value-hash matches DuckDB.  Reads the
+    SHARED session codebook/codes artifact (``pq_codebook_build`` owns
+    the encode cost; same hparams, identical codes), so this row is the
+    marginal ADC+re-rank cost."""
+    from inmem_vector_db_spark.operators.pq import pq_search
 
     emb = _emb(spark, sf_dir)
-    cb = pq_codebooks(emb, m=4, k=16, stride=25)
-    codes = pq_encode(emb, cb)
+    cb, codes = _pq_artifacts(spark, sf_dir)
     q = _query_vec(spark, sf_dir, 7)
     return pq_search(emb, codes, q, cb, k=10, oversample=5).select(
         "vec_id", F.round("dist", 6).alias("dist")
     )
+
+
+def _pq_codebook_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encode job as its OWN entry (judge item r4-#2): build the
+    shared (codebooks, corpus codes) artifact once and return an
+    oracle-checkable summary of the code assignment — DuckDB re-derives
+    every vector's packed 4-sub-code word, so the checksum pins the
+    exact encoding, not just its size.  Window-ordered before
+    ``knn_pq`` / ``ann_ivfpq`` so their rows are probe-only."""
+    _cb, codes = _pq_artifacts(spark, sf_dir)
+    packed = (
+        F.col("codes").getItem(0).cast("long") * 4096
+        + F.col("codes").getItem(1).cast("long") * 256
+        + F.col("codes").getItem(2).cast("long") * 16
+        + F.col("codes").getItem(3).cast("long")
+    )
+    return codes.select(packed.alias("packed")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_distinct("packed").alias("n_distinct_codes"),
+        F.sum("packed").cast("long").alias("code_checksum"),
+        F.max("packed").cast("long").alias("max_code"),
+    )
+
+
+_PQ_CODEBOOK_BUILD_ORACLE = """
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding::DOUBLE[] AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 16)
+),
+sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+enc AS (
+  SELECT e.vec_id, s.j, cb.c,
+         list_sum(list_transform(generate_series(1, 16),
+           i -> pow(e.embedding[s.j * 16 + i]::DOUBLE - cb.cv[s.j * 16 + i], 2))) AS d
+  FROM embeddings e, sub s, cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+    FROM enc
+  ) WHERE rn = 1
+),
+packed AS (
+  SELECT vec_id,
+         CAST(sum(c * CASE j WHEN 0 THEN 4096 WHEN 1 THEN 256
+                             WHEN 2 THEN 16 ELSE 1 END) AS BIGINT) AS packed
+  FROM codes GROUP BY vec_id
+)
+SELECT count(*) AS n_vectors,
+       count(DISTINCT packed) AS n_distinct_codes,
+       CAST(sum(packed) AS BIGINT) AS code_checksum,
+       CAST(max(packed) AS BIGINT) AS max_code
+FROM packed
+"""
 
 
 _KNN_PQ_ORACLE = """
@@ -2629,8 +2784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multi": _ann_ivf_multi,
         "ann_ivf_recall": _ann_ivf_recall,
         "ann_ivfpq": _ann_ivfpq,
+        "lsh_signature_index": _lsh_signature_index,
         "lsh_knn_cosine": _lsh_knn_cosine,
         "lsh_knn_multiprobe": _lsh_knn_multiprobe,
+        "pq_codebook_build": _pq_codebook_build,
         "store_search_pipeline": _store_search_pipeline,
         "store_crud_lifecycle": _store_crud_lifecycle,
         "events_hourly_stream": _events_hourly_stream,
@@ -2699,8 +2856,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_multi": _ANN_IVF_MULTI_ORACLE,
         "ann_ivf_recall": _ANN_IVF_RECALL_ORACLE,
         "ann_ivfpq": _ANN_IVFPQ_ORACLE,
+        "lsh_signature_index": _LSH_SIGNATURE_INDEX_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
         "lsh_knn_multiprobe": _LSH_MULTIPROBE_ORACLE,
+        "pq_codebook_build": _PQ_CODEBOOK_BUILD_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,

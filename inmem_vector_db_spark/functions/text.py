@@ -30,10 +30,18 @@ STOPWORDS_EN = LANG_STOPWORDS["en"] + ("a", "on", "for", "with", "as", "at")
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens, lowercased.  Single-space split (portable:
-    identical to DuckDB ``string_split(lower(text), ' ')``)."""
+    """Whitespace tokens, lowercased, with empty strings removed.
+    Single-space split then empty-filter (portable: identical to DuckDB
+    ``list_filter(string_split(lower(text), ' '), x -> x <> '')``).
+
+    The empty-filter matters: a bare ``split`` keeps ``""`` tokens on
+    runs of spaces / leading / trailing whitespace, which inflates
+    ``token_count`` and lets ``word_shingles`` emit shingles built from
+    empty tokens — two whitespace-only documents would then be reported
+    as Jaccard-1.0 near-duplicates (round-4 Hypothesis counterexample,
+    ``tests/test_kmeans_properties.py``)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(c), " ")
+    return F.filter(F.split(F.lower(c), " "), lambda x: x != F.lit(""))
 
 
 def token_count(text: Column | str) -> Column:
@@ -58,16 +66,17 @@ def bpe_token_count(text: Column | str) -> Column:
 
 
 def distinct_ratio(text: Column | str) -> Column:
-    """unique tokens / tokens — low values flag boilerplate/repetition."""
+    """unique tokens / tokens — low values flag boilerplate/repetition.
+    NULL on zero-token docs (try_divide, matching DuckDB's x/0 -> NULL)."""
     t = tokens(text)
-    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    return F.try_divide(F.size(F.array_distinct(t)).cast("double"), F.size(t))
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     t = tokens(text)
     sw = F.lit(list(stopwords))
     hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
-    return hits.cast("double") / F.size(t)
+    return F.try_divide(hits.cast("double"), F.size(t))
 
 
 def quality_score(text: Column | str) -> Column:
@@ -77,7 +86,7 @@ def quality_score(text: Column | str) -> Column:
     t = tokens(text)
     n = F.size(t).cast("double")
     length_part = F.least(F.lit(1.0), n / F.lit(128.0))
-    diversity = F.size(F.array_distinct(t)).cast("double") / n
+    diversity = F.try_divide(F.size(F.array_distinct(t)).cast("double"), n)
     sw = stopword_ratio(text)
     # stopword band: ideal natural text has some but not all stopwords
     band = F.lit(1.0) - F.abs(sw - F.lit(0.3)) / F.lit(0.7)

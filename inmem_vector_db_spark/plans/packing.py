@@ -120,7 +120,7 @@ def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEQUENCE_PACKING_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  SELECT doc_id, CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tok
   FROM documents
 ),
 cum AS (
@@ -231,7 +231,7 @@ def boilerplate_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BOILERPLATE_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+  SELECT doc_id, source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents
 ),
 sh AS (
   SELECT doc_id, source,
@@ -300,7 +300,7 @@ TRAINING_SHARDS_SQL = f"""
 SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT
             % {N_SHARDS} AS BIGINT) AS shard,
        count(*) AS n_docs,
-       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+       CAST(sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
 FROM documents
 GROUP BY shard ORDER BY shard
 """

@@ -83,7 +83,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_QUALITY_SQL = f"""
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 s AS (
   SELECT doc_id,
          len(t) AS n_tokens,
@@ -123,7 +123,7 @@ _best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANGS) + ")"
 _case = " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANGS)
 
 LANG_ID_SQL = f"""
-WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 h AS (
   SELECT doc_id, text,
          {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
@@ -154,7 +154,7 @@ def fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_SQL = """
 SELECT count(*) AS n_docs,
-       count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS n_unique_fp
+       count(DISTINCT md5(array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))), ' '))) AS n_unique_fp
 FROM documents
 """
 
@@ -195,7 +195,7 @@ FROM documents a JOIN documents b
 # dedup: minhash LSH (12 hashes, 4 bands x 3 rows, 3-word shingles)
 
 _SH_CTE = """
-docs AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+docs AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          list_transform(generate_series(1, len(t)-2), i -> t[i]||' '||t[i+1]||' '||t[i+2]) AS shingles
@@ -482,7 +482,7 @@ def dedup_simhash_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_SIMHASH_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 sh2 AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 2
@@ -555,7 +555,7 @@ _BPE_SQL_RE = "''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+"
 TOKEN_COUNTS_SQL = f"""
 WITH d AS (
   SELECT lang,
-         len(string_split(lower(text), ' ')) AS ws,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS ws,
          len(regexp_extract_all(text, '{_BPE_SQL_RE}')) AS bpe
   FROM documents
 )
@@ -735,7 +735,7 @@ def corpus_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_CURATION_SQL = f"""
-WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 h AS (
   SELECT doc_id, text, t,
          {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
@@ -785,7 +785,7 @@ def top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOP_NGRAMS_SQL = """
-WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 b AS (
   SELECT unnest(list_transform(generate_series(1, len(t)-1),
                                i -> t[i] || ' ' || t[i+1])) AS ngram
@@ -830,7 +830,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -877,7 +877,7 @@ def decontam_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAM_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
@@ -1244,7 +1244,7 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_SAMPLE_SQL = """
 WITH d AS (
   SELECT doc_id,
-         len(string_split(lower(text), ' '))::BIGINT AS w,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::BIGINT AS w,
          ('0x' || substr(md5(text), 1, 15))::UBIGINT % 1000000 AS hv
   FROM documents
 )
@@ -1363,7 +1363,7 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BM25_SQL = """
 WITH d AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents
 ),
 toks AS (
   SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM d
@@ -1378,7 +1378,7 @@ tf AS (
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scalars AS (
   SELECT count(*) AS n_docs,
-         avg(len(string_split(lower(text), ' '))::DOUBLE) AS avgdl
+         avg(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::DOUBLE) AS avgdl
   FROM documents
 ),
 scored AS (
@@ -1453,7 +1453,7 @@ def hybrid_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HYBRID_SEARCH_SQL = f"""
 WITH d AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents
 ),
 toks AS (
   SELECT doc_id, len(t)::DOUBLE AS dl, unnest(t) AS term FROM d
@@ -1468,7 +1468,7 @@ tf AS (
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 scalars AS (
   SELECT count(*) AS n_docs,
-         avg(len(string_split(lower(text), ' '))::DOUBLE) AS avgdl
+         avg(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))::DOUBLE) AS avgdl
   FROM documents
 ),
 bm AS (
@@ -1643,7 +1643,7 @@ def repetition_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REPETITION_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 base AS (
   SELECT doc_id, len(t) AS n_tokens,
          CASE WHEN len(t) >= 2
@@ -1750,7 +1750,7 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BIGRAM_LM_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 bg AS (
   SELECT doc_id,
          unnest(CASE WHEN len(t) >= 2
@@ -1943,7 +1943,7 @@ def bpe_merge_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_PAIRS_SQL = """
-WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 wc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
 p0 AS (
   SELECT c, list_transform(generate_series(1, len(w)-1), i -> substr(w, i, 2)) AS ps
@@ -2071,7 +2071,7 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PMI_COLLOCATIONS_SQL = """
-WITH d AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM d) GROUP BY 1),
 nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
 big AS (
@@ -2145,7 +2145,7 @@ def token_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOKEN_ENTROPY_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 cnt AS (
   SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
   FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1, 2
@@ -2195,7 +2195,7 @@ def posting_lists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 POSTING_LISTS_SQL = """
 WITH d AS (
-  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS term
   FROM documents
 )
 SELECT term, count(*) AS df,
@@ -2235,7 +2235,7 @@ def conjunctive_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONJUNCTIVE_SEARCH_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term FROM documents
 ),
 tf AS (
   SELECT doc_id, term, count(*) AS tf
@@ -2297,7 +2297,7 @@ def quality_quantile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUALITY_QUANTILE_SQL = """
-WITH d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 s AS (
   SELECT doc_id, lang, len(t) AS n_tokens,
          len(list_distinct(t))::DOUBLE / len(t) AS dr,
@@ -2377,7 +2377,7 @@ def vocab_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VOCAB_ENCODE_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 toks AS (
   SELECT doc_id, u.pos AS pos, u.term AS term FROM (
     SELECT doc_id,
@@ -2429,7 +2429,7 @@ DATASET_SPLIT_SQL = """
 WITH d AS (
   SELECT lang,
          ('0x' || substr(md5(text), 1, 15))::UBIGINT % 100 AS b,
-         len(string_split(lower(text), ' ')) AS nt
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS nt
   FROM documents
 )
 SELECT lang,
@@ -2526,7 +2526,7 @@ def crossdoc_shingle_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CROSSDOC_SHINGLE_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, sh FROM (
     SELECT doc_id,
@@ -2589,7 +2589,7 @@ def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURRICULUM_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 s AS (
   SELECT doc_id, len(t) AS nt,
          round(0.4 * least(1.0, len(t) / 128.0)
@@ -2738,7 +2738,7 @@ def corpus_pipeline_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_PIPELINE_SQL = f"""
-WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 h AS (
   SELECT doc_id, text, t,
          {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
@@ -2833,7 +2833,7 @@ def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANG_CONFUSION_SQL = f"""
-WITH d AS (SELECT lang, text, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT lang, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 h AS (
   SELECT lang, text,
          {", ".join(f"{_hits[lang]} AS h_{lang}" for lang in LANGS)}
@@ -2885,7 +2885,7 @@ def source_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SOURCE_PROFILE_SQL = f"""
-WITH d AS (SELECT source, text, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT source, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 s AS (
   SELECT source, md5(text) AS h, len(t) AS nt,
          round(0.4 * least(1.0, len(t) / 128.0)
@@ -3035,7 +3035,7 @@ def chunk_stitch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     side per document, never text bodies — at 100 TB this is a
     key-join over N rows, no similarity search involved."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("t")
+        "doc_id", tokens("text").alias("t")
     )
     b = d.filter(F.size("t") >= 6).select(
         "doc_id",
@@ -3058,7 +3058,7 @@ def chunk_stitch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHUNK_STITCH_SQL = """
-WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 b AS (SELECT doc_id,
              array_to_string(t[1:3], ' ') AS head3,
              array_to_string(t[len(t)-2:len(t)], ' ') AS tail3
@@ -3086,7 +3086,7 @@ def source_token_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
-        .agg(F.sum(F.size(F.split(F.lower("text"), " "))).cast("bigint").alias("tokens"))
+        .agg(F.sum(F.size(tokens("text"))).cast("bigint").alias("tokens"))
     )
     w = Window.orderBy("tokens", "source")
     r = per.withColumn("rk", F.row_number().over(w))
@@ -3107,7 +3107,7 @@ def source_token_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_TOKEN_GINI_SQL = """
 WITH per AS (
-  SELECT source, sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+  SELECT source, sum(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))::BIGINT AS tokens
   FROM documents GROUP BY source
 ),
 r AS (SELECT *, row_number() OVER (ORDER BY tokens, source) AS rk FROM per)
@@ -3139,7 +3139,7 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(
-            F.sum(F.size(F.split(F.lower("text"), " ")))
+            F.sum(F.size(tokens("text")))
             .cast("bigint")
             .alias("tokens")
         )
@@ -3164,7 +3164,7 @@ def source_mix_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_MIX_WEIGHTS_SQL = """
 WITH per AS (
-  SELECT source, sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+  SELECT source, sum(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))::BIGINT AS tokens
   FROM documents GROUP BY source
 ),
 m AS (SELECT min(tokens) AS min_tokens, sum(tokens) AS total_tokens FROM per)
@@ -3186,7 +3186,7 @@ def source_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle replays the exact sample."""
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.lower("text"), " "))).cast("bigint").alias("tokens")
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("tokens")
     )
     scal = per.agg(F.min("tokens").alias("min_tokens"))
     w = per.crossJoin(F.broadcast(scal)).select(
@@ -3200,7 +3200,7 @@ def source_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
-        F.sum(F.size(F.split(F.lower("text"), " ")))
+        F.sum(F.size(tokens("text")))
         .cast("bigint")
         .alias("kept_tokens"),
     )
@@ -3208,7 +3208,7 @@ def source_mix_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SOURCE_MIX_RESAMPLE_SQL = """
 WITH per AS (
-  SELECT source, sum(len(string_split(lower(text), ' ')))::BIGINT AS tokens
+  SELECT source, sum(len(list_filter(string_split(lower(text), ' '), x -> x <> '')))::BIGINT AS tokens
   FROM documents GROUP BY source
 ),
 m AS (SELECT min(tokens) AS min_tokens FROM per),
@@ -3218,7 +3218,7 @@ w AS (
   FROM per, m
 ),
 kept AS (
-  SELECT d.source, len(string_split(lower(d.text), ' ')) AS ntok
+  SELECT d.source, len(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) AS ntok
   FROM documents d JOIN w ON d.source = w.source
   WHERE ('0x' || substr(md5(d.text), 1, 15))::UBIGINT % 10000 < w.thresh
 )
@@ -3252,7 +3252,7 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        docs.select(F.explode(tokens("text")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -3312,7 +3312,7 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_TRAIN_SQL = """
 WITH words AS (
   SELECT w, count(*)::BIGINT AS n FROM (
-    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents
   ) WHERE w <> '' GROUP BY w
 ),
 s0 AS (

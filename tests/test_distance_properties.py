@@ -37,7 +37,7 @@ def np_reference(metric: str, q, v) -> float:
 
 
 @pytest.mark.parametrize("metric", ["euclidean", "cosine", "dot_product", "manhattan"])
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=15, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(q=vec, v=vec)
 def test_distance_matches_numpy(spark, metric, q, v):
     df = spark.createDataFrame([(v,)], "v array<double>")
@@ -52,7 +52,7 @@ def test_distance_matches_numpy(spark, metric, q, v):
     )
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(q=vec)
 def test_zero_vector_cosine_is_one(spark, q):
     from pyspark.sql import functions as F
