@@ -2731,37 +2731,42 @@ GROUP BY 1
 # ``dedup_signature_index`` precedes its consumers: it materializes the
 # shared signature artifact, so both the correctness run and the bench
 # attribute the one-time index build to the explicit build entry.
-# Round-4 rotation (VERDICT item 5): ~20 first-time entries — the window
-# is the driver's only hard signal, so never-windowed families rotate in
-# each round while every family keeps >= 1 representative.  Kept pinned:
-# token_counts + dedup_signature_index (round-3 red rows; their green
-# rows prove the HUGEINT-cast fix), dedup_minhash_pairs (bench-recovery
-# target), and ann_ivf_index_build ordered BEFORE ann_ivf_partitioned /
-# dedup_signature_index before its consumers (build-cost attribution).
+# Round-5 rotation (VERDICT r4 item 4): 28 first-time entries, union
+# coverage 108 -> 136 of the suite — the window is the driver's only
+# hard signal, so never-windowed families rotate in each round while
+# every family keeps >= 1 representative.  Kept pinned: knn_cosine
+# (flagship), q1_pricing_summary (decimal-exact money-math proof),
+# token_counts + dedup_signature_index + dedup_minhash_pairs (their
+# green rows re-prove the tokenizer empty-token fix shifted BOTH
+# engines together), store lifecycle pair (reference core semantics).
+# Build rows stay ordered BEFORE their consumers (cost attribution):
+# pq_codebook_build < knn_pq, lsh_signature_index < lsh_knn_cosine,
+# ann_ivf_index_build < ann_ivf_partitioned, dedup_signature_index <
+# dedup_minhash_pairs.  This round's first-timers lean float/dtype
+# surface (BM25/hybrid scores, PCA/corr, winsorized/MAD, PSI, slope)
+# per the judge's cross-engine-drift priority.
 _DRIVER_WINDOW = [
-    "knn_cosine", "knn_pq", "lsh_knn_cosine",
-    "ann_ivf_euclidean", "ann_ivf_index_build", "ann_ivf_partitioned",
-    "kmeans_embeddings", "ann_ivf_kmeans_recall", "ann_truncated_recall",
+    "knn_cosine",
+    "pq_codebook_build", "knn_pq",
+    "lsh_signature_index", "lsh_knn_cosine",
+    "ann_ivf_index_build", "ann_ivf_partitioned", "ann_ivf_append_search",
+    "kmeans_embeddings",
     "store_search_pipeline", "store_crud_lifecycle",
-    "events_hourly_stream", "user_totals_stateful_stream",
-    "docs_dedup_stream", "session_window_stream",
-    "csv_source_agg", "rest_feed_source_agg",
-    "feed_tail_stream",  # after rest_feed_source_agg: that row owns the
-    # one-time feed staging, this one times only the stream drain
-    "compaction_roundtrip", "zorder_cells",
+    "events_hourly_stream", "stream_static_enrich",
+    "incremental_signature_stream",
+    "jsonl_source_agg", "orc_source_agg", "rest_feed_source_agg",
+    "compaction_roundtrip", "partitioned_write_roundtrip",
     "image_pixel_stats", "audio_energy_stats",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q18_large_volume_customers", "bucketed_join_revenue",
-    "dedup_signature_index", "dedup_minhash_pairs", "dedup_clusters",
-    "dedup_containment", "dedup_canonical",
-    "embedding_near_dup", "text_quality", "token_counts",
-    "decontam_overlap", "chunk_documents",
-    "repetition_filters", "boilerplate_ngrams", "training_shards",
-    "bpe_train_merges", "source_mix_resample", "k_anonymity_report",
-    "fuzzy_name_pairs", "pagerank_bipartite",
-    "purchase_attribution_asof", "salted_join_revenue",
-    "corpus_merge_upsert", "corpus_scd2_history",
-    "sequence_packing",
+    "q1_pricing_summary", "q8_market_share", "q9_product_profit",
+    "q12_ship_latency", "q17_small_quantity_revenue", "q22_idle_customers",
+    "retention_cohorts", "numeric_corr", "winsorized_stats", "mad_outliers",
+    "dedup_signature_index", "dedup_minhash_pairs", "token_counts",
+    "bm25_search", "hybrid_search", "mmr_diversify",
+    "pii_redaction", "posting_lists", "tfidf_top_terms", "token_entropy",
+    "corpus_pipeline_full",
+    "embedding_pca_var", "source_drift_psi", "embedding_near_dup",
+    "pagerank_bipartite", "fuzzy_name_pairs", "salted_event_stats",
+    "corpus_merge_upsert", "sequence_packing",
 ]
 
 

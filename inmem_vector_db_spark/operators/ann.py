@@ -183,7 +183,13 @@ def append_ivf_index(
     steady-state ingest path must keep probe routing stable so readers
     never see vectors assigned under two different centroid sets."""
     spark = batch.sparkSession
-    crows = spark.read.parquet(f"{path}/centroids").collect()
+    # sort by cid: ivf_assign breaks exact-distance ties by matrix
+    # position and documents "centroids are sorted by id" — an unordered
+    # parquet collect could otherwise route a tied append differently
+    # than the original build (and than the DuckDB oracle's min-struct)
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cid"]
+    )
     cids = [r["cid"] for r in crows]
     cmat = np.asarray([list(r["centroid"]) for r in crows], dtype=np.float64)
     assigned = ivf_assign(batch, cids, cmat, id_col, vec_col)
@@ -233,15 +239,13 @@ def delete_from_ivf_index(
         ~F.col(id_col).isin(idlist)
     )
     survivors = set(affected) - set(emptied)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        if survivors:
-            remaining.write.mode("overwrite").partitionBy("cluster_id").parquet(
-                f"{path}/vectors"
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if survivors:
+        # per-write option, not a session conf flip: a concurrent write
+        # in the same session must not silently inherit dynamic-
+        # overwrite semantics
+        remaining.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cluster_id").parquet(f"{path}/vectors")
     if emptied:
         jvm = spark.sparkContext._jvm
         jsc = spark.sparkContext._jsc
@@ -293,12 +297,10 @@ def compact_ivf_index(
         .filter(F.col("cluster_id").isin(cids))
         .repartition(len(cids), "cluster_id")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        rows.write.mode("overwrite").partitionBy("cluster_id").parquet(vec_root)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, not a session conf flip (see delete_from_ivf_index)
+    rows.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cluster_id").parquet(vec_root)
     return len(cids)
 
 
@@ -316,7 +318,10 @@ def ivf_search_indexed(
     read the (bounded) centroid table, pick the ``nprobe`` nearest lists
     driver-side, scan ONLY those ``cluster_id=`` partitions (partition
     pruning — plan-pinned in tests), exact top-k inside them."""
-    crows = spark.read.parquet(f"{path}/centroids").collect()
+    # sorted for deterministic tie-breaks, same contract as append
+    crows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cid"]
+    )
     cids = [r["cid"] for r in crows]
     cmat = np.asarray([list(r["centroid"]) for r in crows], dtype=np.float64)
     probe = probe_lists(cids, cmat, query_vec, nprobe)

@@ -51,6 +51,13 @@ DEFAULT_MAX_BATCH = 96
 Transport = Callable[[list[str], str, str], list[list[float]]]
 
 
+class EmbedContractError(ValueError):
+    """The API answered successfully but violated the embed contract
+    (wrong vector count for the batch).  Deterministic — retrying the
+    same request cannot help, so the transport fails fast on it, unlike
+    transient decode/network errors which retry with backoff."""
+
+
 def _rest_transport(
     url: str, timeout: float, retries: int, backoff: float
 ) -> Transport:
@@ -86,13 +93,17 @@ def _rest_transport(
                 emb = payload["embeddings"]
                 vecs = emb["float"] if isinstance(emb, dict) else emb
                 if len(vecs) != len(texts):
-                    raise ValueError(
+                    raise EmbedContractError(
                         f"embed API returned {len(vecs)} vectors "
                         f"for {len(texts)} texts"
                     )
                 return [[float(x) for x in v] for v in vecs]
-            except ValueError:
-                raise  # deterministic contract violation — retry can't help
+            except EmbedContractError:
+                # deterministic contract violation — retry can't help.
+                # (A dedicated type, NOT bare ValueError: json decode
+                # errors subclass ValueError and a truncated body from a
+                # network blip must reach the retry path below.)
+                raise
             except urllib.error.HTTPError as e:
                 if 400 <= e.code < 500 and e.code != 429:
                     raise  # auth/validation error: fail fast, no backoff

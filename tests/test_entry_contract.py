@@ -48,6 +48,10 @@ def test_build_entries_precede_their_consumers():
         ("ann_ivf_index_build", "ann_ivf_partitioned"),
         ("rest_feed_source_agg", "feed_tail_stream"),
         ("kmeans_embeddings", "ann_ivf_kmeans_recall"),
+        ("lsh_signature_index", "lsh_knn_cosine"),
+        ("lsh_signature_index", "lsh_knn_multiprobe"),
+        ("pq_codebook_build", "knn_pq"),
+        ("pq_codebook_build", "ann_ivfpq"),
     ]:
         if build in pos and consumer in pos:
             assert pos[build] < pos[consumer], (build, consumer)

@@ -29,8 +29,14 @@ from inmem_vector_db_spark.sources.loader import TABLES
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # rounding-boundary flips are data-dependent, so the pin also runs at the
 # driver's correctness scale (q1's flip reproduced at sf0.001, but a sum
-# that is safe at one SF can sit on a boundary at another)
-SF_DIRS = sorted({SF_DIR, "/root/testdata/sf0.01"})
+# that is safe at one SF can sit on a boundary at another).  The second
+# scale is derived from the env root's parent (sibling sf0.01 fixture)
+# and only included when it exists, so hosts without that exact path
+# still run the single-scale pin instead of erroring.
+_SIBLING = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+SF_DIRS = sorted(
+    {d for d in (SF_DIR, _SIBLING) if os.path.isdir(d)}
+) or [SF_DIR]
 
 # deterministic shuffle key per table: md5 of the first column's value.
 # Rows sharing that value (e.g. one order's lineitems) keep their
