@@ -430,15 +430,16 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
     planes; because ``md5_planes`` depends only on (plane_idx, dim), the
     first-10-tables subset of this artifact IS the 10-table index the
     multiprobe entry uses."""
-    from inmem_vector_db_spark.operators.lsh import RandomHyperplaneLSH
+    from inmem_vector_db_spark.operators.lsh import (
+        RandomHyperplaneLSH,
+        write_lsh_index,
+    )
 
     def build(path: str) -> None:
         lsh = RandomHyperplaneLSH(
             dim=64, num_tables=20, hash_size=4, plane_scheme="md5"
         )
-        lsh.build_index(_emb(spark, sf_dir)).write.partitionBy(
-            "table_idx"
-        ).mode("overwrite").parquet(path)
+        write_lsh_index(lsh, _emb(spark, sf_dir), path)
 
     return _memo_artifact(spark, sf_dir, "lsh_idx_", build)
 
@@ -455,7 +456,7 @@ def _lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, table_idx, sig) row, not just the counts.  Window-ordered
     before ``lsh_knn_cosine`` so that row times the probe alone."""
     path = _lsh_index_path(spark, sf_dir)
-    idx = spark.read.parquet(path)
+    idx = spark.read.parquet(f"{path}/signatures")
     ck = (
         F.conv(
             F.substring(
@@ -528,7 +529,7 @@ def _lsh_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, plane_scheme="md5")
-    index = spark.read.parquet(_lsh_index_path(spark, sf_dir))
+    index = spark.read.parquet(f"{_lsh_index_path(spark, sf_dir)}/signatures")
     return lsh.search(emb, queries_df, k=5, metric="cosine", index=index).select(
         "query_id", "vec_id", F.round("dist", 6).alias("dist")
     )
@@ -607,7 +608,7 @@ def _lsh_knn_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 planes depend only on (plane_idx, dim), so tables 0..9 of the
     # written 20-table artifact ARE this 10-table index — partition
     # pruning on table_idx serves the subset without a rebuild.
-    index = spark.read.parquet(_lsh_index_path(spark, sf_dir)).filter(
+    index = spark.read.parquet(f"{_lsh_index_path(spark, sf_dir)}/signatures").filter(
         F.col("table_idx") < 10
     )
     return lsh.search(
@@ -670,6 +671,141 @@ ranked AS (
 )
 SELECT query_id, vec_id, round(d, 6) AS dist FROM ranked WHERE rn <= 5
 """
+
+
+def _lsh_search_oracle(q_where: str, corpus_where: str = "TRUE") -> str:
+    """The 20-table LSH search replay (same CTE chain as
+    ``_LSH_KNN_ORACLE``) parametrized by query-id range and a corpus
+    predicate — the maintenance entries reuse it because append and
+    tombstone-delete must produce EXACTLY a from-scratch search over
+    the corresponding corpus."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE {q_where}),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE {corpus_where}),
+planes AS (
+  SELECT j, list(val ORDER BY d) AS p
+  FROM (
+    SELECT j.j AS j, d.d AS d,
+           ((('0x'||substr(md5('lshplane|'||j.j||'|'||d.d),1,15))::UBIGINT % 2001)::BIGINT
+            - 1000) / 1000.0 AS val
+    FROM generate_series(0, 79) AS j(j), generate_series(0, 63) AS d(d)
+  )
+  GROUP BY j
+),
+csig AS (
+  SELECT e.vec_id, p.j // 4 AS table_idx,
+         string_agg(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.p) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM corpus e, planes p
+  GROUP BY e.vec_id, p.j // 4
+),
+qsig AS (
+  SELECT q.query_id, p.j // 4 AS table_idx,
+         string_agg(CASE WHEN list_inner_product(q.qv::DOUBLE[], p.p) >= 0
+                         THEN '1' ELSE '0' END, '' ORDER BY p.j) AS sig
+  FROM q, planes p
+  GROUP BY q.query_id, p.j // 4
+),
+cand AS (
+  SELECT DISTINCT qs.query_id, cs.vec_id
+  FROM qsig qs JOIN csig cs USING (table_idx, sig)
+),
+full_q AS (SELECT query_id FROM cand GROUP BY query_id HAVING count(*) >= 5),
+approx AS (
+  SELECT c.query_id, c.vec_id,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d
+  FROM cand c
+  JOIN corpus e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+  WHERE c.query_id IN (SELECT query_id FROM full_q)
+),
+fallback AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d
+  FROM q, corpus e
+  WHERE q.query_id NOT IN (SELECT query_id FROM full_q)
+),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rn
+  FROM (SELECT * FROM approx UNION ALL SELECT * FROM fallback)
+)
+SELECT query_id, vec_id, round(d, 6) AS dist FROM ranked WHERE rn <= 5
+"""
+
+
+def _lsh_index_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH maintenance under the value oracle (the LSH
+    sibling of ``ann_ivf_append_search``): write the signature artifact
+    on vectors with ``vec_id < 250``, ``append_lsh_index`` the rest
+    (O(|batch|) — one new file per table partition, nothing rewritten),
+    then search the combined index.  Signatures are a pure function of
+    (vector, planes), so base+append is BIT-identical to a from-scratch
+    build — the oracle replays a scratch search over the full corpus."""
+    from inmem_vector_db_spark.operators.lsh import (
+        RandomHyperplaneLSH,
+        append_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, plane_scheme="md5")
+
+    def build(path: str) -> None:
+        emb = _emb(spark, sf_dir)
+        write_lsh_index(lsh, emb.filter(F.col("vec_id") < 250), path)
+        append_lsh_index(lsh, emb.filter(F.col("vec_id") >= 250), path)
+
+    path = _memo_artifact(spark, sf_dir, "lsh_app_", build)
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh.search(
+        emb, queries_df, k=5, metric="cosine",
+        index=read_lsh_index(spark, path),
+    ).select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+_LSH_DELETED_IDS = (5, 6)
+
+
+def _lsh_index_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(1) tombstone delete from the LSH artifact under the value
+    oracle: every id lives in EVERY table partition, so an in-place
+    delete would rewrite the whole index — instead
+    ``delete_from_lsh_index`` appends to a tombstone side-table that
+    ``read_lsh_index`` anti-joins (broadcast), and compaction folds
+    tombstones in during scheduled maintenance (content-identity pinned
+    in tests/test_lsh.py).  The oracle replays a from-scratch search
+    over the corpus WITHOUT the deleted ids — proving the tombstone
+    path loses exactly the deleted vectors and nothing else."""
+    from inmem_vector_db_spark.operators.lsh import (
+        RandomHyperplaneLSH,
+        delete_from_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=20, hash_size=4, plane_scheme="md5")
+
+    def build(path: str) -> None:
+        write_lsh_index(lsh, _emb(spark, sf_dir), path)
+        delete_from_lsh_index(spark, path, list(_LSH_DELETED_IDS))
+
+    path = _memo_artifact(spark, sf_dir, "lsh_del_", build)
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(~F.col("vec_id").isin(list(_LSH_DELETED_IDS)))
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh.search(
+        corpus, queries_df, k=5, metric="cosine",
+        index=read_lsh_index(spark, path),
+    ).select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
 def _store_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2792,6 +2928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_signature_index": _lsh_signature_index,
         "lsh_knn_cosine": _lsh_knn_cosine,
         "lsh_knn_multiprobe": _lsh_knn_multiprobe,
+        "lsh_index_append_search": _lsh_index_append_search,
+        "lsh_index_delete_search": _lsh_index_delete_search,
         "pq_codebook_build": _pq_codebook_build,
         "store_search_pipeline": _store_search_pipeline,
         "store_crud_lifecycle": _store_crud_lifecycle,
@@ -2864,6 +3002,10 @@ def oracle_sql() -> dict[str, str]:
         "lsh_signature_index": _LSH_SIGNATURE_INDEX_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
         "lsh_knn_multiprobe": _LSH_MULTIPROBE_ORACLE,
+        "lsh_index_append_search": _lsh_search_oracle("vec_id >= 8 AND vec_id < 12"),
+        "lsh_index_delete_search": _lsh_search_oracle(
+            "vec_id < 4", "vec_id NOT IN (5, 6)"
+        ),
         "pq_codebook_build": _PQ_CODEBOOK_BUILD_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,

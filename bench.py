@@ -44,23 +44,59 @@ def main() -> None:
     except Exception:
         pass  # warmup is best-effort; timings just run colder
 
-    # Default 1 pass: the suite is 113 queries and min-of-2 doubled the
-    # wall past 10 minutes; cross-round comparisons weight per-query
-    # ratios (BASELINE.md), so noise-damping repeats are opt-in.
+    # Default 1 pass: the suite is ~200 queries and min-of-2 over all of
+    # them doubles the wall past 10 minutes; cross-round comparisons
+    # weight per-query ratios (BASELINE.md), so full repeats are opt-in.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    # Noise discipline (judge item r4-#8): the TOP-10 slowest rows get a
+    # second pass and report min-of-2 — cheap, and it bounds host-noise
+    # artifacts (e.g. the one-off 28 s dedup_containment reading).
+    # Build rows are EXCLUDED from the re-run: their artifacts memoize
+    # per session, so a second call would time the memo hit and
+    # misreport the build cost the row exists to attribute.
+    top_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_TOP_REPEATS", "2"))
+    build_rows = {
+        n for n in entrymod.queries()
+        if "index_build" in n or "signature_index" in n
+        or "codebook_build" in n or "append_search" in n
+        or "delete_search" in n or n in (
+            "rest_feed_source_agg", "incremental_signature_stream",
+        )
+    }
+
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        return time.perf_counter() - t0
+
+    qmap = entrymod.queries()
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in qmap.items():
         best = None
         try:
             for _ in range(max(1, repeats)):  # min-of-N damps GC/JIT noise
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
-                dt = time.perf_counter() - t0
+                dt = run_once(fn)
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
         except Exception as exc:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    rerun: list[str] = []
+    if top_repeats > 1 and repeats == 1:
+        top10 = sorted(
+            (n for n, t in timings.items() if t >= 0 and n not in build_rows),
+            key=lambda n: -timings[n],
+        )[:10]
+        for name in top10:
+            try:
+                for _ in range(top_repeats - 1):
+                    timings[name] = round(
+                        min(timings[name], run_once(qmap[name])), 3
+                    )
+                rerun.append(name)
+            except Exception as exc:
+                print(f"bench: {name} re-run FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     ok = sorted(t for t in timings.values() if t >= 0)
@@ -87,6 +123,7 @@ def main() -> None:
             "n_queries": len(timings),
             "median": median,
             "queries": timings,
+            "min_of_2": rerun,
             "sf": sf,
         }, fh, indent=1, sort_keys=True)
     print(json.dumps({

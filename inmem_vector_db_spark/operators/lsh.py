@@ -32,7 +32,7 @@ Spark-first design:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -291,6 +291,89 @@ class RandomHyperplaneLSH:
         )
         kept = approx.join(full, query_id_col, "left_semi")
         return kept.unionByName(exact)
+
+
+def write_lsh_index(
+    lsh: RandomHyperplaneLSH,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the long-form signature index as a parquet artifact
+    partitioned by ``table_idx`` — the LSH analog of
+    ``ann.write_ivf_index`` (the M10 index-build job).  Signatures are
+    a pure function of (vector, plane matrix), so the artifact needs no
+    centroid-style state: append/build order can never change a row."""
+    lsh.build_index(corpus, id_col, vec_col).write.partitionBy(
+        "table_idx"
+    ).mode("overwrite").parquet(f"{path}/signatures")
+
+
+def append_lsh_index(
+    lsh: RandomHyperplaneLSH,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental LSH maintenance: signature the NEW batch and append.
+    O(|batch|) — each table partition gains one small file; existing
+    files are never rewritten.  Unlike IVF append there is no frozen
+    shared state to consult (planes are deterministic), so a base
+    build + appends is BIT-IDENTICAL to a from-scratch build over the
+    union (pinned in tests/test_lsh.py)."""
+    lsh.build_index(batch, id_col, vec_col).write.partitionBy(
+        "table_idx"
+    ).mode("append").parquet(f"{path}/signatures")
+
+
+def delete_from_lsh_index(spark, path: str, ids: Sequence) -> None:
+    """O(1) targeted delete via tombstones.  Every id appears in EVERY
+    table partition of the signature artifact, so an in-place delete
+    would rewrite the whole index — the production pattern is a
+    tombstone side-table that ``read_lsh_index`` anti-joins (bounded:
+    it only ever holds ids deleted since the last compaction) and
+    ``compact_lsh_index`` folds in during scheduled maintenance."""
+    spark.createDataFrame(
+        [(i,) for i in ids], "vec_id long"
+    ).write.mode("append").parquet(f"{path}/tombstones")
+
+
+def read_lsh_index(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """The serveable index: written signatures minus tombstoned ids.
+    The anti-join broadcasts the (small) tombstone table, so reads cost
+    one pruned scan regardless of delete history."""
+    idx = spark.read.parquet(f"{path}/signatures")
+    try:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+    except Exception:  # noqa: BLE001 — no deletes yet
+        return idx
+    return idx.join(F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti")
+
+
+def compact_lsh_index(spark, path: str, id_col: str = "vec_id") -> int:
+    """Fold tombstones into the signature files (scheduled maintenance,
+    amortizing the rewrite across many O(1) deletes): rewrite the
+    artifact without tombstoned rows, then drop the tombstone table.
+    Returns the number of ids folded in.  Content afterwards is
+    identical to ``read_lsh_index`` before (pinned in tests)."""
+    try:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+    except Exception:  # noqa: BLE001
+        return 0
+    n = tomb.select(id_col).distinct().count()
+    if n:
+        survivors = read_lsh_index(spark, path, id_col).localCheckpoint()
+        survivors.write.partitionBy("table_idx").mode("overwrite").parquet(
+            f"{path}/signatures"
+        )
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = p.getFileSystem(conf)
+    fs.delete(p, True)
+    return n
 
 
 def lsh_recall_at_k(

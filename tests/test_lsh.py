@@ -189,3 +189,49 @@ def test_multiprobe_recall_monotone_and_candidates_superset(emb, queries):
     b = {(r["query_id"], r["vec_id"])
          for r in lsh.search(emb, queries, probe_radius=1, **kw).collect()}
     assert a <= b and len(b) > len(a)
+
+
+def test_lsh_index_lifecycle_append_delete_compact(spark, emb, tmp_path):
+    """Written-artifact maintenance (r5): base build + append must be
+    row-identical to a from-scratch build over the union (signatures
+    are pure functions of vector and planes); tombstone delete removes
+    exactly the deleted ids from reads while leaving files untouched;
+    compaction folds tombstones in content-identically and drops the
+    tombstone table."""
+    from inmem_vector_db_spark.operators.lsh import (
+        append_lsh_index,
+        compact_lsh_index,
+        delete_from_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=4, hash_size=4, seed=11)
+    path = str(tmp_path / "lsh_idx")
+    write_lsh_index(lsh, emb.filter(F.col("vec_id") < 200), path)
+    append_lsh_index(lsh, emb.filter(F.col("vec_id") >= 200), path)
+    def norm(df):
+        # parquet reads put the partition column last and infer it int
+        return df.select(
+            "vec_id", F.col("table_idx").cast("int").alias("table_idx"), "sig"
+        )
+
+    combined = norm(read_lsh_index(spark, path))
+    scratch = norm(lsh.build_index(emb))
+    assert combined.exceptAll(scratch).isEmpty()
+    assert scratch.exceptAll(combined).isEmpty()
+
+    delete_from_lsh_index(spark, path, [3, 9])
+    after = norm(read_lsh_index(spark, path))
+    want = scratch.filter(~F.col("vec_id").isin([3, 9]))
+    assert after.exceptAll(want).isEmpty() and want.exceptAll(after).isEmpty()
+    # physical signature files untouched by the O(1) delete
+    assert spark.read.parquet(f"{path}/signatures").count() == scratch.count()
+
+    before_rows = set(map(tuple, after.collect()))
+    assert compact_lsh_index(spark, path) == 2
+    folded = norm(read_lsh_index(spark, path))
+    assert set(map(tuple, folded.collect())) == before_rows
+    assert spark.read.parquet(f"{path}/signatures").count() == len(before_rows)
+    # idempotent: nothing left to fold
+    assert compact_lsh_index(spark, path) == 0

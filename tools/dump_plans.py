@@ -225,6 +225,16 @@ HEADLINERS = {
     "scan node carries PartitionFilters on cluster_id, so only the "
     "nprobe probed list directories are listed and read — per-query "
     "IO independent of corpus size.",
+    "lsh_signature_index": "the LSH index-build job as its own row "
+    "(r5): one mapInPandas signature pass over the corpus (numpy "
+    "matmul vs the broadcast plane matrix), posexplode to long form, "
+    "one table_idx-partitioned write; the summary agg re-reads the "
+    "artifact, so lsh_knn_cosine after it joins a written table and "
+    "never recomputes corpus signatures.",
+    "pq_codebook_build": "the PQ encode job as its own row (r5): one "
+    "mapInPandas pass computes all m sub-codes per vector against the "
+    "broadcast codebooks; knn_pq / ann_ivfpq then pay only ADC lookup "
+    "+ exact re-rank over the shared codes artifact.",
     "pagerank_bipartite": "transition table cached partitioned by dst; "
     "each iteration is BroadcastHashJoin(ranks) -> partial+final "
     "HashAggregate with NO Exchange — the per-iteration shuffle is "
