@@ -112,3 +112,42 @@ def test_minhash_pairs_respect_threshold_on_random_docs(spark, docs):
         true_j = len(a & b) / len(a | b)
         assert r["jaccard"] >= 0.5
         assert abs(r["jaccard"] - round(true_j, 6)) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=corpus_strategy)
+def test_lsh_append_equals_scratch_build_on_random_corpora(spark, vecs):
+    """Incremental LSH maintenance invariant on ARBITRARY corpora (not
+    just the fixture tables): write(first half) + append(rest) must be
+    row-identical to a from-scratch build over the union — signatures
+    are pure functions of (vector, plane position), so no ingest order
+    or batch split can change a row."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.lsh import (
+        RandomHyperplaneLSH,
+        append_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = RandomHyperplaneLSH(dim=DIM, num_tables=3, hash_size=3, seed=5)
+    path = tempfile.mkdtemp(prefix="lsh_prop_")
+    cut = len(rows) // 2
+    write_lsh_index(lsh, df.filter(F.col("vec_id") < cut), path)
+    append_lsh_index(lsh, df.filter(F.col("vec_id") >= cut), path)
+
+    def rows_of(d):
+        return sorted(
+            (r["vec_id"], int(r["table_idx"]), r["sig"])
+            for r in d.select("vec_id", "table_idx", "sig").collect()
+        )
+
+    assert rows_of(read_lsh_index(spark, path)) == rows_of(lsh.build_index(df))
