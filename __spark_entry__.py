@@ -318,6 +318,95 @@ def _ann_ivf_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.round("dist", 6).alias("dist"))
 
 
+_STAGED_QUERY_FEED: dict[str, str] = {}
+
+
+def _ann_query_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN serving (beyond-ref streaming): a FEED of query
+    vectors arrives as a file stream (maxFilesPerTrigger=2 forces
+    multiple micro-batches, so this really exercises incremental
+    serving, not one disguised batch); each micro-batch is
+    ``ivf_search_batch``-ed against the STATIC coarse index (broadcast
+    centroids + cached assignment — the stream side never shuffles the
+    corpus) and results append via foreachBatch.  The oracle is the
+    plain batch search over the same query set — streamed serving must
+    return exactly the batch answer regardless of how the feed was
+    micro-batched.  Re-runs stream from scratch into a fresh sink, so
+    the entry is idempotent."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.ann import ivf_search_batch
+
+    emb = _emb(spark, sf_dir)
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
+    if sf_dir not in _STAGED_QUERY_FEED:
+        staged = tempfile.mkdtemp(prefix="query_feed_")
+        emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 20)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).repartition(4).write.mode("append").parquet(staged)
+        _STAGED_QUERY_FEED[sf_dir] = staged
+    stream_in = (
+        spark.readStream.schema("query_id bigint, query_vec array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(_STAGED_QUERY_FEED[sf_dir])
+    )
+    out_dir = tempfile.mkdtemp(prefix="ann_serve_")
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = ivf_search_batch(
+            emb, batch_df, k=5, nprobe=3, stride=50, metric="euclidean",
+            assigned=assigned, centroids=centroids,
+        )
+        res.select(
+            "query_id", "vec_id", F.round("dist", 6).alias("dist")
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_in.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+_ANN_QUERY_STREAM_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id >= 12 AND vec_id < 20),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid
+           ) AS rn
+    FROM cents c, q
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]) AS d,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+         ) AS rn
+  FROM assigned a
+  JOIN probe p ON a.cluster_id = p.cid
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, round(d, 6) AS dist FROM scored WHERE rn <= 5
+"""
+
+
 _ANN_IVF_MULTI_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
@@ -2923,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_euclidean": _ann_ivf_euclidean,
         "ann_ivf_prefilter": _ann_ivf_prefilter,
         "ann_ivf_multi": _ann_ivf_multi,
+        "ann_query_stream": _ann_query_stream,
         "ann_ivf_recall": _ann_ivf_recall,
         "ann_ivfpq": _ann_ivfpq,
         "lsh_signature_index": _lsh_signature_index,
@@ -2997,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_euclidean": _ANN_IVF_ORACLE,
         "ann_ivf_prefilter": _ANN_IVF_PREFILTER_ORACLE,
         "ann_ivf_multi": _ANN_IVF_MULTI_ORACLE,
+        "ann_query_stream": _ANN_QUERY_STREAM_ORACLE,
         "ann_ivf_recall": _ANN_IVF_RECALL_ORACLE,
         "ann_ivfpq": _ANN_IVFPQ_ORACLE,
         "lsh_signature_index": _LSH_SIGNATURE_INDEX_ORACLE,

@@ -414,3 +414,61 @@ def test_feed_stream_skip_mode_survives_poison(spark, sf_dir, tmp_path):
         assert got == [0, 1]
     finally:
         q.stop()
+
+
+def test_ann_query_stream_serving_equals_batch(spark, sf_dir, tmp_path):
+    """Online ANN serving (r5): query vectors streamed one FILE per
+    micro-batch through foreachBatch IVF search must return exactly the
+    one-shot batch answer — micro-batch boundaries cannot change
+    results because each query's search is self-contained against the
+    static index."""
+    from pyspark.sql import functions as F
+
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_assign,
+        ivf_search_batch,
+        select_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    centroids = select_centroids(emb, stride=50)
+    assigned = ivf_assign(emb, *centroids).localCheckpoint(eager=False)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    feed = str(tmp_path / "feed")
+    queries.repartition(3).write.parquet(feed)
+    out = str(tmp_path / "served")
+
+    def handle(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        ivf_search_batch(
+            emb, batch_df, k=5, nprobe=3,
+            assigned=assigned, centroids=centroids,
+        ).select("query_id", "vec_id", F.round("dist", 6).alias("dist")).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema("query_id bigint, query_vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    served = {
+        (r["query_id"], r["vec_id"], r["dist"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["query_id"], r["vec_id"], round(r["dist"], 6))
+        for r in ivf_search_batch(
+            emb, queries, k=5, nprobe=3, assigned=assigned, centroids=centroids
+        ).collect()
+    }
+    emb.unpersist()
+    assert served == batch and len(served) == 30
