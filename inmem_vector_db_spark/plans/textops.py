@@ -898,6 +898,59 @@ FROM totals LEFT JOIN shared USING (doc_id)
 """
 
 
+def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (the exact-substring dedup
+    metric of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": long verbatim spans repeated across
+    documents are the highest-value dedup target): per document, the
+    fraction of its distinct 5-word spans that also occur in at least
+    one OTHER document.  Spans come from the shared signature
+    artifact's cross-doc shingle census (``shset5``) — no re-tokenize,
+    no re-hash; the span-frequency table shuffles once on the span key
+    and the semi-join back reuses that partitioning.  At 100 TB this is
+    the standard two-pass shape: span -> df count, then per-doc
+    aggregate; state is bounded by distinct spans, never pairs."""
+    sh = corpus_signature_index(spark, sf_dir).select(
+        "doc_id", F.explode("shset5").alias("sh")
+    )
+    dfc = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
+    dup = (
+        sh.join(dfc.filter(F.col("df") >= 2).select("sh"), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    nd = F.coalesce("n_dup", F.lit(0))
+    return totals.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        nd.alias("n_dup_spans"),
+        F.round(nd / F.col("n_spans"), 6).alias("dup_fraction"),
+    )
+
+
+DUPLICATED_SPANS_SQL = """
+WITH d AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS sh
+  FROM d WHERE len(t) >= 5
+),
+dfc AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+dup AS (
+  SELECT s.doc_id, count(*) AS n_dup
+  FROM sh s JOIN dfc ON s.sh = dfc.sh
+  WHERE dfc.df >= 2 GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_spans FROM sh GROUP BY 1)
+SELECT totals.doc_id, n_spans,
+       coalesce(n_dup, 0) AS n_dup_spans,
+       round(coalesce(n_dup, 0) / n_spans, 6) AS dup_fraction
+FROM totals LEFT JOIN dup USING (doc_id)
+"""
+
+
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with EXACT per-stratum quotas (training-mix
     rebalancing): up to 5 documents per (lang, source) stratum, chosen
@@ -3442,6 +3495,7 @@ QUERIES: dict[str, tuple] = {
     "top_ngrams": (top_ngrams_q, TOP_NGRAMS_SQL),
     "tfidf_top_terms": (tfidf_top_terms_q, TFIDF_SQL),
     "decontam_overlap": (decontam_overlap_q, DECONTAM_SQL),
+    "duplicated_spans": (duplicated_spans_q, DUPLICATED_SPANS_SQL),
     "stratified_sample": (stratified_sample_q, STRATIFIED_SAMPLE_SQL),
     "repetition_filters": (repetition_filters_q, REPETITION_SQL),
     "semantic_dedup": (semantic_dedup_q, SEMANTIC_DEDUP_SQL),
