@@ -545,7 +545,10 @@ def _lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, table_idx, sig) row, not just the counts.  Window-ordered
     before ``lsh_knn_cosine`` so that row times the probe alone."""
     path = _lsh_index_path(spark, sf_dir)
-    idx = spark.read.parquet(f"{path}/signatures")
+    return _lsh_signature_summary(spark.read.parquet(f"{path}/signatures"))
+
+
+def _lsh_signature_summary(idx: DataFrame) -> DataFrame:
     ck = (
         F.conv(
             F.substring(
@@ -565,6 +568,45 @@ def _lsh_signature_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("n").cast("long").alias("max_bucket"),
         F.sum("cks").cast("long").alias("sig_checksum"),
+    )
+
+
+def _lsh_index_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction closes the LSH lifecycle under the value oracle:
+    build the artifact, tombstone-delete two ids, ``compact_lsh_index``
+    (fold tombstones into the signature files, drop the side-table),
+    then summarize the FOLDED artifact with the same bucket-layout +
+    md5-checksum aggregate as ``lsh_signature_index``.  The oracle is a
+    scratch signature build over the surviving ids — proving compaction
+    is content-exact, not just row-count-preserving."""
+    from inmem_vector_db_spark.operators.lsh import (
+        RandomHyperplaneLSH,
+        compact_lsh_index,
+        delete_from_lsh_index,
+        write_lsh_index,
+    )
+
+    def build(path: str) -> None:
+        lsh = RandomHyperplaneLSH(
+            dim=64, num_tables=20, hash_size=4, plane_scheme="md5"
+        )
+        write_lsh_index(lsh, _emb(spark, sf_dir), path)
+        delete_from_lsh_index(spark, path, list(_LSH_DELETED_IDS))
+        folded = compact_lsh_index(spark, path)
+        assert folded == len(_LSH_DELETED_IDS), folded
+
+    path = _memo_artifact(spark, sf_dir, "lsh_cpt_", build)
+    return _lsh_signature_summary(spark.read.parquet(f"{path}/signatures"))
+
+
+def _lsh_signature_summary_oracle(corpus_where: str = "TRUE") -> str:
+    """Signature-artifact summary replay (bucket layout + md5 row
+    checksum), parametrized by a corpus predicate so the compaction
+    entry can prove the folded artifact equals a scratch build over the
+    surviving ids."""
+    return _LSH_SIGNATURE_INDEX_ORACLE.replace(
+        "FROM embeddings e, planes p",
+        f"FROM (SELECT * FROM embeddings WHERE {corpus_where}) e, planes p",
     )
 
 
@@ -3020,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_multiprobe": _lsh_knn_multiprobe,
         "lsh_index_append_search": _lsh_index_append_search,
         "lsh_index_delete_search": _lsh_index_delete_search,
+        "lsh_index_compact_stats": _lsh_index_compact_stats,
         "pq_codebook_build": _pq_codebook_build,
         "store_search_pipeline": _store_search_pipeline,
         "store_crud_lifecycle": _store_crud_lifecycle,
@@ -3096,6 +3139,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_index_append_search": _lsh_search_oracle("vec_id >= 8 AND vec_id < 12"),
         "lsh_index_delete_search": _lsh_search_oracle(
             "vec_id < 4", "vec_id NOT IN (5, 6)"
+        ),
+        "lsh_index_compact_stats": _lsh_signature_summary_oracle(
+            "vec_id NOT IN (5, 6)"
         ),
         "pq_codebook_build": _PQ_CODEBOOK_BUILD_ORACLE,
         "store_search_pipeline": _STORE_PIPELINE_ORACLE,
