@@ -235,6 +235,13 @@ HEADLINERS = {
     "mapInPandas pass computes all m sub-codes per vector against the "
     "broadcast codebooks; knn_pq / ann_ivfpq then pay only ADC lookup "
     "+ exact re-rank over the shared codes artifact.",
+    "duplicated_spans": "substring-duplication census (r5): spans come "
+    "from the shared signature artifact; the span-frequency aggregate "
+    "shuffles once on the span key and the per-doc semi-join reuses "
+    "that partitioning — state bounded by distinct spans, never pairs.",
+    "lsh_index_append_search": "incremental LSH maintenance (r5): the "
+    "probe joins the written base+append artifact; the append itself "
+    "touched one new file per table partition, nothing rewritten.",
     "pagerank_bipartite": "transition table cached partitioned by dst; "
     "each iteration is BroadcastHashJoin(ranks) -> partial+final "
     "HashAggregate with NO Exchange — the per-iteration shuffle is "
