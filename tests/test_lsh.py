@@ -235,3 +235,30 @@ def test_lsh_index_lifecycle_append_delete_compact(spark, emb, tmp_path):
     assert spark.read.parquet(f"{path}/signatures").count() == len(before_rows)
     # idempotent: nothing left to fold
     assert compact_lsh_index(spark, path) == 0
+
+
+def test_artifact_served_search_has_no_python_stage(spark, emb, tmp_path):
+    """Probe-only pin (r5): when search reads a WRITTEN signature
+    index, the physical plan must contain no Python stage at all — the
+    expensive corpus signature pass (mapInPandas) belongs to the build
+    job, query signatures are computed driver-side, and candidate join
+    + exact re-rank are pure JVM.  Guards against a regression that
+    silently reintroduces per-search signature recompute."""
+    from inmem_vector_db_spark.operators.lsh import (
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=4, hash_size=4, seed=11)
+    path = str(tmp_path / "idx")
+    write_lsh_index(lsh, emb, path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = lsh.search(
+        emb, queries, k=5, metric="cosine", index=read_lsh_index(spark, path)
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"{node} in probe plan"
+    assert res.count() == 15
