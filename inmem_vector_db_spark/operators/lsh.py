@@ -344,10 +344,14 @@ def read_lsh_index(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     """The serveable index: written signatures minus tombstoned ids.
     The anti-join broadcasts the (small) tombstone table, so reads cost
     one pruned scan regardless of delete history."""
+    from pyspark.errors import AnalysisException
+
     idx = spark.read.parquet(f"{path}/signatures")
     try:
         tomb = spark.read.parquet(f"{path}/tombstones")
-    except Exception:  # noqa: BLE001 — no deletes yet
+    except AnalysisException:  # path-not-found: no deletes yet.  Only
+        # this narrow class — a transient IO error must surface, not
+        # silently serve tombstoned rows back.
         return idx
     return idx.join(F.broadcast(tomb.select(id_col).distinct()), id_col, "left_anti")
 
@@ -358,9 +362,12 @@ def compact_lsh_index(spark, path: str, id_col: str = "vec_id") -> int:
     artifact without tombstoned rows, then drop the tombstone table.
     Returns the number of ids folded in.  Content afterwards is
     identical to ``read_lsh_index`` before (pinned in tests)."""
+    from pyspark.errors import AnalysisException
+
     try:
         tomb = spark.read.parquet(f"{path}/tombstones")
-    except Exception:  # noqa: BLE001
+    except AnalysisException:  # nothing to fold (same narrow class as
+        # read_lsh_index)
         return 0
     n = tomb.select(id_col).distinct().count()
     if n:
