@@ -60,8 +60,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _normalize_timestamps(df)
-    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        return _chaos_repartition(_normalize_timestamps(df))
+    return _chaos_repartition(
+        _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    )
+
+
+def _chaos_repartition(df: DataFrame) -> DataFrame:
+    """Partition-invariance chaos knob (testing only): when
+    ``SPARK_GRAFT_REPARTITION=N`` is set, every loaded table is
+    round-robin repartitioned into N parts — a different physical row
+    layout and partition count than the natural scan.  Running the full
+    oracle gate under this knob proves every query's VALUES are
+    independent of input partitioning (the Spark-side twin of the
+    DuckDB-side md5-shuffle pin in test_oracle_order_robustness.py).
+    Unset (the default, including under the external driver) this is an
+    identity — zero plan change."""
+    import os
+
+    n = os.environ.get("SPARK_GRAFT_REPARTITION")
+    if not n:
+        return df
+    return df.repartition(int(n))
 
 
 def load_chunk_csv(spark: SparkSession, path: str) -> DataFrame:
