@@ -1856,6 +1856,175 @@ ORDER BY q.query_id
 """
 
 
+def _rp_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact kNN run in a 16-dim Johnson-Lindenstrauss
+    projected space vs the full 64-dim exact scan — the read-volume
+    lever for 100 TB corpora (a 64->16 projection cuts the bytes every
+    distance scan touches 4x; see operators/projection.py).  The
+    projection, distances, and ranking are exact int64 arithmetic
+    (md5-derived integer planes, floor-quantized embeddings), so the
+    ENTIRE approximate leg replays bit-identically in DuckDB — unlike
+    float JL schemes whose summation order is engine-private."""
+    import numpy as np
+
+    from inmem_vector_db_spark.operators.projection import (
+        project_embeddings_int,
+        projected_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    proj = project_embeddings_int(emb, out_dim=16, in_dim=64)
+    qp = {
+        int(r["vec_id"]): np.array(r["proj"], dtype=np.int64)
+        for r in proj.filter(
+            F.col("vec_id").isin(list(_RECALL_QIDS))
+        ).collect()  # bounded: |_RECALL_QIDS| rows
+    }
+    approx = projected_topk(proj, qp, k=10).select("query_id", "vec_id")
+    return _recall_vs_exact(spark, sf_dir, approx, k=10)
+
+
+def _rp_recall_oracle() -> str:
+    from inmem_vector_db_spark.operators.projection import (
+        projection_oracle_ctes,
+    )
+
+    return f"""
+WITH {projection_oracle_ctes(out_dim=16, in_dim=64)},
+q AS (SELECT vec_id AS query_id, p AS qp FROM pr WHERE vec_id IN (2, 7, 11, 19)),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_sum(list_transform(range(1, 17),
+                        j -> (e.p[j] - q.qp[j]) * (e.p[j] - q.qp[j]))),
+                      e.vec_id
+           ) AS rn
+    FROM pr e, q
+  ) WHERE rn <= 10
+),
+fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (2, 7, 11, 19)),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT fq.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY fq.query_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], fq.qv::DOUBLE[]), e.vec_id
+           ) AS rn
+    FROM embeddings e, fq
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.query_id
+)
+SELECT q.query_id, round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+ORDER BY q.query_id
+"""
+
+
+def _rp_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query JL distance-distortion profile: the ratio of projected
+    to full-space squared L2 (both in the same quantized integer space)
+    concentrates around a constant as out_dim grows — that concentration
+    IS the Johnson-Lindenstrauss lemma, and (min, max, spread=max/min)
+    quantify how faithful rank decisions in the projected space are.
+    Both d2 axes are exact int64 in-row folds evaluated JVM-side (the
+    only Python stage is the single Arrow-batched projection pass);
+    min/max are exact selections, so no float summation order exists
+    anywhere and the row replays bit-identically.
+    Scale shape: broadcast of |Q| query structs, one narrow corpus scan,
+    Q-row output."""
+    import numpy as np
+
+    from inmem_vector_db_spark.operators.projection import (
+        project_embeddings_int,
+    )
+
+    emb = _emb(spark, sf_dir)
+    vint = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(1000)).cast("long"),
+        ).alias("v"),
+    )
+    proj = project_embeddings_int(emb, out_dim=16, in_dim=64)
+    both = vint.join(proj, "vec_id")
+    qrows = {
+        int(r["vec_id"]): (list(r["v"]), list(r["proj"]))
+        for r in both.filter(
+            F.col("vec_id").isin(list(_RECALL_QIDS))
+        ).collect()  # bounded: |_RECALL_QIDS| rows
+    }
+    qdf = spark.createDataFrame(
+        [(qid, v, p) for qid, (v, p) in sorted(qrows.items())],
+        schema="query_id bigint, qv array<bigint>, qp array<bigint>",
+    )
+
+    def _d2(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        both.crossJoin(F.broadcast(qdf))
+        .select(
+            "query_id",
+            _d2("v", "qv").alias("d2f"),
+            _d2("proj", "qp").alias("d2p"),
+        )
+        .filter(F.col("d2f") > 0)  # drop the query's self-pair
+        .withColumn("ratio", F.col("d2p") / F.col("d2f"))
+    )
+    agg = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("ratio").alias("mn"),
+        F.max("ratio").alias("mx"),
+    )
+    return agg.select(
+        "query_id",
+        "n_pairs",
+        F.round("mn", 6).alias("min_ratio"),
+        F.round("mx", 6).alias("max_ratio"),
+        F.round(F.col("mx") / F.col("mn"), 6).alias("spread"),
+    ).orderBy("query_id")
+
+
+def _rp_distortion_oracle() -> str:
+    from inmem_vector_db_spark.operators.projection import (
+        projection_oracle_ctes,
+    )
+
+    return f"""
+WITH {projection_oracle_ctes(out_dim=16, in_dim=64)},
+bp AS (SELECT ei.vec_id, ei.v, pr.p FROM ei JOIN pr ON ei.vec_id = pr.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv, p AS qp FROM bp WHERE vec_id IN (2, 7, 11, 19)),
+pairs AS (
+  SELECT q.query_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                d -> (b.v[d] - q.qv[d]) * (b.v[d] - q.qv[d]))) AS BIGINT) AS d2f,
+         CAST(list_sum(list_transform(range(1, 17),
+                j -> (b.p[j] - q.qp[j]) * (b.p[j] - q.qp[j]))) AS BIGINT) AS d2p
+  FROM bp b, q
+),
+rt AS (
+  SELECT query_id, d2p / d2f AS ratio FROM pairs WHERE d2f > 0
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(ratio), 6) AS min_ratio,
+       round(max(ratio), 6) AS max_ratio,
+       round(max(ratio) / min(ratio), 6) AS spread
+FROM rt GROUP BY query_id ORDER BY query_id
+"""
+
+
 def _contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair mining: for each anchor, the rank-1
     cosine neighbor (excluding self) is the POSITIVE and the rank-10
@@ -3018,8 +3187,8 @@ _DRIVER_WINDOW = [
     "lsh_signature_index", "lsh_knn_cosine",
     "ann_ivf_index_build", "ann_ivf_partitioned", "ann_ivf_append_search",
     "kmeans_embeddings",
-    "store_search_pipeline", "store_crud_lifecycle",
-    "events_hourly_stream", "stream_static_enrich",
+    "rp_knn_recall", "store_crud_lifecycle",
+    "rp_distortion_stats", "stream_static_enrich",
     "incremental_signature_stream",
     "jsonl_source_agg", "orc_source_agg", "rest_feed_source_agg",
     "compaction_roundtrip", "partitioned_write_roundtrip",
@@ -3094,6 +3263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": _ann_ivfpq_recall,
         "knn_quantized_recall": _knn_quantized_recall,
         "ann_truncated_recall": _ann_truncated_recall,
+        "rp_knn_recall": _rp_knn_recall,
+        "rp_distortion_stats": _rp_distortion_stats,
         "contrastive_pair_mining": _contrastive_pair_mining,
         "ann_ivf_index_build": _ann_ivf_index_build,
         "ann_ivf_partitioned": _ann_ivf_partitioned,
@@ -3174,6 +3345,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_recall": _ANN_IVFPQ_RECALL_ORACLE,
         "knn_quantized_recall": _KNN_QUANTIZED_RECALL_ORACLE,
         "ann_truncated_recall": _ANN_TRUNCATED_RECALL_ORACLE,
+        "rp_knn_recall": _rp_recall_oracle(),
+        "rp_distortion_stats": _rp_distortion_oracle(),
         "contrastive_pair_mining": _CONTRASTIVE_PAIR_ORACLE,
         "ann_ivf_index_build": _ANN_IVF_INDEX_BUILD_ORACLE,
         "ann_ivf_partitioned": _ANN_IVF_ORACLE,
