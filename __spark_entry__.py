@@ -3139,6 +3139,52 @@ FROM (SELECT media_id, unnest(generate_series(0, nf - 1)) AS i FROM v)
 """
 
 
+def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection end-to-end under the value oracle:
+    sample frames JVM-side, fake-decode each to a scalar luma signature
+    in one Arrow batch stage (md5-derived, SQL-recomputable), then a lag
+    window per video flags intensity jumps >= 96 as cuts.  The plan
+    shape — explode, batched decode, one shuffle on media_id with
+    one-frame lag state — is exactly a production shot detector's; only
+    the signature function is the stub."""
+    from inmem_vector_db_spark.multimodal.media import (
+        frame_signatures,
+        sample_video_frames,
+        scene_cuts,
+    )
+
+    media = _synthetic_media(spark, sf_dir, "video")
+    frames = sample_video_frames(media, fps=0.5, max_frames=8)
+    return scene_cuts(frame_signatures(frames), threshold=96).orderBy(
+        "media_id"
+    )
+
+
+_VIDEO_SCENE_CUTS_ORACLE = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+         least(8, greatest(1, floor(((n_chars % 20) + 1) * 0.5)::BIGINT)) AS nf
+  FROM documents WHERE doc_id < 30
+),
+fr AS (SELECT media_id, text, unnest(generate_series(0, nf - 1)) AS i FROM v),
+sg AS (
+  SELECT media_id, i,
+         CAST(('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)), 1, 15))::UBIGINT % 256 AS BIGINT) AS luma
+  FROM fr
+),
+df AS (
+  SELECT media_id, i,
+         abs(luma - lag(luma) OVER (PARTITION BY media_id ORDER BY i)) AS d
+  FROM sg
+)
+SELECT media_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(*) FILTER (WHERE d >= 96) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(min(i) FILTER (WHERE d >= 96), -1) AS INT) AS first_cut_idx
+FROM df GROUP BY media_id ORDER BY media_id
+"""
+
+
 def _audio_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio profile by sample rate — metadata-only: the plan never
     touches the binary payload column (column pruning keeps the scan
@@ -3192,7 +3238,7 @@ _DRIVER_WINDOW = [
     "incremental_signature_stream",
     "jsonl_source_agg", "orc_source_agg", "rest_feed_source_agg",
     "compaction_roundtrip", "partitioned_write_roundtrip",
-    "image_pixel_stats", "audio_energy_stats",
+    "image_pixel_stats", "video_scene_cuts",
     "q1_pricing_summary", "q8_market_share", "q9_product_profit",
     "q12_ship_latency", "q17_small_quantity_revenue", "q22_idle_customers",
     "retention_cohorts", "numeric_corr", "winsorized_stats", "mad_outliers",
@@ -3254,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": _image_pixel_stats,
         "image_phash_dups": _image_phash_dups,
         "video_frame_sample": _video_frame_sample,
+        "video_scene_cuts": _video_scene_cuts,
         "audio_meta_stats": _audio_meta_stats,
         "audio_energy_stats": _audio_energy_stats,
         "image_resize_roundtrip": _image_resize_roundtrip,
@@ -3336,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "image_phash_dups": _IMAGE_PHASH_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_ORACLE,
+        "video_scene_cuts": _VIDEO_SCENE_CUTS_ORACLE,
         "audio_meta_stats": _AUDIO_STATS_ORACLE,
         "audio_energy_stats": _AUDIO_ENERGY_ORACLE,
         "image_resize_roundtrip": _IMAGE_RESIZE_ORACLE,

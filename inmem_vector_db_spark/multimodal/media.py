@@ -35,7 +35,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -263,4 +263,70 @@ def audio_stats(df: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_clips"),
             F.round(F.sum("meta.duration_s"), 6).alias("total_s"),
         )
+    )
+
+
+def frame_signatures(frames: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-frame scalar signature (mean luma) from the (stubbed) frame
+    decode — the feature a shot-boundary detector thresholds on.
+    Production: decode the frame at ``frame_ts`` and average its pixels;
+    the fake decoder derives the 'luma' from ``md5(payload|frame_idx)``
+    so the whole decode -> signature path sits under the SQL value
+    oracle (``('0x'||substr(md5(text||'|'||i),1,15))::UBIGINT % 256``).
+
+    Input: (media_id, frame_idx, frame_ts, payload) from
+    ``sample_video_frames``.  Output adds ``luma int``; one Arrow batch
+    per UDF call, payload consumed on the executor."""
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lumas = []
+            for payload, idx in zip(pdf["payload"], pdf["frame_idx"]):
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "video frame decode requires pyav/ffmpeg; "
+                        "unavailable here"
+                    )
+                h = hashlib.md5(
+                    bytes(payload) + b"|" + str(int(idx)).encode()
+                ).hexdigest()
+                lumas.append(int(h[:15], 16) % 256)
+            out = pdf[["media_id", "frame_idx", "frame_ts"]].copy()
+            out["luma"] = pd.Series(lumas, dtype="int32").to_numpy()
+            yield out
+
+    return frames.mapInPandas(
+        part,
+        "media_id string, frame_idx int, frame_ts double, luma int",
+    )
+
+
+def scene_cuts(
+    sig: DataFrame, threshold: int = 96
+) -> DataFrame:
+    """Shot-boundary summary per video from frame signatures: a CUT is a
+    frame whose |luma - lag(luma)| >= threshold (the classic
+    intensity-difference detector; real systems threshold a histogram or
+    embedding distance — same plan shape, different signature column).
+
+    The lag window shuffles once on media_id and keeps one frame of
+    state per row — per-video work is bounded by max_frames, so a
+    billion-video corpus is embarrassingly parallel.  Output:
+    (media_id, n_frames bigint, n_cuts bigint, first_cut_idx int,
+    -1 when the video has no cut) — all integer arithmetic,
+    bit-identical on any engine."""
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = F.abs(F.col("luma") - F.lag("luma").over(w))
+    flagged = sig.withColumn(
+        "is_cut", (d >= F.lit(threshold)).cast("int")
+    )
+    return flagged.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.coalesce(F.sum("is_cut"), F.lit(0).cast("long")).alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("is_cut") == 1, F.col("frame_idx"))),
+            F.lit(-1),
+        ).alias("first_cut_idx"),
     )

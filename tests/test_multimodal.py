@@ -129,3 +129,63 @@ def test_perceptual_hash_identical_payloads_collide(spark):
     }
     assert got["a"] == got["b"]
     assert got["c"] != got["a"]
+
+
+def test_frame_signatures_match_md5_reference(media):
+    """The fake frame decode is md5(payload|idx) % 256 — recompute it in
+    plain Python for every sampled frame of vid1 (duration 5s, fps 1 ->
+    5 frames)."""
+    from inmem_vector_db_spark.multimodal.media import frame_signatures
+
+    frames = sample_video_frames(media, fps=1.0, max_frames=16)
+    got = {
+        (r["media_id"], r["frame_idx"]): r["luma"]
+        for r in frame_signatures(frames).collect()
+        if r["media_id"] == "vid1"
+    }
+    assert len(got) == 5
+    for (_, idx), luma in got.items():
+        h = hashlib.md5(b"\x07fakemp4" + b"|" + str(idx).encode()).hexdigest()
+        assert luma == int(h[:15], 16) % 256
+
+
+def test_frame_signatures_strict_mode_raises(media):
+    from inmem_vector_db_spark.multimodal.media import frame_signatures
+
+    frames = sample_video_frames(media, fps=1.0, max_frames=4)
+    with pytest.raises(Exception, match="NotImplementedError|pyav|ffmpeg"):
+        frame_signatures(frames, decode="strict").collect()
+
+
+def test_scene_cuts_against_python_reference(media):
+    """Cut flags, counts, and first-cut index must equal a trivial
+    sequential reference over the same signatures; a single-frame video
+    has no lag pair, so zero cuts and the -1 sentinel."""
+    from inmem_vector_db_spark.multimodal.media import (
+        frame_signatures,
+        scene_cuts,
+    )
+
+    frames = sample_video_frames(media, fps=1.0, max_frames=16)
+    sigs = frame_signatures(frames)
+    got = {
+        r["media_id"]: (r["n_frames"], r["n_cuts"], r["first_cut_idx"])
+        for r in scene_cuts(sigs, threshold=96).collect()
+    }
+    by_vid: dict[str, list[tuple[int, int]]] = {}
+    for r in sigs.collect():
+        by_vid.setdefault(r["media_id"], []).append((r["frame_idx"], r["luma"]))
+    for vid, seq in by_vid.items():
+        seq.sort()
+        cuts = [
+            i
+            for (i, luma), (_, prev) in zip(seq[1:], seq[:-1])
+            if abs(luma - prev) >= 96
+        ]
+        assert got[vid] == (len(seq), len(cuts), cuts[0] if cuts else -1), vid
+
+    one_frame = sample_video_frames(
+        media.filter(F.col("media_id") == "vid1"), fps=0.1, max_frames=1
+    )
+    row = scene_cuts(frame_signatures(one_frame)).collect()[0]
+    assert (row["n_frames"], row["n_cuts"], row["first_cut_idx"]) == (1, 0, -1)
