@@ -1407,6 +1407,82 @@ LIMIT 10
 """
 
 
+def _ann_index_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE index maintenance: the tail of the corpus arrives as a
+    file STREAM (maxFilesPerTrigger=1 forces one ``append_ivf_index``
+    per micro-batch) and is folded into the written IVF artifact via
+    foreachBatch; the entry then searches the maintained index.  Because
+    append against FROZEN centroids is deterministic and associative
+    over batches, the streamed index must be content-identical to the
+    batch append — the oracle replays a from-scratch assignment of the
+    whole corpus to the base build's centroids, so the hash proves the
+    micro-batched maintenance lost, duplicated, and misplaced nothing.
+    This closes the loop between the streaming ingest family (§2.9) and
+    index maintenance (M10): ingestion keeps an ANN index fresh without
+    rebuilds, the production shape for continuously-crawled corpora."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.ann import (
+        append_ivf_index,
+        ivf_search_indexed,
+        write_ivf_index,
+    )
+
+    def build(path: str) -> None:
+        emb = _emb(spark, sf_dir)
+        write_ivf_index(emb.filter(F.col("vec_id") < 250), path, stride=50)
+        staged = tempfile.mkdtemp(prefix="vec_feed_")
+        emb.filter(F.col("vec_id") >= 250).repartition(4).write.mode(
+            "append"
+        ).parquet(staged)
+        stream_in = (
+            spark.readStream.schema(
+                "vec_id bigint, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+
+        def handle(batch_df: DataFrame, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            append_ivf_index(batch_df, path)
+
+        q = (
+            stream_in.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    path = _memo_artifact(spark, sf_dir, "ivf_stream_append_", build)
+    q = _query_vec(spark, sf_dir, 5)
+    return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_ANN_INDEX_STREAM_APPEND_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 5),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 250),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3
+)
+SELECT a.vec_id, round(list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM assigned a, q
+WHERE a.cluster_id IN (SELECT cid FROM probe)
+ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+LIMIT 10
+"""
+
+
 _IVF_DELETED_IDS = (1, 3, 7)
 
 
@@ -3318,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _kmeans_embeddings,
         "ann_ivf_kmeans_recall": _ann_ivf_kmeans_recall,
         "ann_ivf_append_search": _ann_ivf_append_search,
+        "ann_index_stream_append": _ann_index_stream_append,
         "ann_ivf_delete_search": _ann_ivf_delete_search,
         "incremental_signature_stream": _incremental_signature_stream,
         "label_centroids": _label_centroids,
@@ -3401,6 +3478,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_EMB_ORACLE,
         "ann_ivf_kmeans_recall": _ANN_IVF_KMEANS_RECALL_ORACLE,
         "ann_ivf_append_search": _ANN_IVF_APPEND_ORACLE,
+        "ann_index_stream_append": _ANN_INDEX_STREAM_APPEND_ORACLE,
         "ann_ivf_delete_search": _ANN_IVF_DELETE_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,
     }

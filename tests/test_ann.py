@@ -299,6 +299,54 @@ def test_append_ivf_matches_full_build(emb, tmp_path):
     assert [r["vec_id"] for r in res_inc] == [r["vec_id"] for r in res_full]
 
 
+def test_streamed_append_equals_batch_append(emb, tmp_path):
+    """Micro-batched index maintenance is invisible: folding the corpus
+    tail into the artifact one file-stream batch at a time (foreachBatch
+    -> append_ivf_index) yields the SAME lists as one batch append —
+    append against frozen centroids is deterministic and associative
+    over batches."""
+    from inmem_vector_db_spark.operators.ann import (
+        append_ivf_index,
+        write_ivf_index,
+    )
+
+    spark = emb.sparkSession
+    streamed = str(tmp_path / "streamed")
+    write_ivf_index(emb.filter(F.col("vec_id") < 250), streamed, stride=50)
+    staged = str(tmp_path / "feed")
+    emb.filter(F.col("vec_id") >= 250).repartition(3).write.parquet(staged)
+    stream_in = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    n_batches = []
+
+    def handle(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        n_batches.append(batch_df.count())
+        append_ivf_index(batch_df, streamed)
+
+    q = stream_in.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(n_batches) >= 2, "stream collapsed into one batch"
+
+    batched = str(tmp_path / "batched")
+    write_ivf_index(emb.filter(F.col("vec_id") < 250), batched, stride=50)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 250), batched)
+
+    rows_a = {
+        (r["vec_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{streamed}/vectors").collect()
+    }
+    rows_b = {
+        (r["vec_id"], r["cluster_id"])
+        for r in spark.read.parquet(f"{batched}/vectors").collect()
+    }
+    assert rows_a == rows_b and len(rows_a) == emb.count()
+
+
 def test_delete_from_ivf_index(emb, tmp_path):
     """Targeted delete: removed ids gone, untouched lists' files not
     rewritten, fully-emptied lists' directories dropped."""
