@@ -3463,6 +3463,69 @@ FROM classes
 """
 
 
+def oov_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per source: build a frequency-capped
+    vocabulary (top 500 terms, rank ties by term) and report each
+    source's out-of-vocabulary token rate — the tokenizer-health metric
+    that decides whether a source needs vocab expansion or filtering
+    before training (an OOV-heavy source inflates sequence lengths and
+    UNK noise).
+
+    Scale shape: one wordcount (map-side partial agg), one rank window
+    over |vocab| rows (tiny next to the token stream), then a
+    broadcast-class LEFT join of the token stream against the capped
+    vocab and a per-source count — the token stream is scanned once and
+    never shuffled except by the source groupBy."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "term"))
+        )
+        .filter(F.col("rn") <= 500)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+OOV_RATE_SQL = """
+WITH d AS (SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+toks AS (SELECT source, unnest(t) AS term FROM d),
+wc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rn FROM wc
+  ) WHERE rn <= 500
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov,
+       round(count(*) FILTER (WHERE v.term IS NULL) / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.source ORDER BY t.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -3526,4 +3589,5 @@ QUERIES: dict[str, tuple] = {
     "k_anonymity_report": (k_anonymity_report_q, K_ANONYMITY_SQL),
     "source_mix_resample": (source_mix_resample_q, SOURCE_MIX_RESAMPLE_SQL),
     "bpe_train_merges": (bpe_train_merges_q, BPE_TRAIN_SQL),
+    "oov_rate_by_source": (oov_rate_by_source_q, OOV_RATE_SQL),
 }
