@@ -1932,6 +1932,140 @@ ORDER BY q.query_id
 """
 
 
+def _retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded IR eval of the IVF searcher: MRR and nDCG@10 per query,
+    with relevance graded by the EXACT ranking (rel = 11 - exact_rank
+    for the true top-10, 0 otherwise) — the standard offline eval a
+    retrieval stack runs before swapping index parameters, and stricter
+    than the recall rows because every rank POSITION matters, not just
+    set membership.
+
+    Exactness: relevance grades and positions are integers; DCG is a
+    left-to-right fold over the position-sorted (pos, rel) list
+    (``F.aggregate`` ≡ DuckDB ``list_reduce``), so both engines sum the
+    same IEEE terms in the same order — no engine-private summation
+    anywhere.  Scale: both legs are the standard batched searches; the
+    eval join moves 2*Q*k id-rank pairs; output is Q rows."""
+    from pyspark.sql import Window
+
+    from inmem_vector_db_spark.operators.ann import ivf_search_batch
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_join_vectorized(emb, queries, k=10, metric="euclidean")
+    wq = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    exact = exact.select(
+        "query_id", "vec_id", F.row_number().over(wq).alias("exact_rank")
+    )
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
+    approx = ivf_search_batch(
+        emb, queries, k=10, nprobe=3, stride=50, metric="euclidean",
+        assigned=assigned, centroids=centroids,
+    ).select("query_id", "vec_id", F.row_number().over(wq).alias("pos"))
+    graded = approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "pos",
+        F.coalesce(F.lit(11) - F.col("exact_rank"), F.lit(0)).alias("rel"),
+    )
+    dcg = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("pos", "rel"))),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["rel"].cast("double") / F.log2(x["pos"].cast("double") + 1.0),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)),
+        F.lit(0.0),
+        lambda acc, p: acc
+        + (F.lit(11) - p).cast("double") / F.log2(p.cast("double") + 1.0),
+    )
+    first_hit = F.min(F.when(F.col("rel") > 0, F.col("pos")))
+    return (
+        graded.groupBy("query_id")
+        .agg(
+            F.round(
+                F.coalesce(1.0 / first_hit.cast("double"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(dcg / idcg, 6).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_RETRIEVAL_EVAL_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (2, 7, 11, 19)),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid
+           ) AS rn
+    FROM cents c, q
+  ) WHERE rn <= 3
+),
+approx AS (
+  SELECT query_id, vec_id, rn AS pos FROM (
+    SELECT p.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+           ) AS rn
+    FROM assigned a
+    JOIN probe p ON a.cluster_id = p.cid
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT query_id, vec_id, rn AS exact_rank FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+           ) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+graded AS (
+  SELECT a.query_id, a.pos,
+         COALESCE(11 - x.exact_rank, 0) AS rel
+  FROM approx a LEFT JOIN exact x
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+),
+folded AS (
+  SELECT query_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list_sort(list(struct_pack(pos := pos, rel := rel))),
+               s -> CAST(s['rel'] AS DOUBLE) / log2(CAST(s['pos'] AS DOUBLE) + 1.0))),
+           (acc, x) -> acc + x) AS dcg,
+         min(CASE WHEN rel > 0 THEN pos END) AS first_hit
+  FROM graded GROUP BY query_id
+),
+idcg AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 11),
+               p -> CAST(11 - p AS DOUBLE) / log2(CAST(p AS DOUBLE) + 1.0))),
+           (acc, x) -> acc + x) AS v
+)
+SELECT f.query_id,
+       round(COALESCE(1.0 / f.first_hit, 0.0), 6) AS mrr,
+       round(f.dcg / i.v, 6) AS ndcg_at_10
+FROM folded f, idcg i
+ORDER BY f.query_id
+"""
+
+
 def _rp_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of exact kNN run in a 16-dim Johnson-Lindenstrauss
     projected space vs the full 64-dim exact scan — the read-volume
@@ -3314,7 +3448,7 @@ _DRIVER_WINDOW = [
     "incremental_signature_stream",
     "jsonl_source_agg", "orc_source_agg", "rest_feed_source_agg",
     "compaction_roundtrip", "partitioned_write_roundtrip",
-    "image_pixel_stats", "video_scene_cuts",
+    "retrieval_eval_metrics", "video_scene_cuts",
     "q1_pricing_summary", "q8_market_share", "q9_product_profit",
     "q12_ship_latency", "q17_small_quantity_revenue", "q22_idle_customers",
     "retention_cohorts", "numeric_corr", "winsorized_stats", "mad_outliers",
@@ -3347,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multi": _ann_ivf_multi,
         "ann_query_stream": _ann_query_stream,
         "ann_ivf_recall": _ann_ivf_recall,
+        "retrieval_eval_metrics": _retrieval_eval_metrics,
         "ann_ivfpq": _ann_ivfpq,
         "lsh_signature_index": _lsh_signature_index,
         "lsh_knn_cosine": _lsh_knn_cosine,
@@ -3427,6 +3562,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_multi": _ANN_IVF_MULTI_ORACLE,
         "ann_query_stream": _ANN_QUERY_STREAM_ORACLE,
         "ann_ivf_recall": _ANN_IVF_RECALL_ORACLE,
+        "retrieval_eval_metrics": _RETRIEVAL_EVAL_ORACLE,
         "ann_ivfpq": _ANN_IVFPQ_ORACLE,
         "lsh_signature_index": _LSH_SIGNATURE_INDEX_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,

@@ -259,6 +259,21 @@ HEADLINERS = {
     "cached signature artifact (InMemoryTableScan).  Never all-pairs.",
     "chunk_stitch": "pure equi-join on the 3-gram boundary key: the "
     "Exchange carries (doc_id, 12-char key) pairs, never text bodies.",
+    "rp_knn_recall": "JL projection is a row-local ArrowEvalPython-free "
+    "mapInPandas stage (no Exchange); projected search emits only "
+    "batches' Q*k survivors before the window rank, so the Exchange "
+    "input is bounded, never |corpus|*|Q|; exact-baseline join moves "
+    "2*Q*k id pairs.",
+    "rp_distortion_stats": "both d2 folds are JVM aggregate HOFs inside "
+    "WholeStageCodegen over a broadcast of |Q| query structs — the only "
+    "Python stage is the one Arrow projection pass; output is Q rows.",
+    "video_scene_cuts": "explode multiplies rows JVM-side, the batched "
+    "decode consumes payload on executors, and the single Exchange "
+    "hash-partitions by media_id for a one-frame lag window — per-video "
+    "state bounded by max_frames.",
+    "oov_rate_by_source": "token stream scanned once: wordcount with "
+    "map-side partial agg, rank window over the tiny vocab only, "
+    "broadcast LEFT join back, one Exchange on source.",
 }
 
 
