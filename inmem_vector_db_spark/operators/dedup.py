@@ -215,6 +215,87 @@ def _minhash_band_verify(
     return verified
 
 
+def minhash_precision_curve(
+    sig_index: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    thresholds: tuple[float, ...] = (0.5, 0.7, 0.9),
+) -> DataFrame:
+    """Tuning table for the MinHash deduper: on every banding candidate
+    pair, compare the signature ESTIMATE (fraction of agreeing hashes)
+    against the exact shingle Jaccard, and report per decision threshold
+    how many pairs the estimate would pass and how precise that decision
+    is.  This is the measurement that picks (num_hashes, bands,
+    threshold) before a 100 TB dedup run — re-verifying every candidate
+    exactly (what ``minhash_lsh_pairs`` does) stops being free when the
+    candidate set is billions of pairs, and this row quantifies what
+    dropping the verify stage would cost.
+
+    Output: (threshold, n_candidates, n_pred, n_true_pos, precision) —
+    counts are exact ints; precision is one division (-1 sentinel when
+    the estimate passes nothing).  Scale shape: same banding
+    candidate generation as the pair job (bucket aggregate, no
+    self-join), one extra broadcast-class join to re-attach signatures,
+    |thresholds| output rows."""
+    rows_per_band = num_hashes // bands
+    sig = sig_index.select(F.col(id_col), "sig", "shset").filter(
+        F.size("shset") > 0
+    )
+    # threshold 0.0 keeps every candidate with its exact jaccard
+    pairs = _minhash_band_verify(sig, id_col, bands, rows_per_band, 0.0)
+    s = sig.select(F.col(id_col), "sig")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    ).alias("est")
+    withest = (
+        pairs.join(s.withColumnsRenamed({id_col: "id_a", "sig": "sig_a"}), "id_a")
+        .join(s.withColumnsRenamed({id_col: "id_b", "sig": "sig_b"}), "id_b")
+        .select("id_a", "id_b", "jaccard", est)
+    )
+    spark = sig_index.sparkSession
+    thr = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    pred = F.sum(F.when(F.col("est") >= F.col("threshold"), 1).otherwise(0))
+    tp = F.sum(
+        F.when(
+            (F.col("est") >= F.col("threshold"))
+            & (F.col("jaccard") >= F.col("threshold")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        withest.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            pred.alias("n_pred"),
+            tp.alias("n_true_pos"),
+        )
+        .select(
+            "threshold",
+            "n_candidates",
+            "n_pred",
+            "n_true_pos",
+            F.round(
+                F.coalesce(
+                    F.col("n_true_pos") / F.nullif(F.col("n_pred"), F.lit(0)),
+                    F.lit(-1.0),
+                ),
+                6,
+            ).alias("precision"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

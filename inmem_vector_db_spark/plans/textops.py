@@ -3526,6 +3526,39 @@ GROUP BY t.source ORDER BY t.source
 """
 
 
+def dedup_minhash_precision_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate-vs-exact precision curve over the shared
+    signature artifact (see operators.dedup.minhash_precision_curve) —
+    the tuning row that decides whether the exact verify stage can be
+    dropped at scale."""
+    from inmem_vector_db_spark.operators.dedup import minhash_precision_curve
+
+    sig = corpus_signature_index(spark, sf_dir)
+    return minhash_precision_curve(sig)
+
+
+DEDUP_MINHASH_PRECISION_SQL = f"""
+WITH {_MINHASH_PAIRS_CTE},
+withest AS (
+  SELECT v.id_a, v.id_b, v.jaccard,
+         len(list_filter(generate_series(1, 12), i -> sa.sig[i] = sb.sig[i])) / 12.0 AS est
+  FROM verified v
+  JOIN sig sa ON sa.doc_id = v.id_a
+  JOIN sig sb ON sb.doc_id = v.id_b
+),
+thr AS (SELECT unnest([0.5, 0.7, 0.9]::DOUBLE[]) AS threshold)
+SELECT t.threshold,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (WHERE w.est >= t.threshold) AS BIGINT) AS n_pred,
+       CAST(count(*) FILTER (WHERE w.est >= t.threshold AND w.jaccard >= t.threshold) AS BIGINT) AS n_true_pos,
+       round(COALESCE(
+         count(*) FILTER (WHERE w.est >= t.threshold AND w.jaccard >= t.threshold)
+         / nullif(count(*) FILTER (WHERE w.est >= t.threshold), 0), -1.0), 6) AS precision
+FROM withest w, thr t
+GROUP BY t.threshold ORDER BY t.threshold
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -3590,4 +3623,5 @@ QUERIES: dict[str, tuple] = {
     "source_mix_resample": (source_mix_resample_q, SOURCE_MIX_RESAMPLE_SQL),
     "bpe_train_merges": (bpe_train_merges_q, BPE_TRAIN_SQL),
     "oov_rate_by_source": (oov_rate_by_source_q, OOV_RATE_SQL),
+    "dedup_minhash_precision": (dedup_minhash_precision_q, DEDUP_MINHASH_PRECISION_SQL),
 }
