@@ -1932,6 +1932,136 @@ ORDER BY q.query_id
 """
 
 
+def _ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity planning for the IVF searcher: recall@10 AND scanned-
+    candidate count per (nprobe, query) for nprobe in {1,2,3,5} — the
+    two axes of the probe-budget decision.  On a real corpus this table
+    is what picks nprobe: recall climbs with probes while cost (rows
+    scanned = IO at the partitioned artifact, since probes are partition
+    prunes) climbs too; the knee is the setting.  Exactness: recall is
+    the usual id-set intersection; n_scanned is an integer count of
+    rows in the probed lists (probe selection = the single shared rule,
+    ``probe_lists``).  Scale: one bounded |Q| collect for probe routing,
+    cluster sizes are a k-row aggregate, each search is the standard
+    batched probe join."""
+    from functools import reduce
+
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_search_batch,
+        probe_lists,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids, assigned = _ivf_coarse(spark, sf_dir)
+    cids, cmat = centroids
+    exact = _exact_recall_baseline(spark, sf_dir, 10)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    qrows = queries.collect()  # bounded: |_RECALL_QIDS| rows
+    per = []
+    for nprobe in (1, 2, 3, 5):
+        approx = ivf_search_batch(
+            emb, queries, k=10, nprobe=nprobe, stride=50, metric="euclidean",
+            assigned=assigned, centroids=centroids,
+        ).select("query_id", "vec_id")
+        hits = (
+            approx.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        probes = spark.createDataFrame(
+            [
+                (int(r["query_id"]), int(c))
+                for r in qrows
+                for c in probe_lists(cids, cmat, r["query_vec"], nprobe)
+            ],
+            "query_id bigint, cluster_id bigint",
+        )
+        scanned = (
+            probes.join(sizes, "cluster_id")
+            .groupBy("query_id")
+            .agg(F.sum("sz").alias("n_scanned"))
+        )
+        per.append(
+            queries.select("query_id")
+            .join(hits, "query_id", "left")
+            .na.fill({"n_hit": 0})
+            .join(scanned, "query_id")
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                "query_id",
+                F.round(F.col("n_hit") / 10.0, 6).alias("recall_at_10"),
+                F.col("n_scanned").cast("long").alias("n_scanned"),
+            )
+        )
+    return reduce(DataFrame.union, per).orderBy("nprobe", "query_id")
+
+
+_IVF_NPROBE_TRADEOFF_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (2, 7, 11, 19)),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+np AS (SELECT unnest([1, 2, 3, 5]) AS nprobe),
+ranked_cents AS (
+  SELECT q.query_id, c.cid,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid
+         ) AS crn
+  FROM cents c, q
+),
+probe AS (
+  SELECT n.nprobe, r.query_id, r.cid FROM ranked_cents r, np n WHERE r.crn <= n.nprobe
+),
+approx AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT p.nprobe, p.query_id, a.vec_id,
+           row_number() OVER (
+             PARTITION BY p.nprobe, p.query_id
+             ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+           ) AS rn
+    FROM assigned a
+    JOIN probe p ON a.cluster_id = p.cid
+    JOIN q ON q.query_id = p.query_id
+  ) WHERE rn <= 10
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]), e.vec_id
+           ) AS rn
+    FROM embeddings e, q
+  ) WHERE rn <= 10
+),
+hits AS (
+  SELECT a.nprobe, a.query_id, count(*) AS n_hit
+  FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.nprobe, a.query_id
+),
+scanned AS (
+  SELECT p.nprobe, p.query_id, count(*) AS n_scanned
+  FROM probe p JOIN assigned a ON a.cluster_id = p.cid
+  GROUP BY p.nprobe, p.query_id
+)
+SELECT s.nprobe, s.query_id,
+       round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10,
+       CAST(s.n_scanned AS BIGINT) AS n_scanned
+FROM scanned s
+LEFT JOIN hits h ON s.nprobe = h.nprobe AND s.query_id = h.query_id
+ORDER BY s.nprobe, s.query_id
+"""
+
+
 def _retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded IR eval of the IVF searcher: MRR and nDCG@10 per query,
     with relevance graded by the EXACT ranking (rel = 11 - exact_rank
@@ -3482,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_query_stream": _ann_query_stream,
         "ann_ivf_recall": _ann_ivf_recall,
         "retrieval_eval_metrics": _retrieval_eval_metrics,
+        "ivf_nprobe_tradeoff": _ivf_nprobe_tradeoff,
         "ann_ivfpq": _ann_ivfpq,
         "lsh_signature_index": _lsh_signature_index,
         "lsh_knn_cosine": _lsh_knn_cosine,
@@ -3563,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_query_stream": _ANN_QUERY_STREAM_ORACLE,
         "ann_ivf_recall": _ANN_IVF_RECALL_ORACLE,
         "retrieval_eval_metrics": _RETRIEVAL_EVAL_ORACLE,
+        "ivf_nprobe_tradeoff": _IVF_NPROBE_TRADEOFF_ORACLE,
         "ann_ivfpq": _ANN_IVFPQ_ORACLE,
         "lsh_signature_index": _LSH_SIGNATURE_INDEX_ORACLE,
         "lsh_knn_cosine": _LSH_KNN_ORACLE,
