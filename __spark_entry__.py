@@ -2285,15 +2285,12 @@ def _rp_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    vint = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(1000)).cast("long"),
-        ).alias("v"),
+    # one Arrow pass emits BOTH the projection and the quantized input —
+    # no corpus self-join to re-attach v (plan-audited: the r5 first cut
+    # had a BroadcastHashJoin here that a 100 TB corpus couldn't afford)
+    both = project_embeddings_int(
+        emb, out_dim=16, in_dim=64, keep_quantized=True
     )
-    proj = project_embeddings_int(emb, out_dim=16, in_dim=64)
-    both = vint.join(proj, "vec_id")
     qrows = {
         int(r["vec_id"]): (list(r["v"]), list(r["proj"]))
         for r in both.filter(

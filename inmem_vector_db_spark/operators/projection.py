@@ -61,12 +61,18 @@ def project_embeddings_int(
     col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1000,
+    keep_quantized: bool = False,
 ) -> DataFrame:
     """(id, proj array<bigint>): proj[j] = sum_d floor(x_d*scale) * P[j][d].
 
     Row-local integer GEMM in one Arrow batch pass — no shuffle, and the
     int64 arithmetic is order-exact, so the result is independent of
-    batch/partition layout by construction (not just by luck)."""
+    batch/partition layout by construction (not just by luck).
+
+    ``keep_quantized=True`` also emits the floor-quantized input vector
+    as ``v array<bigint>`` — consumers that need both (e.g. the
+    distortion eval comparing projected vs full-space distances) get
+    them from the SAME pass instead of a corpus self-join."""
     P = jl_plane_ints(out_dim, in_dim)
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -76,13 +82,15 @@ def project_embeddings_int(
             M = np.stack(pdf[col].to_numpy()).astype(np.float64)
             Mi = np.floor(M * scale).astype(np.int64)
             proj = Mi @ P.T
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "proj": list(proj)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "proj": list(proj)}
+            if keep_quantized:
+                out["v"] = list(Mi)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, col).mapInPandas(
-        part, schema=f"{id_col} bigint, proj array<bigint>"
-    )
+    schema = f"{id_col} bigint, proj array<bigint>"
+    if keep_quantized:
+        schema += ", v array<bigint>"
+    return df.select(id_col, col).mapInPandas(part, schema=schema)
 
 
 def projected_topk(

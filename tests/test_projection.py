@@ -123,3 +123,48 @@ def test_recall_rises_with_out_dim(spark, sf_dir):
         means[od] = sum(r["recall_at_10"] for r in rec) / len(rec)
     assert means[32] > means[8], means
     assert means[8] >= 0.05, means  # >= 2.5x chance (10/500)
+
+
+# --- Hypothesis property: on ARBITRARY small corpora (any finite float32
+# vectors, any out_dim), the Spark projection must equal the trivially
+# correct Python reference with the same floor(x*1000) quantization, and
+# must be invariant to repartitioning.  Derandomized per house style so
+# certified green runs reproduce.
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_IN_DIM = 5
+_finite = st.floats(
+    min_value=-10.0, max_value=10.0, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+_vec = st.lists(_finite, min_size=_IN_DIM, max_size=_IN_DIM)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(_vec, min_size=1, max_size=12),
+    out_dim=st.integers(min_value=1, max_value=6),
+)
+def test_projection_property_matches_reference(spark, vecs, out_dim):
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, f"vec_id bigint, embedding array<float>"
+    ).repartition(3)
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in project_embeddings_int(df, out_dim, _IN_DIM).collect()
+    }
+    P = jl_plane_ints(out_dim, _IN_DIM)
+    for i, emb in rows:
+        vi = [int(np.floor(np.float64(np.float32(x)) * 1000)) for x in emb]
+        want = [
+            sum(vi[d] * int(P[j, d]) for d in range(_IN_DIM))
+            for j in range(out_dim)
+        ]
+        assert got[i] == want, (i, emb)
