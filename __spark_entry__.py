@@ -2196,6 +2196,73 @@ ORDER BY f.query_id
 """
 
 
+def _rp_proj_path(spark: SparkSession, sf_dir: str) -> str:
+    """The written JL-projection artifact for one corpus — the narrow
+    (vec_id, proj) form every projected-space consumer scans instead of
+    the wide embedding table (the 4x read-volume lever made at-rest) —
+    built at most once per session, same artifact pattern as
+    ``_ivf_index_path`` / ``_lsh_index_path``."""
+    from inmem_vector_db_spark.operators.projection import (
+        project_embeddings_int,
+    )
+
+    def build(path: str) -> None:
+        emb = _emb(spark, sf_dir)
+        project_embeddings_int(emb, out_dim=16, in_dim=64).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/proj")
+
+    return _memo_artifact(spark, sf_dir, "rp_proj_", build)
+
+
+def _rp_projection_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The projection build job as its OWN entry (the attribution
+    pattern of ``ann_ivf_index_build``/``lsh_signature_index``): write
+    the narrow (vec_id, proj) artifact once and return an
+    oracle-checkable summary — row count plus an md5 row checksum, so
+    DuckDB re-derives every projected coordinate, not just the count.
+    Window-ordered before ``rp_knn_recall`` so the search row times the
+    probe alone."""
+    path = _rp_proj_path(spark, sf_dir)
+    idx = spark.read.parquet(f"{path}/proj")
+    ck = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("vec_id"),
+                        F.concat_ws(",", F.col("proj").cast("array<string>")),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(_LSH_CHECKSUM_MOD).cast("long")
+    )
+    return idx.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(ck).cast("long").alias("proj_checksum"),
+    )
+
+
+def _rp_projection_index_oracle() -> str:
+    from inmem_vector_db_spark.operators.projection import (
+        projection_oracle_ctes,
+    )
+
+    return f"""
+WITH {projection_oracle_ctes(out_dim=16, in_dim=64)}
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|' || array_to_string(p, ',')), 1, 15))::UBIGINT
+                % {_LSH_CHECKSUM_MOD}) AS BIGINT) AS proj_checksum
+FROM pr
+"""
+
+
 def _rp_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of exact kNN run in a 16-dim Johnson-Lindenstrauss
     projected space vs the full 64-dim exact scan — the read-volume
@@ -2207,13 +2274,10 @@ def _rp_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     float JL schemes whose summation order is engine-private."""
     import numpy as np
 
-    from inmem_vector_db_spark.operators.projection import (
-        project_embeddings_int,
-        projected_topk,
-    )
+    from inmem_vector_db_spark.operators.projection import projected_topk
 
-    emb = _emb(spark, sf_dir)
-    proj = project_embeddings_int(emb, out_dim=16, in_dim=64)
+    path = _rp_proj_path(spark, sf_dir)
+    proj = spark.read.parquet(f"{path}/proj")
     qp = {
         int(r["vec_id"]): np.array(r["proj"], dtype=np.int64)
         for r in proj.filter(
@@ -3570,11 +3634,11 @@ _DRIVER_WINDOW = [
     "lsh_signature_index", "lsh_knn_cosine",
     "ann_ivf_index_build", "ann_ivf_partitioned", "ann_ivf_append_search",
     "kmeans_embeddings",
-    "rp_knn_recall", "store_crud_lifecycle",
+    "rp_projection_index", "store_crud_lifecycle",
     "rp_distortion_stats", "stream_static_enrich",
     "incremental_signature_stream",
     "jsonl_source_agg", "orc_source_agg", "rest_feed_source_agg",
-    "compaction_roundtrip", "partitioned_write_roundtrip",
+    "rp_knn_recall", "partitioned_write_roundtrip",
     "retrieval_eval_metrics", "video_scene_cuts",
     "q1_pricing_summary", "q8_market_share", "q9_product_profit",
     "q12_ship_latency", "q17_small_quantity_revenue", "q22_idle_customers",
@@ -3649,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": _ann_ivfpq_recall,
         "knn_quantized_recall": _knn_quantized_recall,
         "ann_truncated_recall": _ann_truncated_recall,
+        "rp_projection_index": _rp_projection_index,
         "rp_knn_recall": _rp_knn_recall,
         "rp_distortion_stats": _rp_distortion_stats,
         "contrastive_pair_mining": _contrastive_pair_mining,
@@ -3735,6 +3800,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_recall": _ANN_IVFPQ_RECALL_ORACLE,
         "knn_quantized_recall": _KNN_QUANTIZED_RECALL_ORACLE,
         "ann_truncated_recall": _ANN_TRUNCATED_RECALL_ORACLE,
+        "rp_projection_index": _rp_projection_index_oracle(),
         "rp_knn_recall": _rp_recall_oracle(),
         "rp_distortion_stats": _rp_distortion_oracle(),
         "contrastive_pair_mining": _CONTRASTIVE_PAIR_ORACLE,

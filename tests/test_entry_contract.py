@@ -51,6 +51,7 @@ def test_build_entries_precede_their_consumers():
         ("lsh_signature_index", "lsh_knn_cosine"),
         ("lsh_signature_index", "lsh_knn_multiprobe"),
         ("pq_codebook_build", "knn_pq"),
+        ("rp_projection_index", "rp_knn_recall"),
         ("pq_codebook_build", "ann_ivfpq"),
     ]:
         if build in pos and consumer in pos:
