@@ -472,3 +472,68 @@ def test_ann_query_stream_serving_equals_batch(spark, sf_dir, tmp_path):
     }
     emb.unpersist()
     assert served == batch and len(served) == 30
+
+
+def test_late_rows_beyond_watermark_are_dropped_and_counted(spark, tmp_path):
+    """The documented late-data policy, pinned END-TO-END across a
+    checkpointed restart: a row arriving behind the committed watermark
+    is excluded from the windowed aggregate AND shows up in the
+    engine's numRowsDroppedByWatermark metric — so late-data loss is
+    observable, not silent.  Run 1 advances the watermark (max event
+    time 10:30 - 1 hour = 9:30 committed to the checkpoint); run 2
+    delivers one in-time row and one 7:00 straggler.  Update output
+    mode: complete mode would retain all state and never drop."""
+    import datetime as dt
+    import json
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out = tmp_path / "late_out"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run():
+        stream_in = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(str(out))
+
+        q = (
+            windowed_event_counts(stream_in, window="1 hour", watermark="1 hour")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = 0
+        for p in q.recentProgress:
+            prog = json.loads(p.json) if hasattr(p, "json") else p
+            for op in prog.get("stateOperators", []):
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        return dropped
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    write_batch(
+        [(1, t(10), 1, "click", 1.0, "{}"), (2, t(10, 30), 2, "click", 2.0, "{}")]
+    )
+    assert run() == 0
+
+    write_batch(
+        [(3, t(10, 40), 1, "click", 4.0, "{}"), (4, t(7), 3, "click", 8.0, "{}")]
+    )
+    dropped2 = run()
+    assert dropped2 >= 1, "the 07:00 straggler must be counted as dropped"
+    emitted = {
+        (r["window_start"], r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # the refreshed 10:00 window absorbed the in-time 10:40 event; the
+    # 07:00 straggler must never surface in any emitted update
+    assert (t(10), 3, 7.0) in emitted, emitted
+    assert not any(ws == t(7) for ws, _, _ in emitted), emitted
