@@ -2858,6 +2858,69 @@ GROUP BY c.c_mktsegment
 """
 
 
+def _stream_versioned_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enrichment against a TIME-VERSIONED dimension: customers
+    get a second SCD2 version at a mid-month cutoff (odd keys change
+    segment, '_V2'), and every event must join the version valid AT
+    EVENT TIME — the replay-deterministic semantics a plain
+    stream-static join loses under dimension churn.  The oracle replays
+    the same validity logic as one batch CASE join, proving the
+    micro-batched range join picked the same version for every event."""
+    from inmem_vector_db_spark.streaming.ingest import (
+        enrich_stream_with_versioned_dimension,
+        run_stream_to_memory,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    stream_in = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(staged)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    v1 = cust.select(
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        cutoff.alias("valid_to"),
+    )
+    v2 = cust.select(
+        "user_id",
+        F.when(
+            F.col("user_id") % 2 == 1, F.concat("c_mktsegment", F.lit("_V2"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        cutoff.alias("valid_from"),
+        F.lit("9999-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+    )
+    enriched = enrich_stream_with_versioned_dimension(
+        stream_in, v1.union(v2), key="user_id"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    with _small_shuffle(spark):
+        return run_stream_to_memory(agg)
+
+
+_STREAM_VERSIONED_ENRICH_ORACLE = """
+SELECT CASE
+         WHEN c.c_custkey IS NULL THEN NULL
+         WHEN e.ts >= TIMESTAMP '2024-01-16 00:00:00' AND c.c_custkey % 2 = 1
+           THEN c.c_mktsegment || '_V2'
+         ELSE c.c_mktsegment
+       END AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 6) AS value_sum
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def _session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming SESSION windows (dynamic-length, gap-merged — the
     window shape the fixed tumbling rollup can't express): stage events
@@ -3686,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_crud_lifecycle": _store_crud_lifecycle,
         "events_hourly_stream": _events_hourly_stream,
         "stream_static_enrich": _stream_static_enrich,
+        "stream_versioned_enrich": _stream_versioned_enrich,
         "session_window_stream": _session_window_stream,
         "click_purchase_stream": _click_purchase_stream,
         "docs_dedup_stream": _docs_dedup_stream,
@@ -3773,6 +3837,7 @@ def oracle_sql() -> dict[str, str]:
         "store_crud_lifecycle": _STORE_CRUD_ORACLE,
         "events_hourly_stream": _EVENTS_HOURLY_STREAM_ORACLE,
         "stream_static_enrich": _STREAM_STATIC_ENRICH_ORACLE,
+        "stream_versioned_enrich": _STREAM_VERSIONED_ENRICH_ORACLE,
         "session_window_stream": _SESSION_WINDOW_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,

@@ -168,6 +168,31 @@ def enrich_stream_with_dimension(
     return events.join(F.broadcast(dim), key, "left")
 
 
+def enrich_stream_with_versioned_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Stream enrichment against a TIME-VERSIONED dimension (SCD2-style
+    validity intervals): each event joins the dimension version that was
+    valid AT EVENT TIME — ``key`` equality plus a half-open
+    ``[valid_from, valid_to)`` residual — not whichever version happens
+    to be current when the micro-batch runs.  This is the correctness
+    gap of the plain stream-static join under dimension churn: a
+    reprocessed or late event must see the dim as of ITS timestamp, or
+    replays stop being deterministic.  The dimension (all versions)
+    broadcasts per micro-batch, so the join stays map-side; version
+    count per key is bounded by update frequency, the usual SCD2
+    contract."""
+    cond = (events[key] == dim[key]) & (
+        events[ts_col] >= dim[from_col]
+    ) & (events[ts_col] < dim[to_col])
+    return events.join(F.broadcast(dim), cond, "left").drop(dim[key])
+
+
 def stream_stream_attribution(
     clicks: DataFrame,
     purchases: DataFrame,
