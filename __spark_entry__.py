@@ -3068,6 +3068,58 @@ def _partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source layer: an old writer lands
+    documents WITHOUT the ``quality`` column, a new writer adds it;
+    ``mergeSchema`` reads the union schema with NULL backfill for the
+    old files — the contract every long-lived 100 TB table depends on
+    (readers never break on additive columns, old data stays
+    readable).  The aggregate proves both halves survive: per lang,
+    total rows vs rows carrying the new column, and the new column's
+    sum over the half that has it.  Oracle replays the split by the
+    same doc_id rule."""
+    import tempfile
+
+    key = (sf_dir, "schema_evo")
+    if key not in _STAGED_FMT:
+        staged = tempfile.mkdtemp(prefix="docs_evo_")
+        docs = load_table(spark, sf_dir, "documents")
+        old = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        )
+        new = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") % 100).cast("int").alias("quality"),
+        )
+        old.write.mode("append").parquet(staged)
+        new.write.mode("append").parquet(staged)
+        _STAGED_FMT[key] = staged
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        _STAGED_FMT[key]
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("quality").isNotNull(), 1).otherwise(0)
+        ).alias("n_with_quality"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias(
+            "quality_sum"
+        ),
+    )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_with_quality,
+       CAST(COALESCE(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END), 0) AS BIGINT) AS quality_sum
+FROM documents
+GROUP BY lang
+"""
+
+
 def _compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction under the value oracle: fragment documents
     into 64 tiny parquet files (what streaming appends / per-batch CRUD
@@ -3759,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_source_agg": _orc_source_agg,
         "csv_source_agg": _csv_source_agg,
         "partitioned_write_roundtrip": _partitioned_write_roundtrip,
+        "schema_evolution_roundtrip": _schema_evolution_roundtrip,
         "compaction_roundtrip": _compaction_roundtrip,
         "user_distinct_stream": _user_distinct_stream,
         "value_histogram_stream": _value_histogram_stream,
@@ -3851,6 +3904,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_source_agg": _DOCS_AGG_ORACLE,
         "csv_source_agg": _DOCS_AGG_ORACLE,
         "partitioned_write_roundtrip": _DOCS_AGG_ORACLE,
+        "schema_evolution_roundtrip": _SCHEMA_EVOLUTION_ORACLE,
         "compaction_roundtrip": _DOCS_AGG_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "image_phash_dups": _IMAGE_PHASH_ORACLE,

@@ -3559,6 +3559,124 @@ GROUP BY t.threshold ORDER BY t.threshold
 """
 
 
+def embedding_drift_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the cosine similarity between
+    the class centroid of two corpus snapshots (vec_id parity stands in
+    for before/after) — the production check that an embedding-provider
+    change or re-crawl hasn't silently moved the space (cosine near 1 =
+    stable; a drop flags re-indexing / re-calibration).
+
+    Exactness: centroids are floor(x*1e6) int64 partial sums (the
+    k-means trick — partition-invariant, engine-exact); the cosine is
+    computed on the RAW SUM vectors (the 1/n scale cancels) with
+    left-to-right double folds (``F.aggregate`` ≡ DuckDB
+    ``list_reduce``), so no engine-private summation exists.  Scale:
+    shuffle is labels x 2 x 64 summed rows; output |labels| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * F.lit(1000000)).cast(
+                    "long"
+                ),
+            )
+        ).alias("pos", "qv"),
+    )
+    vecs = (
+        q.groupBy("label", "half", "pos")
+        .agg(F.sum("qv").alias("s"))
+        .groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("v")
+        )
+    )
+    counts = (
+        emb.select("label", (F.col("vec_id") % 2).alias("half"))
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    a = vecs.filter(F.col("half") == 0).select("label", F.col("v").alias("v0"))
+    b = vecs.filter(F.col("half") == 1).select("label", F.col("v").alias("v1"))
+
+    def fold(terms):
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold(
+        F.zip_with("v0", "v1", lambda x, y: x.cast("double") * y.cast("double"))
+    )
+    na = fold(
+        F.transform("v0", lambda x: x.cast("double") * x.cast("double"))
+    )
+    nb = fold(
+        F.transform("v1", lambda x: x.cast("double") * x.cast("double"))
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            F.round(dot / F.sqrt(na * nb), 6).alias("centroid_cosine"),
+        )
+        .join(counts, "label")
+        .select("label", "n_old", "n_new", "centroid_cosine")
+        .orderBy("label")
+    )
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH ei AS (
+  SELECT label, vec_id % 2 AS half,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+sums AS (
+  SELECT label, half, d.d AS pos, CAST(sum(v[d.d]) AS BIGINT) AS s
+  FROM ei, (SELECT unnest(range(1, 65)) AS d) d
+  GROUP BY 1, 2, 3
+),
+vecs AS (
+  SELECT label, half,
+         list_transform(list_sort(list(struct_pack(p := pos, s := s))), x -> x['s']) AS v
+  FROM sums GROUP BY 1, 2
+),
+j AS (
+  SELECT a.label, a.v AS v0, b.v AS v1
+  FROM vecs a JOIN vecs b ON a.label = b.label AND a.half = 0 AND b.half = 1
+),
+folded AS (
+  SELECT label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> CAST(v0[i] AS DOUBLE) * CAST(v1[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dot,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> CAST(v0[i] AS DOUBLE) * CAST(v0[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS na,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, 65), i -> CAST(v1[i] AS DOUBLE) * CAST(v1[i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS nb
+  FROM j
+),
+counts AS (
+  SELECT label,
+         CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_old,
+         CAST(count(*) FILTER (WHERE vec_id % 2 = 1) AS BIGINT) AS n_new
+  FROM embeddings GROUP BY label
+)
+SELECT c.label, c.n_old, c.n_new,
+       round(f.dot / sqrt(f.na * f.nb), 6) AS centroid_cosine
+FROM counts c JOIN folded f ON c.label = f.label
+ORDER BY c.label
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -3624,4 +3742,5 @@ QUERIES: dict[str, tuple] = {
     "bpe_train_merges": (bpe_train_merges_q, BPE_TRAIN_SQL),
     "oov_rate_by_source": (oov_rate_by_source_q, OOV_RATE_SQL),
     "dedup_minhash_precision": (dedup_minhash_precision_q, DEDUP_MINHASH_PRECISION_SQL),
+    "embedding_drift_by_label": (embedding_drift_by_label_q, EMBEDDING_DRIFT_SQL),
 }

@@ -319,3 +319,34 @@ def test_ivf_prefilter_plan_filters_before_distance(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert plan.count("SortMergeJoin") == 0 and plan.count("BroadcastHashJoin") == 0
+
+
+def test_projected_topk_shuffles_survivors_not_corpus(spark, sf_dir):
+    """The projected-space search's window rank must consume the
+    map-side-pruned survivor stream (MapInPandas BELOW the Exchange),
+    never the full projected corpus: the Exchange input is bounded at
+    batches*Q*k rows."""
+    import numpy as np
+
+    from inmem_vector_db_spark.operators.projection import (
+        project_embeddings_int,
+        projected_topk,
+    )
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = project_embeddings_int(emb, out_dim=8, in_dim=64)
+    qp = {
+        int(r["vec_id"]): np.array(r["proj"], dtype=np.int64)
+        for r in proj.filter(F.col("vec_id").isin([2, 7])).collect()
+    }
+    plan = _plan(projected_topk(proj, qp, k=5))
+    # exactly the survivor-pruning MapInPandas stages feed the Exchange;
+    # a plan that ranks the raw projected table would show Window/Sort
+    # consuming a MapInPandas-free Exchange over the corpus scan
+    assert "MapInPandas" in plan and "Exchange" in plan
+    body = plan[plan.index("Exchange"):]
+    assert "MapInPandas" in body, (
+        "window Exchange must sit ABOVE the pruning MapInPandas stage:\n"
+        + plan
+    )
