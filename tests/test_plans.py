@@ -350,3 +350,31 @@ def test_projected_topk_shuffles_survivors_not_corpus(spark, sf_dir):
         "window Exchange must sit ABOVE the pruning MapInPandas stage:\n"
         + plan
     )
+
+
+def test_plans_match_recorded_baseline(spark):
+    """Plan-shape regression gate: the physical-plan metrics of 30
+    side-effect-free queries (shuffle count, broadcast count, Python
+    stages, top-k shape) must equal PLAN_BASELINE.json.  An accidental
+    extra Exchange, a lost broadcast, or a HOF degraded to a Python UDF
+    fails here instead of silently costing a cluster; accepting an
+    intentional plan change = regenerating via tools/plan_audit.py."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/tools/plan_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    spark.catalog.clearCache()
+    live = mod.collect(spark)
+    with open(os.path.join("/root/repo", "PLAN_BASELINE.json")) as fh:
+        recorded = json.load(fh)
+    diffs = {
+        k: (recorded.get(k), live[k])
+        for k in live
+        if live[k] != recorded.get(k)
+    }
+    assert not diffs, f"plan shape drifted (regen tools/plan_audit.py if intentional): {diffs}"
