@@ -3677,6 +3677,110 @@ ORDER BY c.label
 """
 
 
+def dedup_minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall half of the MinHash tuning story (precision half:
+    ``dedup_minhash_precision``): on a BOUNDED sub-corpus (doc_id < 1200
+    — all-pairs ground truth is quadratic BY DEFINITION, so it is
+    computed on an explicit bounded sample; at 100 TB this is exactly
+    the sampled audit a production dedup runs), enumerate every true
+    pair at each Jaccard threshold and report what fraction the
+    banding candidate generation catches.  Expected from the banding
+    math (r=3, b=4): ~1-(1-j^3)^4 — rising steeply with j, the reason
+    banding thresholds pair with signature length.
+
+    Output: (threshold, n_true, n_caught, recall); -1 sentinel when no
+    true pairs exist at a threshold."""
+    from inmem_vector_db_spark.operators.signatures import (
+        corpus_signature_index,
+    )
+
+    sig = corpus_signature_index(spark, sf_dir)
+    sub = (
+        sig.filter((F.col("doc_id") < 1200) & (F.size("shset") > 0))
+        .select(
+            "doc_id",
+            "shset",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.slice(F.col("sig"), b * 3 + 1, 3).cast(
+                            "array<string>"
+                        ),
+                    )
+                ),
+            ).alias("bks"),
+        )
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    inter = F.size(F.array_intersect("a.shset", "b.shset"))
+    allp = a.join(
+        F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id")
+    ).select(
+        F.round(
+            inter.cast("double")
+            / (F.size("a.shset") + F.size("b.shset") - inter),
+            6,
+        ).alias("jaccard"),
+        F.arrays_overlap("a.bks", "b.bks").alias("caught"),
+    )
+    thr = spark.createDataFrame(
+        [(0.5,), (0.7,), (0.9,)], "threshold double"
+    )
+    n_true = F.sum(F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0))
+    n_caught = F.sum(
+        F.when(
+            (F.col("jaccard") >= F.col("threshold")) & F.col("caught"), 1
+        ).otherwise(0)
+    )
+    return (
+        allp.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(n_true.alias("n_true"), n_caught.alias("n_caught"))
+        .select(
+            "threshold",
+            "n_true",
+            "n_caught",
+            F.round(
+                F.coalesce(
+                    F.col("n_caught") / F.nullif(F.col("n_true"), F.lit(0)),
+                    F.lit(-1.0),
+                ),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
+DEDUP_MINHASH_RECALL_SQL = f"""
+WITH {_MINHASH_PAIRS_CTE},
+sub AS (
+  SELECT doc_id, shset, sig,
+         list_transform(generate_series(0, 3),
+           b -> md5(array_to_string(list_slice(sig, b*3 + 1, b*3 + 3), '|'))) AS bks
+  FROM sig WHERE doc_id < 1200
+),
+allp AS (
+  SELECT round(len(list_filter(a.shset, s -> list_contains(b.shset, s)))::DOUBLE
+               / (len(a.shset) + len(b.shset)
+                  - len(list_filter(a.shset, s -> list_contains(b.shset, s)))), 6) AS jaccard,
+         len(list_filter(a.bks, x -> list_contains(b.bks, x))) > 0 AS caught
+  FROM sub a JOIN sub b ON a.doc_id < b.doc_id
+),
+thr AS (SELECT unnest([0.5, 0.7, 0.9]::DOUBLE[]) AS threshold)
+SELECT t.threshold,
+       CAST(count(*) FILTER (WHERE p.jaccard >= t.threshold) AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (WHERE p.jaccard >= t.threshold AND p.caught) AS BIGINT) AS n_caught,
+       round(COALESCE(
+         count(*) FILTER (WHERE p.jaccard >= t.threshold AND p.caught)
+         / nullif(count(*) FILTER (WHERE p.jaccard >= t.threshold), 0), -1.0), 6) AS recall
+FROM allp p, thr t
+GROUP BY t.threshold ORDER BY t.threshold
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -3743,4 +3847,5 @@ QUERIES: dict[str, tuple] = {
     "oov_rate_by_source": (oov_rate_by_source_q, OOV_RATE_SQL),
     "dedup_minhash_precision": (dedup_minhash_precision_q, DEDUP_MINHASH_PRECISION_SQL),
     "embedding_drift_by_label": (embedding_drift_by_label_q, EMBEDDING_DRIFT_SQL),
+    "dedup_minhash_recall": (dedup_minhash_recall_q, DEDUP_MINHASH_RECALL_SQL),
 }
