@@ -2806,6 +2806,119 @@ SELECT degree, count(*) AS n_customers FROM deg GROUP BY degree
 """
 
 
+def ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of every event-type pair — the nonparametric drift
+    check that complements the binned PSI monitor (``source_drift_psi``
+    buckets first; KS needs no bucketing choice and is sensitive to any
+    CDF gap).
+
+    Exactness: the statistic is computed as an INTEGER maximum —
+    KS = max|F_a - F_b| = max|ca*nb - cb*na| / (na*nb) where ca/cb are
+    cumulative counts over the merged, value-grouped stream — so both
+    engines take the max of identical integers and divide once; ties
+    are handled by grouping on the exact double value before the
+    running sum.  Scale: one groupBy(type, value) with map-side partial
+    agg, a broadcast of the tiny type-pair table, and one window
+    partitioned by pair — per-pair state is one running count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ty = ev.select("event_type").distinct()
+    pairs = (
+        ty.select(F.col("event_type").alias("type_a"))
+        .join(
+            ty.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    joined = cnt.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    per_v = joined.groupBy("type_a", "type_b", "value").agg(
+        F.sum(
+            F.when(F.col("event_type") == F.col("type_a"), F.col("c")).otherwise(0)
+        ).alias("ca_v"),
+        F.sum(
+            F.when(F.col("event_type") == F.col("type_b"), F.col("c")).otherwise(0)
+        ).alias("cb_v"),
+    )
+    wp = Window.partitionBy("type_a", "type_b")
+    wcum = wp.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    scored = per_v.select(
+        "type_a",
+        "type_b",
+        F.sum("ca_v").over(wcum).alias("ca"),
+        F.sum("cb_v").over(wcum).alias("cb"),
+        F.sum("ca_v").over(wp).alias("na"),
+        F.sum("cb_v").over(wp).alias("nb"),
+    ).select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("num"),
+    )
+    return (
+        scored.groupBy("type_a", "type_b")
+        .agg(
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+            F.max("num").alias("ks_num"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round(F.col("ks_num") / (F.col("n_a") * F.col("n_b")), 6).alias("ks"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+KS_DRIFT_SQL = """
+WITH cnt AS (
+  SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2
+),
+ty AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM ty a JOIN ty b ON a.event_type < b.event_type
+),
+per_v AS (
+  SELECT p.type_a, p.type_b, c.value,
+         sum(CASE WHEN c.event_type = p.type_a THEN c.c ELSE 0 END) AS ca_v,
+         sum(CASE WHEN c.event_type = p.type_b THEN c.c ELSE 0 END) AS cb_v
+  FROM cnt c JOIN pairs p
+    ON c.event_type = p.type_a OR c.event_type = p.type_b
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT type_a, type_b,
+         sum(ca_v) OVER (PARTITION BY type_a, type_b ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(cb_v) OVER (PARTITION BY type_a, type_b ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         sum(ca_v) OVER (PARTITION BY type_a, type_b) AS na,
+         sum(cb_v) OVER (PARTITION BY type_a, type_b) AS nb
+  FROM per_v
+)
+SELECT type_a, type_b,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b,
+       round(CAST(max(abs(ca * nb - cb * na)) AS BIGINT)
+             / (CAST(max(na) AS BIGINT) * CAST(max(nb) AS BIGINT)), 6) AS ks
+FROM scored
+GROUP BY type_a, type_b ORDER BY type_a, type_b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2869,4 +2982,5 @@ QUERIES = {
     "salted_join_revenue": (salted_join_revenue, BLOOM_PRUNED_SQL),
     "activity_heatmap": (activity_heatmap, ACTIVITY_HEATMAP_SQL),
     "next_purchase_asof": (next_purchase_asof, NEXT_PURCHASE_SQL),
+    "ks_drift_by_type": (ks_drift_by_type, KS_DRIFT_SQL),
 }
