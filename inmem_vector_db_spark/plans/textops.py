@@ -3284,8 +3284,13 @@ FROM kept GROUP BY source
 # iterative BPE training: learn the top-3 merges distributed
 
 
-def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAIN a (tiny) BPE tokenizer distributed: 3 merge rounds over
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer (see ``bpe_train_merges_q``): returns
+    (merges, folded_vocab) where ``folded_vocab`` is the persisted
+    (w, n, syms) vocabulary AFTER all three merges.  The persist is
+    deduped by plan across the train/encode entries (CacheManager);
+    the train entry releases it once the merge table is collected.
+    TRAIN a (tiny) BPE tokenizer distributed: 3 merge rounds over
     the corpus word-frequency table.  Each round is (1) a distributed
     adjacent-pair census weighted by word frequency, (2) a 1-row
     collect of the argmax pair, (3) a greedy left-to-right merge fold
@@ -3356,14 +3361,60 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = cur.select("w", "n", F.expr(fold).alias("syms")).persist()
         cur.unpersist()
         cur = nxt
+    return merges, cur
+
+
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table — the model artifact a tokenizer ships
+    (full rationale on ``_bpe_train``)."""
+    merges, cur = _bpe_train(spark, sf_dir)
     cur.unpersist()
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint, merged string"
     )
 
 
-BPE_TRAIN_SQL = """
-WITH words AS (
+def bpe_encode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained merges — the other half of the tokenizer
+    lifecycle: apply the 3-round merge table to the corpus and report,
+    per source, the corpus-weighted symbol compression it achieves
+    (chars in, symbols out).  This is the acceptance metric a tokenizer
+    change ships against: compression moving differently per source
+    flags domain mismatch.  The encode itself is the vocabulary fold
+    the trainer already built — applied once per DISTINCT word, then a
+    broadcast-class join back to the per-source word counts, so the
+    corpus text is never re-scanned per merge."""
+    merges, cur = _bpe_train(spark, sf_dir)
+    enc = cur.select(
+        "w",
+        F.length("w").alias("n_chars_w"),
+        F.size("syms").alias("n_syms"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    persrc = (
+        docs.select("source", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        persrc.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_chars_w")).cast("long").alias("total_chars"),
+            F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("total_symbols"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_syms"))
+                / F.sum(F.col("n") * F.col("n_chars_w")),
+                6,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_CTES = """words AS (
   SELECT w, count(*)::BIGINT AS n FROM (
     SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents
   ) WHERE w <> '' GROUP BY w
@@ -3406,7 +3457,39 @@ c3 AS (
   SELECT syms[i] AS a, syms[i+1] AS b, sum(n)::BIGINT AS cnt
   FROM s2, unnest(generate_series(1, len(syms)-1)) AS t(i)
   GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1
+)"""
+
+
+BPE_ENCODE_SQL = f"""
+WITH {_BPE_CTES},
+s3 AS (
+  SELECT s.w, s.n,
+         CASE WHEN len(s.syms) <= 1 THEN s.syms ELSE
+           reduce(list_transform(s.syms, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = c.a AND x[1] = c.b
+                              THEN acc[1:len(acc)-1] || [c.a || c.b]
+                              ELSE acc || x END)
+         END AS syms
+  FROM s2 s CROSS JOIN c3 c
+),
+persrc AS (
+  SELECT source, w, count(*) AS n FROM (
+    SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1, 2
 )
+SELECT p.source,
+       CAST(sum(p.n) AS BIGINT) AS n_tokens,
+       CAST(sum(p.n * len(p.w)) AS BIGINT) AS total_chars,
+       CAST(sum(p.n * len(s.syms)) AS BIGINT) AS total_symbols,
+       round(sum(p.n * len(s.syms)) / sum(p.n * len(p.w)), 6) AS compression
+FROM persrc p JOIN s3 s ON p.w = s.w
+GROUP BY p.source ORDER BY p.source
+"""
+
+
+BPE_TRAIN_SQL = f"""
+WITH {_BPE_CTES}
 SELECT 1 AS round, a AS left, b AS right, cnt AS pair_count, a || b AS merged FROM c1
 UNION ALL
 SELECT 2, a, b, cnt, a || b FROM c2
@@ -3848,4 +3931,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_precision": (dedup_minhash_precision_q, DEDUP_MINHASH_PRECISION_SQL),
     "embedding_drift_by_label": (embedding_drift_by_label_q, EMBEDDING_DRIFT_SQL),
     "dedup_minhash_recall": (dedup_minhash_recall_q, DEDUP_MINHASH_RECALL_SQL),
+    "bpe_encode_stats": (bpe_encode_stats_q, BPE_ENCODE_SQL),
 }
