@@ -3047,6 +3047,130 @@ FROM point p
 """
 
 
+def survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: per user,
+    days from first activity to first purchase, right-censored at the
+    corpus horizon for users who never buy — the estimator that handles
+    censoring correctly where a naive mean-of-converters is biased
+    (survival analysis, a family the engine otherwise lacks).
+
+    Exactness: at-risk counts are a cumulative integer sum over
+    durations sorted DESC; each factor (1 - d/n) is one exact double
+    division; the survival curve is a running PRODUCT computed as a
+    left-to-right fold over the time-sorted factor array (the same
+    order-pinning as the nDCG fold), so both engines multiply identical
+    doubles in identical order.  Scale: two groupBys on user_id, one
+    tiny window over distinct durations, one |curve|-sized array fold.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").alias("ft"))
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    mx = ev.agg(F.max("ts").alias("mt"))
+    converted = F.col("pt").isNotNull() & (F.col("pt") > F.col("ft"))
+    base = (
+        f.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(converted, F.datediff("pt", "ft"))
+            .otherwise(F.datediff("mt", "ft"))
+            .alias("t"),
+            converted.cast("int").alias("is_event"),
+        )
+    )
+    per_t = base.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("is_event").alias("n_ev"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = (
+        per_t.select(
+            "t", "n_ev", F.sum("n_all").over(wdesc).alias("n_risk")
+        )
+        .filter(F.col("n_ev") > 0)
+    )
+    row = risk.agg(
+        F.sort_array(F.collect_list(F.struct("t", "n_risk", "n_ev"))).alias("a")
+    )
+    factors = F.transform(
+        "a", lambda x: 1.0 - x["n_ev"].cast("double") / x["n_risk"]
+    )
+    curve = row.select(
+        "a",
+        F.when(F.size(factors) <= 1, factors)
+        .otherwise(
+            F.aggregate(
+                F.slice(factors, 2, 1_000_000),
+                F.slice(factors, 1, 1),
+                lambda acc, x: F.concat(
+                    acc, F.array(F.element_at(acc, -1) * x)
+                ),
+            )
+        )
+        .alias("surv"),
+    )
+    return (
+        curve.select(F.posexplode("a").alias("i", "s"), "surv")
+        .select(
+            F.col("s.t").alias("duration_days"),
+            F.col("s.n_risk").alias("n_at_risk"),
+            F.col("s.n_ev").alias("n_events"),
+            F.round(
+                F.element_at("surv", F.col("i") + 1), 6
+            ).alias("km_survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+SURVIVAL_KM_SQL = """
+WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
+pu AS (SELECT user_id, min(ts) AS pt FROM events WHERE event_type = 'purchase' GROUP BY 1),
+mx AS (SELECT max(ts) AS mt FROM events),
+base AS (
+  SELECT CASE WHEN pu.pt IS NOT NULL AND pu.pt > f.ft
+              THEN date_diff('day', f.ft, pu.pt)
+              ELSE date_diff('day', f.ft, mx.mt) END AS t,
+         CASE WHEN pu.pt IS NOT NULL AND pu.pt > f.ft THEN 1 ELSE 0 END AS is_event
+  FROM f LEFT JOIN pu USING (user_id) CROSS JOIN mx
+),
+per_t AS (SELECT t, count(*) AS n_all, sum(is_event) AS n_ev FROM base GROUP BY t),
+risk AS (
+  SELECT t, n_ev,
+         sum(n_all) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM per_t
+),
+arr AS (
+  SELECT list_sort(list(struct_pack(t := t, n_risk := n_risk, n_ev := n_ev))) AS a
+  FROM risk WHERE n_ev > 0
+),
+curve AS (
+  SELECT a,
+         CASE WHEN len(a) <= 1
+              THEN list_transform(a, x -> 1.0 - CAST(x['n_ev'] AS DOUBLE) / x['n_risk'])
+              ELSE reduce(
+                list_transform(a, x -> [1.0 - CAST(x['n_ev'] AS DOUBLE) / x['n_risk']]),
+                (acc, x) -> acc || [acc[-1] * x[1]])
+         END AS surv
+  FROM arr
+)
+SELECT a[i].t AS duration_days,
+       CAST(a[i].n_risk AS BIGINT) AS n_at_risk,
+       CAST(a[i].n_ev AS BIGINT) AS n_events,
+       round(surv[i], 6) AS km_survival
+FROM curve, (SELECT unnest(range(1, 10000)) AS i) ii
+WHERE i <= len(a)
+ORDER BY duration_days
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -3112,4 +3236,5 @@ QUERIES = {
     "next_purchase_asof": (next_purchase_asof, NEXT_PURCHASE_SQL),
     "ks_drift_by_type": (ks_drift_by_type, KS_DRIFT_SQL),
     "bootstrap_ci_order_value": (bootstrap_ci_order_value, BOOTSTRAP_CI_SQL),
+    "survival_time_to_purchase": (survival_time_to_purchase, SURVIVAL_KM_SQL),
 }
