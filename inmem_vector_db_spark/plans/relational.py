@@ -3171,6 +3171,123 @@ ORDER BY duration_days
 """
 
 
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: the top part pairs by LIFT
+    (co-occurrence vs independence), with support and confidence — the
+    market-basket family (Agrawal & Srikant's support/confidence/lift
+    framing) the engine otherwise lacks.
+
+    Scale shape: pairs are generated INSIDE each basket with the same
+    sorted-array pair HOF the dedup banding uses — work is bounded by
+    basket_size^2 (max 13 here), never a corpus self-join; then two
+    partial-agg groupBys (pairs, singles) and one broadcast of the
+    single-item counts onto the pair table.  All counts exact ints;
+    lift/confidence are single double divisions; top-20 by (lift desc,
+    pair) is a deterministic total order."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+            "parts"
+        )
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n")).head()["n"]
+    pair_expr = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    singles = (
+        baskets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_one"))
+    )
+    scored = (
+        pair_counts.join(
+            F.broadcast(singles.withColumnsRenamed({"part": "pa", "n_one": "n_a"})),
+            "pa",
+        )
+        .join(
+            F.broadcast(singles.withColumnsRenamed({"part": "pb", "n_one": "n_b"})),
+            "pb",
+        )
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_ab",
+            (
+                F.col("n_ab").cast("double")
+                * F.lit(int(n_orders))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift_raw"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("conf_raw"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift_raw"), "part_a", "part_b")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round("lift_raw", 6).alias("lift"),
+            F.round("conf_raw", 6).alias("confidence"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+    )
+
+
+MARKET_BASKET_SQL = """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+  FROM lineitem GROUP BY 1
+),
+n AS (SELECT count(*) AS n_orders FROM baskets),
+pairs AS (
+  SELECT u.p['pa'] AS pa, u.p['pb'] AS pb FROM (
+    SELECT unnest(flatten(list_transform(parts,
+             (x, i) -> list_transform(parts[i+1:],
+               y -> struct_pack(pa := x, pb := y))))) AS p
+    FROM baskets
+  ) u
+),
+pair_counts AS (
+  SELECT pa, pb, count(*) AS n_ab FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+),
+singles AS (
+  SELECT part, count(*) AS n_one FROM (SELECT unnest(parts) AS part FROM baskets) GROUP BY 1
+),
+scored AS (
+  SELECT p.pa AS part_a, p.pb AS part_b, p.n_ab,
+         CAST(p.n_ab AS DOUBLE) * n.n_orders / (sa.n_one * sb.n_one) AS lift_raw,
+         CAST(p.n_ab AS DOUBLE) / sa.n_one AS conf_raw
+  FROM pair_counts p
+  JOIN singles sa ON sa.part = p.pa
+  JOIN singles sb ON sb.part = p.pb
+  CROSS JOIN n
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       round(lift_raw, 6) AS lift, round(conf_raw, 6) AS confidence
+FROM (
+  SELECT *, row_number() OVER (ORDER BY lift_raw DESC, part_a, part_b) AS rn
+  FROM scored
+) WHERE rn <= 20
+ORDER BY lift DESC, part_a, part_b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -3237,4 +3354,5 @@ QUERIES = {
     "ks_drift_by_type": (ks_drift_by_type, KS_DRIFT_SQL),
     "bootstrap_ci_order_value": (bootstrap_ci_order_value, BOOTSTRAP_CI_SQL),
     "survival_time_to_purchase": (survival_time_to_purchase, SURVIVAL_KM_SQL),
+    "market_basket_lift": (market_basket_lift, MARKET_BASKET_SQL),
 }
