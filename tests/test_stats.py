@@ -1,0 +1,168 @@
+"""Statistics family (KS drift, Kaplan-Meier survival, Poisson
+bootstrap, market basket): each checked against a trivially-correct
+plain-Python reference on small synthetic inputs — independent of the
+DuckDB oracle, so an error shared by both SQL mirrors can't hide."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _t(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_ks_matches_python_reference(spark, tmp_path, monkeypatch):
+    """KS over two small hand-made samples == brute-force ECDF max."""
+    rows = []
+    eid = 0
+    a_vals = [1.0, 2.0, 2.0, 5.0, 9.0]
+    b_vals = [2.0, 3.0, 5.0, 5.0, 7.0, 11.0]
+    for v in a_vals:
+        rows.append((eid, _t(1), 1, "click", v, "{}")); eid += 1
+    for v in b_vals:
+        rows.append((eid, _t(1), 1, "purchase", v, "{}")); eid += 1
+    d = tmp_path / "ks_events"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(str(d / "events.parquet"))
+
+    from inmem_vector_db_spark.plans.relational import ks_drift_by_type
+
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["ks"])
+        for r in ks_drift_by_type(spark, str(d)).collect()
+    }
+
+    def ecdf_ks(xs, ys):
+        pts = sorted(set(xs) | set(ys))
+        return max(
+            abs(
+                sum(1 for v in xs if v <= p) / len(xs)
+                - sum(1 for v in ys if v <= p) / len(ys)
+            )
+            for p in pts
+        )
+
+    want = round(ecdf_ks(a_vals, b_vals), 6)
+    assert got[("click", "purchase")] == (len(a_vals), len(b_vals), want)
+
+
+def test_km_matches_python_reference(spark, tmp_path):
+    """KM curve on a hand-made cohort == the textbook product-limit
+    estimator with right-censoring at the horizon."""
+    rows = []
+    eid = 0
+    # users 1..6: first event day 1; purchases on day 2 (u1, u2), day 4
+    # (u3); u4, u5, u6 never purchase (censored at horizon day 10)
+    for u in (1, 2, 3, 4, 5, 6):
+        rows.append((eid, _t(1), u, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, _t(2), 1, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, _t(2), 2, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, _t(4), 3, "purchase", 1.0, "{}")); eid += 1
+    rows.append((eid, _t(10), 9, "view", 1.0, "{}")); eid += 1  # horizon
+    d = tmp_path / "km_events"
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(str(d / "events.parquet"))
+
+    from inmem_vector_db_spark.plans.relational import survival_time_to_purchase
+
+    got = [
+        (r["duration_days"], r["n_at_risk"], r["n_events"], r["km_survival"])
+        for r in survival_time_to_purchase(spark, str(d)).collect()
+    ]
+    # durations: u1=1, u2=1, u3=3; u4..u6 censored at 9; u9 censored at 0
+    # event times: 1 (n_risk=7-1(u9 at 0 only reaches 0)=6, d=2), 3 (n_risk=4, d=1)
+    # KM(1) = 1 - 2/6; KM(3) = (1 - 2/6) * (1 - 1/4)
+    km1 = 1 - 2 / 6
+    km3 = km1 * (1 - 1 / 4)
+    assert got == [
+        (1, 6, 2, round(km1, 6)),
+        (3, 4, 1, round(km3, 6)),
+    ], got
+
+
+def test_bootstrap_matches_python_reference(spark, tmp_path):
+    """Replica means are deterministic given the universal-hash weights:
+    recompute every weight and mean in plain Python and require exact
+    equality of the CI bounds and point estimate."""
+    import duckdb  # only for decimal-free exact cents check below
+
+    P = 2147483647
+    TH = [790015084, 1580030168, 1975037710, 2106706891, 2139624186, 2146207645]
+
+    rows = [(k, k, "O", 100.0 + k, dt.datetime(2024, 1, 1), "P") for k in range(1, 41)]
+    d = tmp_path / "bs_orders"
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(d / "orders.parquet"))
+
+    from inmem_vector_db_spark.plans.relational import bootstrap_ci_order_value
+
+    row = bootstrap_ci_order_value(spark, str(d)).collect()[0]
+
+    def weight(okey, b):
+        u = ((507952114 * (b + 1) % P) * (okey % P) + 40503 * (b + 7)) % P
+        for w, t in enumerate(TH):
+            if u < t:
+                return w
+        return 6
+
+    cents = {k: int(round((100.0 + k) * 100)) for k in range(1, 41)}
+    means = []
+    for b in range(100):
+        ws = {k: weight(k, b) for k in cents}
+        num = sum(ws[k] * cents[k] for k in cents)
+        den = sum(ws.values())
+        means.append(num / (den * 100.0))
+    means.sort()
+    assert row["n_orders"] == 40
+    assert row["mean_value"] == round(sum(cents.values()) / (40 * 100.0), 6)
+    assert row["ci_lo"] == round(means[2], 6)
+    assert row["ci_hi"] == round(means[97], 6)
+
+
+def test_market_basket_matches_python_reference(spark, tmp_path):
+    """Lift/confidence on hand-made baskets == brute-force counting."""
+    li = []
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20, 40],
+        4: [30, 40],
+        5: [10, 30],
+        6: [10, 20],
+    }
+    i = 0
+    for ok, parts in baskets.items():
+        for pk in parts:
+            li.append((ok, pk, 1.0, 1.0, 0.0, 0.0, "N", "O", _t(1)))
+            i += 1
+    d = tmp_path / "mb_li"
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    from inmem_vector_db_spark.plans.relational import market_basket_lift
+
+    got = {
+        (r["part_a"], r["part_b"]): (r["n_ab"], r["lift"], r["confidence"])
+        for r in market_basket_lift(spark, str(d)).collect()
+    }
+    # pairs with support >= 3: (10,20) in baskets 1,2,3,6
+    n, n10, n20, n_ab = len(baskets), 5, 4, 4
+    assert got == {
+        (10, 20): (4, round(n_ab * n / (n10 * n20), 6), round(n_ab / n10, 6))
+    }, got
