@@ -3288,6 +3288,62 @@ ORDER BY lift DESC, part_a, part_b
 """
 
 
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order values — the forensic
+    data-quality check for fabricated or truncated numeric columns:
+    naturally-generated multiplicative amounts follow
+    P(d) = log10(1 + 1/d); a synthetic uniform column (like this one)
+    fails loudly, which is exactly what the audit is for.  Per digit:
+    observed count, expected probability, and the chi-square
+    contribution ((obs - n*p)^2 / (n*p)) — exact integer counts, one
+    deterministic double expression per digit; the global chi-square is
+    the 9-term sum a reader adds up (kept per-digit so the row stays
+    order-free)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.select(d.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n")).select("n")
+    exp_p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(exp_p, 6).alias("expected_p"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("n") * exp_p, 2)
+                / (F.col("n") * exp_p),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM orders
+  WHERE CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) BETWEEN 1 AND 9
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts)
+SELECT c.digit,
+       CAST(c.n_obs AS BIGINT) AS n_obs,
+       round(log10(1.0 + 1.0 / c.digit), 6) AS expected_p,
+       round(pow(c.n_obs - t.n * log10(1.0 + 1.0 / c.digit), 2)
+             / (t.n * log10(1.0 + 1.0 / c.digit)), 6) AS chi2_term
+FROM counts c CROSS JOIN tot t
+ORDER BY c.digit
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -3355,4 +3411,5 @@ QUERIES = {
     "bootstrap_ci_order_value": (bootstrap_ci_order_value, BOOTSTRAP_CI_SQL),
     "survival_time_to_purchase": (survival_time_to_purchase, SURVIVAL_KM_SQL),
     "market_basket_lift": (market_basket_lift, MARKET_BASKET_SQL),
+    "benford_audit": (benford_audit, BENFORD_SQL),
 }
