@@ -3344,6 +3344,93 @@ ORDER BY c.digit
 """
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation of hourly value from the series mean peaks —
+    the classic sequential drift detector (Page 1954), here in its
+    offline scan form.  INTEGER-EXACT throughout: hourly sums are exact
+    cents; the deviation is scaled by the hour count (dev_h = s_h*H -
+    S_total) so no division ever happens before the final report; the
+    cumulative sum and its argmax are integer operations, and the
+    argmax tie-breaks on hour.  Scale: one groupBy(type, hour) with
+    partial agg, then windows over the tiny (type, hour) series."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("s_cents")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        (
+            F.col("s_cents") * F.count(F.lit(1)).over(wt)
+            - F.sum("s_cents").over(wt)
+        ).alias("dev"),
+        F.count(F.lit(1)).over(wt).alias("n_hours"),
+    ).select(
+        "event_type",
+        "hour",
+        "n_hours",
+        F.sum("dev").over(wcum).alias("cusum"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "hour"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("hour").alias("peak_hour"),
+            F.col("cusum").alias("peak_cusum_scaled_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s_cents
+  FROM events GROUP BY 1, 2
+),
+dev AS (
+  SELECT event_type, hour,
+         count(*) OVER (PARTITION BY event_type) AS n_hours,
+         s_cents * (count(*) OVER (PARTITION BY event_type))
+           - (sum(s_cents) OVER (PARTITION BY event_type)) AS d
+  FROM hourly
+),
+scored AS (
+  SELECT event_type, hour, n_hours,
+         sum(d) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM dev
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       hour AS peak_hour,
+       CAST(cusum AS BIGINT) AS peak_cusum_scaled_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY abs(cusum) DESC, hour) AS rn
+  FROM scored
+) WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -3412,4 +3499,5 @@ QUERIES = {
     "survival_time_to_purchase": (survival_time_to_purchase, SURVIVAL_KM_SQL),
     "market_basket_lift": (market_basket_lift, MARKET_BASKET_SQL),
     "benford_audit": (benford_audit, BENFORD_SQL),
+    "cusum_changepoint": (cusum_changepoint, CUSUM_SQL),
 }
