@@ -3864,6 +3864,61 @@ GROUP BY t.threshold ORDER BY t.threshold
 """
 
 
+def dp_noisy_lang_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-language document counts
+    via the GEOMETRIC mechanism (the discrete Laplace used by
+    production DP systems for integer counts: noise k with
+    P(k) proportional to exp(-eps*|k|), here eps=1, tails truncated at
+    |k|=12 where the residual mass is ~6e-6 — the truncation is part of
+    the mechanism's spec).  Sensitivity of a per-lang count under
+    add/remove-one-document is 1, so this release is eps=1 DP.
+
+    Engine-exactness: production DP draws fresh randomness per release;
+    a VALUE-HASH-checked demo needs a seeded draw, so the uniform comes
+    from md5(lang|release-tag) and the inverse CDF is a precomputed
+    integer threshold table — no transcendental function at query time,
+    both engines compare identical ints.  The privacy analysis is
+    untouched by WHERE the uniform comes from; swap the md5 for a CSPRNG
+    per release in production.  Scale: one partial-agg groupBy; noise is
+    a row-local expression over |langs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "lang", F.lit("dp-r5"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(2147483647)
+    )
+    noise = F.when(F.col("u") < 6097, -12).when(F.col("u") < 22672, -11).when(F.col("u") < 67727, -10).when(F.col("u") < 190198, -9).when(F.col("u") < 523108, -8).when(F.col("u") < 1428053, -7).when(F.col("u") < 3887947, -6).when(F.col("u") < 10574634, -5).when(F.col("u") < 28750934, -4).when(F.col("u") < 78159238, -3).when(F.col("u") < 212464933, -2).when(F.col("u") < 577545665, -1).when(F.col("u") < 1569937982, 0).when(F.col("u") < 1935018714, 1).when(F.col("u") < 2069324409, 2).when(F.col("u") < 2118732713, 3).when(F.col("u") < 2136909013, 4).when(F.col("u") < 2143595700, 5).when(F.col("u") < 2146055594, 6).when(F.col("u") < 2146960539, 7).when(F.col("u") < 2147293449, 8).when(F.col("u") < 2147415920, 9).when(F.col("u") < 2147460975, 10).when(F.col("u") < 2147477550, 11).otherwise(12)
+    return (
+        counts.withColumn("u", u)
+        .select(
+            "lang",
+            F.greatest(F.lit(0), (F.col("c") + noise)).cast("long").alias(
+                "noisy_count"
+            ),
+            F.lit(1.0).alias("epsilon"),
+        )
+        .orderBy("lang")
+    )
+
+
+DP_NOISY_SQL = """
+WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+seeded AS (
+  SELECT lang, c,
+         ('0x' || substr(md5(lang || '|' || 'dp-r5'), 1, 15))::UBIGINT % 2147483647 AS u
+  FROM counts
+)
+SELECT lang,
+       CAST(greatest(0, c + (CASE WHEN u < 6097 THEN (-12) WHEN u < 22672 THEN (-11) WHEN u < 67727 THEN (-10) WHEN u < 190198 THEN (-9) WHEN u < 523108 THEN (-8) WHEN u < 1428053 THEN (-7) WHEN u < 3887947 THEN (-6) WHEN u < 10574634 THEN (-5) WHEN u < 28750934 THEN (-4) WHEN u < 78159238 THEN (-3) WHEN u < 212464933 THEN (-2) WHEN u < 577545665 THEN (-1) WHEN u < 1569937982 THEN (0) WHEN u < 1935018714 THEN (1) WHEN u < 2069324409 THEN (2) WHEN u < 2118732713 THEN (3) WHEN u < 2136909013 THEN (4) WHEN u < 2143595700 THEN (5) WHEN u < 2146055594 THEN (6) WHEN u < 2146960539 THEN (7) WHEN u < 2147293449 THEN (8) WHEN u < 2147415920 THEN (9) WHEN u < 2147460975 THEN (10) WHEN u < 2147477550 THEN (11) ELSE 12 END)) AS BIGINT) AS noisy_count,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM seeded ORDER BY lang
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id_counts": (lang_id_counts, LANG_ID_SQL),
@@ -3932,4 +3987,5 @@ QUERIES: dict[str, tuple] = {
     "embedding_drift_by_label": (embedding_drift_by_label_q, EMBEDDING_DRIFT_SQL),
     "dedup_minhash_recall": (dedup_minhash_recall_q, DEDUP_MINHASH_RECALL_SQL),
     "bpe_encode_stats": (bpe_encode_stats_q, BPE_ENCODE_SQL),
+    "dp_noisy_lang_counts": (dp_noisy_lang_counts_q, DP_NOISY_SQL),
 }
