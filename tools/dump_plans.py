@@ -274,6 +274,21 @@ HEADLINERS = {
     "oov_rate_by_source": "token stream scanned once: wordcount with "
     "map-side partial agg, rank window over the tiny vocab only, "
     "broadcast LEFT join back, one Exchange on source.",
+    "bootstrap_ci_order_value": "Poisson bootstrap: one corpus scan, "
+    "the replica explode and integer weight hash all inside "
+    "WholeStageCodegen, partial-agg reduces the 15M weighted rows to "
+    "B=100 per partition before the one Exchange.",
+    "ks_drift_by_type": "groupBy(type, value) partial agg, broadcast "
+    "of the 10-row type-pair table, one window per pair over the "
+    "merged value-grouped stream — the statistic is an integer max.",
+    "survival_time_to_purchase": "two user_id groupBys, a tiny "
+    "distinct-duration window, one bounded array fold for the "
+    "running product — the corpus is scanned twice and never joined "
+    "to itself.",
+    "market_basket_lift": "pairs generated inside each basket by a "
+    "sorted-array HOF (work bounded by basket_size^2), two partial-agg "
+    "groupBys, broadcast of the single-item counts — no corpus "
+    "self-join anywhere.",
 }
 
 

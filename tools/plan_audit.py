@@ -62,6 +62,13 @@ AUDITED = [
     "bloom_pruned_revenue",
     "video_scene_cuts",
     "chunk_documents",
+    "ks_drift_by_type",
+    "survival_time_to_purchase",
+    "market_basket_lift",
+    "benford_audit",
+    "cusum_changepoint",
+    "dp_noisy_lang_counts",
+    "bpe_encode_stats",
 ]
 
 
