@@ -11,9 +11,10 @@ the file is the EXPLICIT way to accept a plan change:
 
     python tools/plan_audit.py          # rewrites PLAN_BASELINE.json
 
-Only queries whose construction is side-effect-free are audited (no
-artifact builds, no streaming runs, no driver collects while building
-the DataFrame), so the audit is cheap and deterministic.
+Only queries whose construction is cheap and deterministic is audited
+(no artifact builds, no streaming runs, no training loops while
+building the DataFrame; bounded 1-row scalar collects are fine), so
+the audit adds seconds, not minutes.
 """
 
 from __future__ import annotations
@@ -68,7 +69,6 @@ AUDITED = [
     "benford_audit",
     "cusum_changepoint",
     "dp_noisy_lang_counts",
-    "bpe_encode_stats",
 ]
 
 
