@@ -3072,7 +3072,9 @@ def survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("pt"))
     )
     mx = ev.agg(F.max("ts").alias("mt"))
-    converted = F.col("pt").isNotNull() & (F.col("pt") > F.col("ft"))
+    # pt == ft (the first-ever event IS the purchase) is a valid
+    # duration-0 conversion, not a censoring
+    converted = F.col("pt").isNotNull() & (F.col("pt") >= F.col("ft"))
     base = (
         f.join(pu, "user_id", "left")
         .crossJoin(F.broadcast(mx))
@@ -3135,10 +3137,10 @@ WITH f AS (SELECT user_id, min(ts) AS ft FROM events GROUP BY 1),
 pu AS (SELECT user_id, min(ts) AS pt FROM events WHERE event_type = 'purchase' GROUP BY 1),
 mx AS (SELECT max(ts) AS mt FROM events),
 base AS (
-  SELECT CASE WHEN pu.pt IS NOT NULL AND pu.pt > f.ft
+  SELECT CASE WHEN pu.pt IS NOT NULL AND pu.pt >= f.ft
               THEN date_diff('day', f.ft, pu.pt)
               ELSE date_diff('day', f.ft, mx.mt) END AS t,
-         CASE WHEN pu.pt IS NOT NULL AND pu.pt > f.ft THEN 1 ELSE 0 END AS is_event
+         CASE WHEN pu.pt IS NOT NULL AND pu.pt >= f.ft THEN 1 ELSE 0 END AS is_event
   FROM f LEFT JOIN pu USING (user_id) CROSS JOIN mx
 ),
 per_t AS (SELECT t, count(*) AS n_all, sum(is_event) AS n_ev FROM base GROUP BY t),
