@@ -1,0 +1,177 @@
+"""Distributed ridge regression via normal equations — the one-pass
+GLM trainer shape for 100 TB corpora, exactly replayable in DuckDB.
+
+``operators.kmeans`` established the exact-integer trainer pattern:
+quantize inputs, aggregate int64 partials, derive floats once at the
+end.  This module applies the same discipline to linear models:
+
+* **Features and target are floor-quantized to int64** before any
+  aggregation, so every moment sum (``n, Σx1, Σx1², Σx1x2, Σx1y,
+  ...``) is an EXACT integer — bit-identical under any partitioning,
+  input order, or engine.  A float64 running sum of raw doubles would
+  be none of those (the order-sensitivity class
+  tests/test_oracle_order_robustness.py pins suite-wide).
+* **One pass, d²-bounded state.**  The whole fit is a single keyless
+  aggregate: 9 moment sums for the d=3 design (intercept + 2
+  features).  Map-side partial aggregation means each partition ships
+  ONE 9-int row to the final combine — the shuffle is
+  ``O(partitions · d²)``, never ``O(rows)``.  This is exactly how
+  linear/ridge models are trained at 100 TB: the normal-equation
+  Gramian is an aggregatable sufficient statistic, so a 1000-executor
+  scan reduces to a constant-size driver solve.
+* **The solve is a fixed expression tree, not a library call.**  The
+  3×3 system ``(XᵀX + λI')β = Xᵀy`` (λ on the slope diagonal only —
+  the intercept is never regularized) is solved by Cramer's rule with
+  the determinant formulas written ONCE as SQL text (`DET_EXPRS`) and
+  evaluated by BOTH engines — Spark via ``F.expr`` and DuckDB by
+  inlining the same strings into the oracle query.  Identical parse
+  trees over identical exactly-representable int64-valued doubles
+  give bit-identical IEEE754 results, so the trained coefficients are
+  engine-portable without any tolerance.
+
+Reference tie-in: the reference has no model trainer (its scope ends
+at vector search); this is the beyond-reference training-pipeline
+path, same role as `operators/kmeans.py` (SURVEY.md §2 LLM-pipeline
+family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# The nine moment sums of the d=3 design matrix [1, x1, x2] against
+# target y.  Inputs x1, x2, y must already be int64 columns (callers
+# floor-quantize); Spark ANSI mode would throw on int64 overflow, so
+# products are formed in BIGINT only where bounded (x·x of
+# feature-scale ints), and every sum is an exact int64.
+_MOMENTS = {
+    "n": "count(*)",
+    "s1": "sum(x1)",
+    "s2": "sum(x2)",
+    "s11": "sum(x1 * x1)",
+    "s12": "sum(x1 * x2)",
+    "s22": "sum(x2 * x2)",
+    "sy": "sum(y)",
+    "s1y": "sum(x1 * y)",
+    "s2y": "sum(x2 * y)",
+}
+
+# Cramer's-rule determinants for
+#   A = [[n,  s1,      s2 ],          b = [sy,
+#        [s1, s11 + λ, s12],               s1y,
+#        [s2, s12,     s22 + λ]]           s2y]
+# over the DOUBLE-cast sums (suffix ``d``).  int64 moments are far
+# below 2^53 at any tested scale, so the casts are exact; the
+# products/subtractions round identically in any IEEE754 engine
+# because both engines evaluate THIS text, hence the same tree.
+DET_EXPRS = {
+    "det": (
+        "nd * ((s11d + {lam}) * (s22d + {lam}) - s12d * s12d)"
+        " - s1d * (s1d * (s22d + {lam}) - s12d * s2d)"
+        " + s2d * (s1d * s12d - (s11d + {lam}) * s2d)"
+    ),
+    "det0": (
+        "syd * ((s11d + {lam}) * (s22d + {lam}) - s12d * s12d)"
+        " - s1d * (s1yd * (s22d + {lam}) - s12d * s2yd)"
+        " + s2d * (s1yd * s12d - (s11d + {lam}) * s2yd)"
+    ),
+    "det1": (
+        "nd * (s1yd * (s22d + {lam}) - s12d * s2yd)"
+        " - syd * (s1d * (s22d + {lam}) - s12d * s2d)"
+        " + s2d * (s1d * s2yd - s1yd * s2d)"
+    ),
+    "det2": (
+        "nd * ((s11d + {lam}) * s2yd - s1yd * s12d)"
+        " - s1d * (s1d * s2yd - s1yd * s2d)"
+        " + syd * (s1d * s12d - (s11d + {lam}) * s2d)"
+    ),
+}
+
+# betas ROUNDED once (6 dp) before any downstream use: scoring from
+# the rounded values snaps both engines to the same double even in
+# the (never observed) event of a last-ULP determinant divergence.
+BETA_EXPRS = {
+    "b0": "round(det0 / det, 6)",
+    "b1": "round(det1 / det, 6)",
+    "b2": "round(det2 / det, 6)",
+}
+
+# ŷ from the rounded betas; written once, parsed by both engines.
+PREDICT_EXPR = "b0 + b1 * x1d + b2 * x2d"
+
+
+def moment_sums(design: DataFrame) -> DataFrame:
+    """One-row DataFrame of the nine exact int64 moment sums over a
+    design frame with int64 columns ``x1, x2, y``.  Keyless aggregate
+    → full map-side partial aggregation; the final combine sees one
+    row per partition."""
+    return design.agg(
+        *[F.expr(expr).cast("long").alias(name) for name, expr in _MOMENTS.items()]
+    )
+
+
+def with_betas(sums: DataFrame, lam: float) -> DataFrame:
+    """Attach the Cramer-rule coefficients to the 1-row moment frame:
+    double-cast each sum, evaluate the shared determinant text, round
+    the three betas once."""
+    out = sums
+    for name in _MOMENTS:
+        out = out.withColumn(f"{name}d", F.col(name).cast("double"))
+    for name, tmpl in DET_EXPRS.items():
+        out = out.withColumn(name, F.expr(tmpl.format(lam=float(lam))))
+    for name, expr in BETA_EXPRS.items():
+        out = out.withColumn(name, F.expr(expr))
+    return out
+
+
+def ridge_fit(design: DataFrame, lam: float) -> DataFrame:
+    """Full fit: 1 row with moments, determinants, and betas."""
+    return with_betas(moment_sums(design), lam)
+
+
+def score(design: DataFrame, fit: DataFrame, lam: float) -> DataFrame:
+    """Broadcast the 1-row fit onto the design rows and predict.
+    Adds ``yhat`` (double) plus exact residual quantizations:
+    ``sq_err`` = floor((y − ŷ)²) and ``abs_err`` = floor(|y − ŷ|),
+    both int64 so downstream error aggregates stay order-invariant.
+    The join is a broadcast of ONE row — the scoring pass is
+    shuffle-free and scales to any corpus size."""
+    betas = F.broadcast(fit.select("b0", "b1", "b2"))
+    return (
+        design.crossJoin(betas)
+        .withColumn("x1d", F.col("x1").cast("double"))
+        .withColumn("x2d", F.col("x2").cast("double"))
+        .withColumn("yhat", F.expr(PREDICT_EXPR))
+        .withColumn("resid", F.col("y").cast("double") - F.col("yhat"))
+        .withColumn("sq_err", F.floor(F.col("resid") * F.col("resid")).cast("long"))
+        .withColumn("abs_err", F.floor(F.abs(F.col("resid"))).cast("long"))
+    )
+
+
+def moments_sql_select(base_sql: str) -> str:
+    """The DuckDB mirror of ``moment_sums``: a CTE body computing the
+    same nine sums (BIGINT-cast — DuckDB sum() returns HUGEINT, which
+    the driver's pandas bridge renders float64) over ``base_sql``,
+    which must yield BIGINT x1, x2, y."""
+    cols = ",\n       ".join(
+        f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _MOMENTS.items()
+    )
+    return f"SELECT {cols}\nFROM ({base_sql})"
+
+
+def betas_sql_select(lam: float) -> str:
+    """DuckDB mirror of ``with_betas`` over a CTE named ``sums``:
+    double-cast the moments, evaluate the SAME determinant text, and
+    round the betas — identical expression trees to the Spark side."""
+    dcols = ", ".join(f"CAST({n} AS DOUBLE) AS {n}d" for n in _MOMENTS)
+    dets = ", ".join(
+        f"{tmpl.format(lam=float(lam))} AS {name}"
+        for name, tmpl in DET_EXPRS.items()
+    )
+    betas = ", ".join(f"{expr} AS {name}" for name, expr in BETA_EXPRS.items())
+    return (
+        f"dsums AS (SELECT *, {dcols} FROM sums),\n"
+        f"dets AS (SELECT *, {dets} FROM dsums),\n"
+        f"betas AS (SELECT *, {betas} FROM dets)"
+    )

@@ -1,0 +1,138 @@
+"""Ridge-regression query pack: the one-pass normal-equation trainer
+(`operators/regress.py`) fit on orders×customer, plus a distributed
+scoring pass — train-then-score, the canonical 100 TB GLM pipeline.
+
+Model: ``o_totalprice ~ intercept + c_acctbal + order-day-index`` with
+ridge λ on the slope diagonal.  The content of the model is beside the
+point; the point is the SHAPE — a keyless 9-sum aggregate (map-side
+partials, O(partitions·d²) shuffle), a constant-size Cramer solve
+evaluated from ONE shared SQL expression text by both engines, and a
+broadcast-scored residual pass whose error sums are floor-quantized
+int64 (order-invariant).  Every float the queries emit is either a
+once-rounded ratio of exact integers or a fixed IEEE expression over
+them, so the DuckDB oracle replays the ENTIRE fit bit-identically.
+
+Reference tie-in: beyond-reference (the reference stops at vector
+search); paired with `operators/kmeans.py` as the trainer family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.regress import (
+    PREDICT_EXPR,
+    betas_sql_select,
+    moments_sql_select,
+    ridge_fit,
+    score,
+)
+from inmem_vector_db_spark.sources.loader import load_table
+
+# λ on the slope diagonal (intercept unregularized).  Scale-wise this
+# is a mild shrink against the ~1e13 moment sums; the mechanism (not
+# the tuning) is what the oracle certifies.
+LAM = 100.0
+
+
+def _design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design frame: one row per order with int64 features/target.
+    x1 = floor(c_acctbal), x2 = order day index (floor(epoch/86400)),
+    y = floor(o_totalprice).  floor-before-cast on BOTH engines (DuckDB
+    CAST rounds; Spark CAST truncates — floor first makes them agree).
+    The join broadcasts nothing here (both sides are fact-sized at
+    scale) — it shuffles on the key once, and everything downstream of
+    it is the 9-sum aggregate, so the join IS the pipeline's only
+    data-sized exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal")).cast("long").alias("x1"),
+            F.floor(F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400.0))
+            .cast("long")
+            .alias("x2"),
+            F.floor(F.col("o_totalprice")).cast("long").alias("y"),
+        )
+    )
+
+
+_DESIGN_SQL = """
+  SELECT c_mktsegment AS segment,
+         CAST(floor(c_acctbal) AS BIGINT) AS x1,
+         CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS x2,
+         CAST(floor(o_totalprice) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def ridge_regression_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the 3-term ridge model; emit one row per coefficient.  The
+    betas come out of `with_betas` already rounded once (6 dp), so
+    this query's floats are the exact values the scoring query reuses."""
+    fit = ridge_fit(_design(spark, sf_dir), LAM)
+    terms = F.array(
+        F.struct(F.lit("intercept").alias("term"), F.col("b0").alias("beta")),
+        F.struct(F.lit("acctbal").alias("term"), F.col("b1").alias("beta")),
+        F.struct(F.lit("order_day").alias("term"), F.col("b2").alias("beta")),
+    )
+    return fit.select(
+        F.explode(terms).alias("t"), F.col("n").alias("n_rows")
+    ).select("t.term", "t.beta", "n_rows")
+
+
+RIDGE_FIT_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+sums AS ({moments_sql_select("SELECT x1, x2, y FROM base")}),
+{betas_sql_select(LAM)}
+SELECT 'intercept' AS term, b0 AS beta, n AS n_rows FROM betas
+UNION ALL SELECT 'acctbal', b1, n FROM betas
+UNION ALL SELECT 'order_day', b2, n FROM betas
+"""
+
+
+def ridge_segment_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score: broadcast the 1-row fit onto every order and
+    aggregate floor-quantized residuals per market segment.  The
+    scoring pass is shuffle-free (broadcast of 3 doubles); the rollup
+    shuffles 5 groups.  RMSE/MAE are once-rounded ratios of exact
+    int64 error sums — order-invariant, engine-portable."""
+    design = _design(spark, sf_dir)
+    fit = ridge_fit(design, LAM)
+    scored = score(design, fit, LAM)
+    n = F.count(F.lit(1))
+    return scored.groupBy("segment").agg(
+        n.alias("n_orders"),
+        F.round(F.sqrt(F.sum("sq_err").cast("double") / n), 6).alias("rmse"),
+        F.round(F.sum("abs_err").cast("double") / n, 6).alias("mae"),
+    )
+
+
+RIDGE_RESIDUALS_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+sums AS ({moments_sql_select("SELECT x1, x2, y FROM base")}),
+{betas_sql_select(LAM)},
+scored AS (
+  SELECT segment,
+         CAST(x1 AS DOUBLE) AS x1d,
+         CAST(x2 AS DOUBLE) AS x2d,
+         CAST(y AS DOUBLE) - ({PREDICT_EXPR}) AS resid
+  FROM base CROSS JOIN betas
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sqrt(CAST(sum(CAST(floor(resid * resid) AS BIGINT)) AS DOUBLE)
+                  / count(*)), 6) AS rmse,
+       round(CAST(sum(CAST(floor(abs(resid)) AS BIGINT)) AS DOUBLE)
+             / count(*), 6) AS mae
+FROM scored
+GROUP BY segment
+"""
+
+QUERIES = {
+    "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
+    "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
+}

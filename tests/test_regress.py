@@ -1,0 +1,123 @@
+"""Pins for the normal-equation ridge trainer (`operators/regress.py`):
+the Cramer-rule solve must agree with numpy's LAPACK solve on the SAME
+exact-integer system, the fit must be partition-invariant (the moment
+sums are exact int64), λ must actually shrink the slopes, and the
+scoring pass must reproduce the fit's residual algebra."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from inmem_vector_db_spark.operators.regress import (
+    moment_sums,
+    ridge_fit,
+    score,
+    with_betas,
+)
+
+
+def _design_df(spark, rows, parts=1):
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    return df.repartition(parts) if parts > 1 else df
+
+
+def _numpy_solve(rows, lam):
+    a = np.array(rows, dtype=np.float64)
+    x = np.column_stack([np.ones(len(a)), a[:, 0], a[:, 1]])
+    y = a[:, 2]
+    gram = x.T @ x + np.diag([0.0, lam, lam])
+    return np.linalg.solve(gram, x.T @ y)
+
+
+# non-degenerate random integer designs: x1 and x2 get distinct value
+# ranges so the Gramian stays invertible with overwhelming probability
+int_feature = st.tuples(
+    st.integers(min_value=-500, max_value=500),
+    st.integers(min_value=0, max_value=90),
+    st.integers(min_value=-10_000, max_value=10_000),
+)
+design_strategy = st.lists(int_feature, min_size=6, max_size=24)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(rows=[(i, i * i % 7, 3 * i - 1) for i in range(8)])
+@given(rows=design_strategy)
+def test_cramer_betas_match_numpy_solve(spark, rows):
+    ref = _numpy_solve(rows, lam=2.0)
+    if not np.all(np.isfinite(ref)) or np.any(np.abs(ref) > 1e6):
+        return  # numerically degenerate draw — no meaningful comparison
+    fit = ridge_fit(_design_df(spark, rows), lam=2.0).collect()[0]
+    got = np.array([fit["b0"], fit["b1"], fit["b2"]])
+    assert np.allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=design_strategy)
+def test_fit_is_partition_invariant(spark, rows):
+    one = ridge_fit(_design_df(spark, rows, parts=1), lam=2.0).collect()[0]
+    many = ridge_fit(_design_df(spark, rows, parts=7), lam=2.0).collect()[0]
+    assert one.asDict() == many.asDict()  # exact — int sums, fixed tree
+
+
+def test_moment_sums_are_exact_ints(spark):
+    rows = [(3, 4, 5), (-2, 7, 1), (10, 0, -6)]
+    got = moment_sums(_design_df(spark, rows)).collect()[0].asDict()
+    a = np.array(rows, dtype=np.int64)
+    assert got == {
+        "n": 3,
+        "s1": int(a[:, 0].sum()),
+        "s2": int(a[:, 1].sum()),
+        "s11": int((a[:, 0] ** 2).sum()),
+        "s12": int((a[:, 0] * a[:, 1]).sum()),
+        "s22": int((a[:, 1] ** 2).sum()),
+        "sy": int(a[:, 2].sum()),
+        "s1y": int((a[:, 0] * a[:, 2]).sum()),
+        "s2y": int((a[:, 1] * a[:, 2]).sum()),
+    }
+
+
+def test_lambda_shrinks_slopes_toward_zero(spark):
+    rng = np.random.RandomState(7)
+    x1 = rng.randint(-300, 300, size=40)
+    x2 = rng.randint(0, 60, size=40)
+    y = 5 * x1 - 3 * x2 + rng.randint(-4, 4, size=40)
+    rows = [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)]
+    sums = moment_sums(_design_df(spark, rows))
+    ols = with_betas(sums, lam=0.0).collect()[0]
+    ridge = with_betas(sums, lam=1e5).collect()[0]
+    assert abs(ridge["b1"]) < abs(ols["b1"])
+    assert abs(ridge["b2"]) < abs(ols["b2"])
+    # and OLS recovers the generating slopes
+    assert ols["b1"] == pytest.approx(5.0, abs=0.1)
+    assert ols["b2"] == pytest.approx(-3.0, abs=0.2)
+
+
+def test_score_residuals_match_python(spark):
+    rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
+    design = _design_df(spark, rows)
+    fit = ridge_fit(design, lam=1.0)
+    b = fit.select("b0", "b1", "b2").collect()[0]
+    got = {
+        (r["x1"], r["x2"]): (r["sq_err"], r["abs_err"])
+        for r in score(design, fit, lam=1.0).collect()
+    }
+    for x1, x2, y in rows:
+        resid = float(y) - (b["b0"] + b["b1"] * float(x1) + b["b2"] * float(x2))
+        assert got[(x1, x2)] == (
+            int(np.floor(resid * resid)),
+            int(np.floor(abs(resid))),
+        )

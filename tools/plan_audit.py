@@ -69,6 +69,8 @@ AUDITED = [
     "benford_audit",
     "cusum_changepoint",
     "dp_noisy_lang_counts",
+    "ridge_regression_fit",
+    "ridge_segment_residuals",
 ]
 
 
