@@ -55,16 +55,17 @@ _MOMENTS = {
     "sy": "sum(y)",
     "s1y": "sum(x1 * y)",
     "s2y": "sum(x2 * y)",
+    "syy": "sum(y * y)",
 }
 
 # Cramer's-rule determinants for
 #   A = [[n,  s1,      s2 ],          b = [sy,
 #        [s1, s11 + λ, s12],               s1y,
 #        [s2, s12,     s22 + λ]]           s2y]
-# over the DOUBLE-cast sums (suffix ``d``).  int64 moments are far
-# below 2^53 at any tested scale, so the casts are exact; the
-# products/subtractions round identically in any IEEE754 engine
-# because both engines evaluate THIS text, hence the same tree.
+# over the DOUBLE-cast sums (suffix ``d``).  The int64 moments are
+# exact and order-invariant; both engines cast the SAME int64 to
+# double (identical IEEE value even past 2^53) and evaluate THIS text,
+# hence the same tree over the same operands → bit-identical results.
 DET_EXPRS = {
     "det": (
         "nd * ((s11d + {lam}) * (s22d + {lam}) - s12d * s12d)"
@@ -100,6 +101,19 @@ BETA_EXPRS = {
 # ŷ from the rounded betas; written once, parsed by both engines.
 PREDICT_EXPR = "b0 + b1 * x1d + b2 * x2d"
 
+# Training SSE purely from the sufficient statistics:
+#   SSE = Σy² − 2βᵀXᵀy + βᵀ(XᵀX)β        (plain XᵀX — λ shrinks the
+# fit but the error is measured against the data).  Because this needs
+# NO second pass over the rows, a whole λ grid prices its models from
+# the one scan that produced the moments.
+SSE_EXPR = (
+    "syyd - 2 * (b0 * syd + b1 * s1yd + b2 * s2yd)"
+    " + (b0 * (b0 * nd + b1 * s1d + b2 * s2d)"
+    " + b1 * (b0 * s1d + b1 * s11d + b2 * s12d)"
+    " + b2 * (b0 * s2d + b1 * s12d + b2 * s22d))"
+)
+R2_EXPR = "round(1 - sse / (syyd - syd * syd / nd), 6)"
+
 
 def moment_sums(design: DataFrame) -> DataFrame:
     """One-row DataFrame of the nine exact int64 moment sums over a
@@ -111,18 +125,45 @@ def moment_sums(design: DataFrame) -> DataFrame:
     )
 
 
-def with_betas(sums: DataFrame, lam: float) -> DataFrame:
-    """Attach the Cramer-rule coefficients to the 1-row moment frame:
+def _lam_text(lam) -> str:
+    """λ as expression text: a float renders as a literal, a string is
+    taken verbatim as a column reference (the λ-sweep path, where each
+    row carries its own lam)."""
+    return lam if isinstance(lam, str) else repr(float(lam))
+
+
+def with_betas(sums: DataFrame, lam) -> DataFrame:
+    """Attach the Cramer-rule coefficients to the moment frame:
     double-cast each sum, evaluate the shared determinant text, round
-    the three betas once."""
+    the three betas once.  ``lam`` is a float or a column name."""
     out = sums
     for name in _MOMENTS:
         out = out.withColumn(f"{name}d", F.col(name).cast("double"))
     for name, tmpl in DET_EXPRS.items():
-        out = out.withColumn(name, F.expr(tmpl.format(lam=float(lam))))
+        out = out.withColumn(name, F.expr(tmpl.format(lam=_lam_text(lam))))
     for name, expr in BETA_EXPRS.items():
         out = out.withColumn(name, F.expr(expr))
     return out
+
+
+def with_r2(fit: DataFrame) -> DataFrame:
+    """Attach training SSE and R² — computed from the sufficient
+    statistics already on the row, no second data pass."""
+    return fit.withColumn("sse", F.expr(SSE_EXPR)).withColumn(
+        "r2", F.expr(R2_EXPR)
+    )
+
+
+def lambda_sweep(sums: DataFrame, lams: list[float]) -> DataFrame:
+    """Price a whole λ grid from ONE scan's moments: cross the 1-row
+    moment frame with the λ list (a broadcast of len(lams) doubles),
+    then solve + score every row.  N models for the cost of one
+    aggregate — sufficient statistics amortize model search."""
+    lam_rows = F.explode(
+        F.array(*[F.lit(float(v)).cast("double") for v in lams])
+    ).alias("lam")
+    grid = sums.select("*", lam_rows)
+    return with_r2(with_betas(grid, "lam"))
 
 
 def ridge_fit(design: DataFrame, lam: float) -> DataFrame:
@@ -160,13 +201,15 @@ def moments_sql_select(base_sql: str) -> str:
     return f"SELECT {cols}\nFROM ({base_sql})"
 
 
-def betas_sql_select(lam: float) -> str:
+def betas_sql_select(lam) -> str:
     """DuckDB mirror of ``with_betas`` over a CTE named ``sums``:
     double-cast the moments, evaluate the SAME determinant text, and
-    round the betas — identical expression trees to the Spark side."""
+    round the betas — identical expression trees to the Spark side.
+    ``lam`` is a float literal or a column name (λ-sweep: the ``sums``
+    CTE must then already carry a ``lam`` column)."""
     dcols = ", ".join(f"CAST({n} AS DOUBLE) AS {n}d" for n in _MOMENTS)
     dets = ", ".join(
-        f"{tmpl.format(lam=float(lam))} AS {name}"
+        f"{tmpl.format(lam=_lam_text(lam))} AS {name}"
         for name, tmpl in DET_EXPRS.items()
     )
     betas = ", ".join(f"{expr} AS {name}" for name, expr in BETA_EXPRS.items())
@@ -174,4 +217,12 @@ def betas_sql_select(lam: float) -> str:
         f"dsums AS (SELECT *, {dcols} FROM sums),\n"
         f"dets AS (SELECT *, {dets} FROM dsums),\n"
         f"betas AS (SELECT *, {betas} FROM dets)"
+    )
+
+
+def r2_sql_select() -> str:
+    """DuckDB mirror of ``with_r2`` over the ``betas`` CTE."""
+    return (
+        f"ssed AS (SELECT *, {SSE_EXPR} AS sse FROM betas),\n"
+        f"fit AS (SELECT *, {R2_EXPR} AS r2 FROM ssed)"
     )

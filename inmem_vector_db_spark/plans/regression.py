@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from inmem_vector_db_spark.operators.regress import (
     PREDICT_EXPR,
     betas_sql_select,
+    lambda_sweep,
+    moment_sums,
     moments_sql_select,
+    r2_sql_select,
     ridge_fit,
     score,
 )
@@ -132,7 +135,38 @@ FROM scored
 GROUP BY segment
 """
 
+# λ grid spanning no-shrink to slope-flattening; priced from ONE scan.
+LAM_GRID = [0.0, 100.0, 10000.0, 1000000.0]
+
+
+def ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model search amortized over a single pass: the 10 moment sums
+    are computed once, then the whole λ grid is solved and scored
+    (training R² from the sufficient statistics — no second pass).
+    At 100 TB this is the difference between N scans and one: the
+    grid cross-join is 4 rows against a 1-row aggregate."""
+    sums = moment_sums(_design(spark, sf_dir))
+    return lambda_sweep(sums, LAM_GRID).select("lam", "b0", "b1", "b2", "r2")
+
+
+_LAM_LIST = "[" + ", ".join(repr(float(v)) for v in LAM_GRID) + "]"
+
+RIDGE_SWEEP_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+msums AS ({moments_sql_select("SELECT x1, x2, y FROM base")}),
+sums AS (
+  SELECT msums.*, t.lam
+  FROM msums CROSS JOIN (
+    SELECT unnest(CAST({_LAM_LIST} AS DOUBLE[])) AS lam
+  ) t
+),
+{betas_sql_select("lam")},
+{r2_sql_select()}
+SELECT lam, b0, b1, b2, r2 FROM fit
+"""
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
+    "ridge_lambda_sweep": (ridge_lambda_sweep, RIDGE_SWEEP_SQL),
 }

@@ -87,6 +87,7 @@ def test_moment_sums_are_exact_ints(spark):
         "sy": int(a[:, 2].sum()),
         "s1y": int((a[:, 0] * a[:, 2]).sum()),
         "s2y": int((a[:, 1] * a[:, 2]).sum()),
+        "syy": int((a[:, 2] ** 2).sum()),
     }
 
 
@@ -104,6 +105,32 @@ def test_lambda_shrinks_slopes_toward_zero(spark):
     # and OLS recovers the generating slopes
     assert ols["b1"] == pytest.approx(5.0, abs=0.1)
     assert ols["b2"] == pytest.approx(-3.0, abs=0.2)
+
+
+def test_lambda_sweep_prices_grid_from_one_scan(spark):
+    from inmem_vector_db_spark.operators.regress import lambda_sweep, with_r2
+
+    rng = np.random.RandomState(11)
+    x1 = rng.randint(-300, 300, size=50)
+    x2 = rng.randint(0, 60, size=50)
+    y = 2 * x1 + 4 * x2 + rng.randint(-9, 9, size=50)
+    rows = [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)]
+    sums = moment_sums(_design_df(spark, rows))
+    grid = [0.0, 10.0, 1e4, 1e7]
+    swept = {
+        r["lam"]: r for r in lambda_sweep(sums, grid).collect()
+    }
+    assert set(swept) == set(grid)
+    # the λ=0 sweep row must equal the dedicated single-λ fit exactly
+    single = with_r2(with_betas(sums, 0.0)).collect()[0]
+    for k in ("b0", "b1", "b2", "r2"):
+        assert swept[0.0][k] == single[k]
+    # training R² can only degrade as the shrinkage grows
+    r2s = [swept[v]["r2"] for v in grid]
+    assert all(a >= b for a, b in zip(r2s, r2s[1:]))
+    assert r2s[0] > 0.99  # generated nearly-linear data
+    # heavy shrink flattens slopes
+    assert abs(swept[1e7]["b1"]) < abs(swept[0.0]["b1"])
 
 
 def test_score_residuals_match_python(spark):

@@ -71,6 +71,7 @@ AUDITED = [
     "dp_noisy_lang_counts",
     "ridge_regression_fit",
     "ridge_segment_residuals",
+    "ridge_lambda_sweep",
 ]
 
 
