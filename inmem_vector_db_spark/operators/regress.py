@@ -115,6 +115,22 @@ SSE_EXPR = (
 R2_EXPR = "round(1 - sse / (syyd - syd * syd / nd), 6)"
 
 
+# public column order for persisted moment partials (online trainer)
+MOMENT_COLS = list(_MOMENTS)
+
+
+def combine_moments(partials: DataFrame) -> DataFrame:
+    """Fold per-batch moment rows into the global moments.  Integer
+    addition is associative and commutative, so ANY batching of the
+    data — one pass, micro-batches, per-partition partials — produces
+    the bit-identical fit; this is what makes the trainer incrementally
+    maintainable (stream new rows, add their moments, re-solve in
+    O(d³) on 10 integers — never re-scan history)."""
+    return partials.groupBy().agg(
+        *[F.sum(c).cast("long").alias(c) for c in MOMENT_COLS]
+    )
+
+
 def moment_sums(design: DataFrame) -> DataFrame:
     """One-row DataFrame of the nine exact int64 moment sums over a
     design frame with int64 columns ``x1, x2, y``.  Keyless aggregate

@@ -24,12 +24,15 @@ from pyspark.sql import functions as F
 from inmem_vector_db_spark.operators.regress import (
     PREDICT_EXPR,
     betas_sql_select,
+    combine_moments,
     lambda_sweep,
     moment_sums,
     moments_sql_select,
     r2_sql_select,
     ridge_fit,
     score,
+    with_betas,
+    with_r2,
 )
 from inmem_vector_db_spark.sources.loader import load_table
 
@@ -165,8 +168,57 @@ sums AS (
 SELECT lam, b0, b1, b2, r2 FROM fit
 """
 
+def ridge_online_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE training: the design rows arrive as a file STREAM
+    (maxFilesPerTrigger=1 forces one micro-batch per file) and each
+    batch appends its 10 moment sums to a state table via foreachBatch.
+    Because integer moment addition is associative, folding the state
+    and re-solving must produce the fit BIT-IDENTICAL to the one-pass
+    batch trainer — the oracle replays the batch fit, so the value
+    hash proves the micro-batched accumulation lost, duplicated, and
+    double-counted nothing.  This is the production shape for models
+    over continuously-ingested corpora: per-batch work is O(batch),
+    persisted state is 10 integers per batch, and re-training after
+    any append is an O(d³) solve on the folded moments — history is
+    never re-scanned."""
+    import tempfile
+
+    design = _design(spark, sf_dir).select("x1", "x2", "y")
+    staged = tempfile.mkdtemp(prefix="ridge_feed_")
+    design.repartition(4).write.mode("append").parquet(staged)
+    state = tempfile.mkdtemp(prefix="ridge_state_")
+    stream_in = (
+        spark.readStream.schema("x1 long, x2 long, y long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        moment_sums(batch_df).write.mode("append").parquet(state)
+
+    q = (
+        stream_in.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fit = with_r2(with_betas(combine_moments(spark.read.parquet(state)), LAM))
+    return fit.select(F.col("n").alias("n_rows"), "b0", "b1", "b2", "r2")
+
+
+RIDGE_ONLINE_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+sums AS ({moments_sql_select("SELECT x1, x2, y FROM base")}),
+{betas_sql_select(LAM)},
+{r2_sql_select()}
+SELECT n AS n_rows, b0, b1, b2, r2 FROM fit
+"""
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
     "ridge_lambda_sweep": (ridge_lambda_sweep, RIDGE_SWEEP_SQL),
+    "ridge_online_stream": (ridge_online_stream, RIDGE_ONLINE_SQL),
 }

@@ -107,6 +107,20 @@ def test_lambda_shrinks_slopes_toward_zero(spark):
     assert ols["b2"] == pytest.approx(-3.0, abs=0.2)
 
 
+def test_chunked_moments_equal_single_pass_exactly(spark):
+    from inmem_vector_db_spark.operators.regress import combine_moments
+
+    rows = [(i % 17 - 8, (3 * i) % 11, 5 * i - 40) for i in range(30)]
+    whole = ridge_fit(_design_df(spark, rows), lam=3.0).collect()[0]
+    parts = None
+    for ch in (rows[:9], rows[9:20], rows[20:]):
+        p = moment_sums(_design_df(spark, ch))
+        parts = p if parts is None else parts.unionByName(p)
+    folded = with_betas(combine_moments(parts), lam=3.0).collect()[0]
+    for k in ("n", "b0", "b1", "b2"):
+        assert folded[k] == whole[k]  # bit-identical, not approx
+
+
 def test_lambda_sweep_prices_grid_from_one_scan(spark):
     from inmem_vector_db_spark.operators.regress import lambda_sweep, with_r2
 
