@@ -131,14 +131,19 @@ def combine_moments(partials: DataFrame) -> DataFrame:
     )
 
 
-def moment_sums(design: DataFrame) -> DataFrame:
-    """One-row DataFrame of the nine exact int64 moment sums over a
-    design frame with int64 columns ``x1, x2, y``.  Keyless aggregate
-    → full map-side partial aggregation; the final combine sees one
-    row per partition."""
-    return design.agg(
-        *[F.expr(expr).cast("long").alias(name) for name, expr in _MOMENTS.items()]
-    )
+def moment_sums(design: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """The exact int64 moment sums over a design frame with int64
+    columns ``x1, x2, y`` — one row per ``keys`` group (keyless → one
+    global row).  Either way the aggregate is fully map-side partial,
+    so the shuffle carries one 10-int row per (partition, group): the
+    grouped form fits N independent models — per tenant, per domain,
+    per segment — for the cost of ONE pass and one key-shuffle."""
+    aggs = [
+        F.expr(expr).cast("long").alias(name) for name, expr in _MOMENTS.items()
+    ]
+    if keys:
+        return design.groupBy(*keys).agg(*aggs)
+    return design.agg(*aggs)
 
 
 def _lam_text(lam) -> str:
@@ -206,14 +211,17 @@ def score(design: DataFrame, fit: DataFrame, lam: float) -> DataFrame:
     )
 
 
-def moments_sql_select(base_sql: str) -> str:
+def moments_sql_select(base_sql: str, keys: tuple[str, ...] = ()) -> str:
     """The DuckDB mirror of ``moment_sums``: a CTE body computing the
-    same nine sums (BIGINT-cast — DuckDB sum() returns HUGEINT, which
-    the driver's pandas bridge renders float64) over ``base_sql``,
-    which must yield BIGINT x1, x2, y."""
+    same sums (BIGINT-cast — DuckDB sum() returns HUGEINT, which the
+    driver's pandas bridge renders float64) over ``base_sql``, which
+    must yield BIGINT x1, x2, y (plus any ``keys``)."""
     cols = ",\n       ".join(
         f"CAST({expr} AS BIGINT) AS {name}" for name, expr in _MOMENTS.items()
     )
+    if keys:
+        klist = ", ".join(keys)
+        return f"SELECT {klist},\n       {cols}\nFROM ({base_sql})\nGROUP BY {klist}"
     return f"SELECT {cols}\nFROM ({base_sql})"
 
 

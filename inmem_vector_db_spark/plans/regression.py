@@ -216,9 +216,32 @@ sums AS ({moments_sql_select("SELECT x1, x2, y FROM base")}),
 SELECT n AS n_rows, b0, b1, b2, r2 FROM fit
 """
 
+def ridge_models_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N independent models from ONE pass: group the moment aggregate
+    by market segment and solve each group's 3×3 system row-wise.
+    This is the per-tenant / per-domain model shape — at 100 TB the
+    cost is a single key-shuffle of 10-int rows, and the solves are a
+    constant-time expression over each group's row (no per-model jobs,
+    no driver loop)."""
+    sums = moment_sums(_design(spark, sf_dir), keys=("segment",))
+    fit = with_r2(with_betas(sums, LAM))
+    return fit.select(
+        "segment", F.col("n").alias("n_rows"), "b0", "b1", "b2", "r2"
+    )
+
+
+RIDGE_BY_SEGMENT_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+sums AS ({moments_sql_select("SELECT segment, x1, x2, y FROM base", keys=("segment",))}),
+{betas_sql_select(LAM)},
+{r2_sql_select()}
+SELECT segment, n AS n_rows, b0, b1, b2, r2 FROM fit
+"""
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
     "ridge_lambda_sweep": (ridge_lambda_sweep, RIDGE_SWEEP_SQL),
     "ridge_online_stream": (ridge_online_stream, RIDGE_ONLINE_SQL),
+    "ridge_models_by_segment": (ridge_models_by_segment, RIDGE_BY_SEGMENT_SQL),
 }

@@ -147,6 +147,31 @@ def test_lambda_sweep_prices_grid_from_one_scan(spark):
     assert abs(swept[1e7]["b1"]) < abs(swept[0.0]["b1"])
 
 
+def test_grouped_fit_equals_per_group_fits(spark):
+    rng = np.random.RandomState(3)
+    rows = [
+        ("g" + str(i % 3), int(a), int(b), int(c))
+        for i, (a, b, c) in enumerate(
+            zip(
+                rng.randint(-200, 200, size=45),
+                rng.randint(0, 50, size=45),
+                rng.randint(-5000, 5000, size=45),
+            )
+        )
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    grouped = {
+        r["g"]: r
+        for r in with_betas(moment_sums(df, keys=("g",)), lam=2.0).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = with_betas(
+            moment_sums(df.filter(F.col("g") == g)), lam=2.0
+        ).collect()[0]
+        for k in ("n", "b0", "b1", "b2"):
+            assert grouped[g][k] == solo[k]  # exact
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

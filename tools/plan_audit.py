@@ -72,6 +72,7 @@ AUDITED = [
     "ridge_regression_fit",
     "ridge_segment_residuals",
     "ridge_lambda_sweep",
+    "ridge_models_by_segment",
 ]
 
 
