@@ -238,10 +238,114 @@ sums AS ({moments_sql_select("SELECT segment, x1, x2, y FROM base", keys=("segme
 SELECT segment, n AS n_rows, b0, b1, b2, r2 FROM fit
 """
 
+# --- ridge classifier (least squares on ±1 labels — the closed-form
+# RidgeClassifier shape) + exact confusion-matrix eval -----------------
+#
+# The ±1 target drops into the UNCHANGED moment machinery (y is just
+# int64), so classification costs exactly what regression does: one
+# 10-sum pass, one Cramer solve, one broadcast scoring pass.  The eval
+# metrics are shared expression text over exact int64 confusion cells
+# — the classifier-eval harness is engine-portable the same way the
+# trainer is.  (The synthetic tables carry no real feature→label
+# signal — lang/label/price are independent of every feature — so the
+# certified object is the MECHANISM: exact cells, exact metrics, the
+# same posture as the λ choice.)
+
+_METRIC_EXPRS = {
+    "accuracy": "round((tpd + tnd) / (tpd + fpd + fnd + tnd), 6)",
+    "precision": "round(coalesce(tpd / nullif(tpd + fpd, 0.0), -1.0), 6)",
+    "recall": "round(coalesce(tpd / nullif(tpd + fnd, 0.0), -1.0), 6)",
+    "f1": (
+        "round(coalesce(2.0 * tpd / nullif(2.0 * tpd + fpd + fnd, 0.0),"
+        " -1.0), 6)"
+    ),
+}
+
+_CLASS_THRESHOLD = 250_000  # ~median o_totalprice: near-balanced classes
+
+
+def _class_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same features as the regression design; target flips to ±1 on
+    the high-value-order threshold."""
+    return _design(spark, sf_dir).withColumn(
+        "y",
+        F.when(F.col("y") > _CLASS_THRESHOLD, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long"),
+    )
+
+
+_CLASS_DESIGN_SQL = f"""
+  SELECT segment, x1, x2,
+         CAST(CASE WHEN y > {_CLASS_THRESHOLD} THEN 1 ELSE -1 END AS BIGINT) AS y
+  FROM ({_DESIGN_SQL})
+"""
+
+
+def ridge_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the closed-form ridge classifier and grade it exactly:
+    confusion cells are conditional int64 counts, metrics are shared
+    expression text over the cells (sentinel −1 when a ratio is
+    undefined — e.g. an all-negative predictor has no precision)."""
+    design = _class_design(spark, sf_dir)
+    fit = ridge_fit(design, LAM)
+    scored = score(design, fit, LAM).withColumn(
+        "pred", F.when(F.col("yhat") >= 0, F.lit(1)).otherwise(F.lit(-1))
+    )
+
+    def cell(actual: int, pred: int) -> F.Column:
+        return F.sum(
+            ((F.col("y") == actual) & (F.col("pred") == pred)).cast("long")
+        )
+
+    cells = scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cell(1, 1).alias("tp"),
+        cell(-1, 1).alias("fp"),
+        cell(1, -1).alias("fn"),
+        cell(-1, -1).alias("tn"),
+    )
+    for c in ("tp", "fp", "fn", "tn"):
+        cells = cells.withColumn(f"{c}d", F.col(c).cast("double"))
+    for name, expr in _METRIC_EXPRS.items():
+        cells = cells.withColumn(name, F.expr(expr))
+    return cells.select(
+        "n_rows", "tp", "fp", "fn", "tn", *_METRIC_EXPRS
+    )
+
+
+_METRICS_SQL = ", ".join(f"{e} AS {n}" for n, e in _METRIC_EXPRS.items())
+
+RIDGE_CLASSIFIER_SQL = f"""
+WITH base AS ({_CLASS_DESIGN_SQL}),
+sums AS ({moments_sql_select("SELECT x1, x2, y FROM base")}),
+{betas_sql_select(LAM)},
+scored AS (
+  SELECT y,
+         CASE WHEN (b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)) >= 0
+              THEN 1 ELSE -1 END AS pred
+  FROM base CROSS JOIN betas
+),
+cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+),
+dcells AS (
+  SELECT *, CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+         CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+  FROM cells
+)
+SELECT n_rows, tp, fp, fn, tn, {_METRICS_SQL} FROM dcells
+"""
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
     "ridge_lambda_sweep": (ridge_lambda_sweep, RIDGE_SWEEP_SQL),
     "ridge_online_stream": (ridge_online_stream, RIDGE_ONLINE_SQL),
     "ridge_models_by_segment": (ridge_models_by_segment, RIDGE_BY_SEGMENT_SQL),
+    "ridge_classifier_eval": (ridge_classifier_eval, RIDGE_CLASSIFIER_SQL),
 }

@@ -172,6 +172,47 @@ def test_grouped_fit_equals_per_group_fits(spark):
             assert grouped[g][k] == solo[k]  # exact
 
 
+def test_ridge_classifier_separates_linear_data(spark):
+    # y = sign(x1 - x2): least squares on +-1 labels is not a
+    # max-margin method (boundary points can flip), but it must
+    # recover the sign structure and classify nearly everything
+    rng = np.random.RandomState(5)
+    rows = []
+    for _ in range(60):
+        a, b = int(rng.randint(-100, 100)), int(rng.randint(-100, 100))
+        if a == b:
+            continue
+        rows.append((a, b, 1 if a > b else -1))
+    design = _design_df(spark, rows)
+    fit = ridge_fit(design, lam=0.01)
+    f = fit.collect()[0]
+    assert f["b1"] > 0 > f["b2"]  # the separating direction
+    scored = score(design, fit, lam=0.01).withColumn(
+        "pred", F.when(F.col("yhat") >= 0, 1).otherwise(-1)
+    )
+    wrong = scored.filter(F.col("pred") != F.col("y")).count()
+    assert wrong <= len(rows) * 0.05
+
+
+def test_metric_exprs_sentinel_on_undefined_ratio(spark):
+    from inmem_vector_db_spark.plans.regression import _METRIC_EXPRS
+
+    # all-negative predictor: no positive predictions -> precision and
+    # f1 undefined -> -1 sentinel; recall defined (fn > 0) -> 0.0
+    row = spark.createDataFrame(
+        [(0, 0, 3, 7)], "tp long, fp long, fn long, tn long"
+    )
+    for c in ("tp", "fp", "fn", "tn"):
+        row = row.withColumn(f"{c}d", F.col(c).cast("double"))
+    for name, expr in _METRIC_EXPRS.items():
+        row = row.withColumn(name, F.expr(expr))
+    got = row.collect()[0]
+    assert got["precision"] == -1.0
+    assert got["f1"] == 0.0  # 2*0/(2*0+0+3) = 0 — defined
+    assert got["recall"] == 0.0
+    assert got["accuracy"] == pytest.approx(0.7)
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

@@ -73,6 +73,7 @@ AUDITED = [
     "ridge_segment_residuals",
     "ridge_lambda_sweep",
     "ridge_models_by_segment",
+    "ridge_classifier_eval",
 ]
 
 
