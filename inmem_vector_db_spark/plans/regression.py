@@ -18,7 +18,7 @@ search); paired with `operators/kmeans.py` as the trainer family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.operators.regress import (
@@ -56,6 +56,7 @@ def _design(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
+            F.col("o_orderkey").alias("okey"),
             F.col("c_mktsegment").alias("segment"),
             F.floor(F.col("c_acctbal")).cast("long").alias("x1"),
             F.floor(F.unix_timestamp(F.col("o_orderdate")) / F.lit(86400.0))
@@ -67,7 +68,8 @@ def _design(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DESIGN_SQL = """
-  SELECT c_mktsegment AS segment,
+  SELECT o_orderkey AS okey,
+         c_mktsegment AS segment,
          CAST(floor(c_acctbal) AS BIGINT) AS x1,
          CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS x2,
          CAST(floor(o_totalprice) AS BIGINT) AS y
@@ -341,6 +343,109 @@ dcells AS (
 SELECT n_rows, tp, fp, fn, tn, {_METRICS_SQL} FROM dcells
 """
 
+# --- split-conformal prediction intervals ----------------------------
+#
+# Uncertainty quantification for the served model: train on md5
+# buckets {0,1}, take the ceil((n+1)(1−α))-th smallest calibration
+# |residual| as the interval half-width (an EXACT integer order
+# statistic — k is pure integer arithmetic, the scores are the
+# floor-quantized int64 abs_err, and the k-th smallest of a multiset
+# needs no tie policy), then check empirical coverage on the held-out
+# test bucket.  Distribution-free: coverage ≥ 1−α is guaranteed by
+# exchangeability, and the query MEASURES it rather than assuming it.
+# The calibration sort is a single-partition window — fine because
+# conformal calibration sets are bounded BY DESIGN at any corpus scale
+# (a fixed-size exchangeable sample calibrates a 100 TB model just as
+# well; the train/score passes are the data-sized legs and stay
+# distributed).
+
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
+
+
+def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    design = _design(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("okey").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 4
+    design = design.withColumn("bucket", bucket)
+    fit = ridge_fit(design.filter(F.col("bucket") <= 1), LAM)
+    calib = score(design.filter(F.col("bucket") == 2), fit, LAM)
+    test = score(design.filter(F.col("bucket") == 3), fit, LAM)
+
+    rn = F.row_number().over(Window.orderBy("abs_err", "okey"))
+    ncal = F.count(F.lit(1)).over(Window.partitionBy())
+    k = F.expr(
+        f"({_CONF_ALPHA_NUM} * (n_calib + 1) + {_CONF_ALPHA_DEN} - 1)"
+        f" div {_CONF_ALPHA_DEN}"
+    )
+    qrow = (
+        calib.select("okey", "abs_err")
+        .withColumn("rn", rn)
+        .withColumn("n_calib", ncal)
+        .filter(F.col("rn") == k)
+        .select(F.col("abs_err").alias("qhat"), "n_calib")
+    )
+    n_train = fit.select(F.col("n").alias("n_train"))
+    return (
+        test.crossJoin(F.broadcast(qrow))
+        .agg(
+            F.min("n_calib").alias("n_calib"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.min("qhat").alias("qhat"),
+            F.round(
+                F.sum((F.col("abs_err") <= F.col("qhat")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select("n_train", "n_calib", "n_test", "qhat", "coverage")
+    )
+
+
+RIDGE_CONFORMAL_SQL = f"""
+WITH based AS ({_DESIGN_SQL}),
+base AS (
+  SELECT *, CAST(('0x' || substr(md5(okey::VARCHAR), 1, 15))::UBIGINT % 4
+                 AS BIGINT) AS bucket
+  FROM based
+),
+sums AS ({moments_sql_select("SELECT x1, x2, y FROM base WHERE bucket <= 1")}),
+{betas_sql_select(LAM)},
+scored AS (
+  SELECT bucket, okey,
+         CAST(floor(abs(CAST(y AS DOUBLE)
+              - (b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))))
+              AS BIGINT) AS abs_err
+  FROM base CROSS JOIN betas
+  WHERE bucket >= 2
+),
+calib AS (
+  SELECT abs_err,
+         row_number() OVER (ORDER BY abs_err, okey) AS rn,
+         count(*) OVER () AS n_calib
+  FROM scored WHERE bucket = 2
+),
+qrow AS (
+  SELECT abs_err AS qhat, CAST(n_calib AS BIGINT) AS n_calib
+  FROM calib
+  WHERE rn = ({_CONF_ALPHA_NUM} * (n_calib + 1) + {_CONF_ALPHA_DEN} - 1)
+             // {_CONF_ALPHA_DEN}
+),
+cov AS (
+  SELECT CAST(min(n_calib) AS BIGINT) AS n_calib,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(min(qhat) AS BIGINT) AS qhat,
+         round(CAST(sum(CASE WHEN abs_err <= qhat THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS coverage
+  FROM scored CROSS JOIN qrow WHERE bucket = 3
+)
+SELECT n AS n_train, n_calib, n_test, qhat, coverage
+FROM cov CROSS JOIN sums
+"""
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
@@ -348,4 +453,5 @@ QUERIES = {
     "ridge_online_stream": (ridge_online_stream, RIDGE_ONLINE_SQL),
     "ridge_models_by_segment": (ridge_models_by_segment, RIDGE_BY_SEGMENT_SQL),
     "ridge_classifier_eval": (ridge_classifier_eval, RIDGE_CLASSIFIER_SQL),
+    "ridge_conformal_intervals": (ridge_conformal_intervals, RIDGE_CONFORMAL_SQL),
 }

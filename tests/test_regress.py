@@ -213,6 +213,28 @@ def test_metric_exprs_sentinel_on_undefined_ratio(spark):
     assert got["accuracy"] == pytest.approx(0.7)
 
 
+def test_conformal_interval_covers_at_nominal_rate(spark, sf_dir):
+    from inmem_vector_db_spark.plans.regression import (
+        ridge_conformal_intervals,
+    )
+
+    row = ridge_conformal_intervals(spark, sf_dir).collect()[0]
+    # distribution-free guarantee: coverage >= 1 - alpha up to the
+    # finite-sample wobble of the held-out bucket (binomial std err)
+    n_test = row["n_test"]
+    assert n_test > 0 and row["n_calib"] > 0
+    slack = 3.0 / (n_test ** 0.5)
+    assert row["coverage"] >= 0.9 - slack
+    assert row["qhat"] > 0
+    # the order-statistic index is the exact integer ceil((n+1)*9/10)
+    import math
+
+    from fractions import Fraction
+
+    k = (9 * (row["n_calib"] + 1) + 9) // 10
+    assert k == math.ceil(Fraction(9, 10) * (row["n_calib"] + 1))
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

@@ -74,6 +74,7 @@ AUDITED = [
     "ridge_lambda_sweep",
     "ridge_models_by_segment",
     "ridge_classifier_eval",
+    "ridge_conformal_intervals",
 ]
 
 
