@@ -446,6 +446,125 @@ SELECT n AS n_train, n_calib, n_test, qhat, coverage
 FROM cov CROSS JOIN sums
 """
 
+# --- histogram decision-stump split finder ---------------------------
+#
+# The inner loop of distributed tree training (the LightGBM/XGBoost
+# histogram algorithm): bin the feature into 256 fixed-width integer
+# bins, aggregate (count, Σy, max x) per bin — ONE data-sized shuffle
+# of ≤256 rows — then scan prefix sums over the 256-row histogram for
+# the variance-minimizing split.  Everything before the final score is
+# exact int64 (fixed-width binning is integer arithmetic: no quantile
+# estimation, no float bucketing); the split score is a fixed double
+# expression over exact ints with a (gain DESC, bin ASC) lexicographic
+# argmax, so both engines pick the identical split.  At 100 TB this is
+# exactly how tree libraries scale: per-feature histograms are
+# map-side-combinable, and the split search touches 256 rows however
+# large the corpus is.
+
+_N_BINS = 256
+
+
+def stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    design = _design(spark, sf_dir)
+    rng = design.agg(
+        F.min("x1").alias("lo"),
+        F.max("x1").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    binned = design.crossJoin(F.broadcast(rng)).withColumn(
+        "bin",
+        F.expr(f"((x1 - lo) * {_N_BINS}) div (hi - lo + 1)"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.max("x1").alias("bin_max_x1"),
+        F.min("n").alias("n"),
+        F.min("s").alias("s"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("n_left", F.sum("cnt").over(w))
+        .withColumn("s_left", F.sum("sy").over(w))
+        .withColumn("threshold", F.max("bin_max_x1").over(w))
+        .filter(F.col("n_left") < F.col("n"))
+    )
+    scored = cum.withColumn(
+        "gain",
+        F.expr(
+            "cast(s_left as double) * cast(s_left as double)"
+            " / cast(n_left as double)"
+            " + cast(s - s_left as double) * cast(s - s_left as double)"
+            " / cast(n - n_left as double)"
+        ),
+    )
+    best = scored.orderBy(F.desc("gain"), F.asc("bin")).limit(1)
+    return best.select(
+        F.col("bin").alias("split_bin"),
+        F.col("threshold").alias("split_x1_max"),
+        F.col("n_left"),
+        (F.col("n") - F.col("n_left")).alias("n_right"),
+        F.round(
+            F.col("s_left").cast("double") / F.col("n_left"), 6
+        ).alias("mean_left"),
+        F.round(
+            (F.col("s") - F.col("s_left")).cast("double")
+            / (F.col("n") - F.col("n_left")),
+            6,
+        ).alias("mean_right"),
+        F.round(
+            F.expr(
+                "(gain - cast(s as double) * cast(s as double)"
+                " / cast(n as double)) / cast(n as double)"
+            ),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+STUMP_SPLIT_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+rng AS (
+  SELECT CAST(min(x1) AS BIGINT) AS lo, CAST(max(x1) AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM base
+),
+hist AS (
+  SELECT ((x1 - lo) * {_N_BINS}) // (hi - lo + 1) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(max(x1) AS BIGINT) AS bin_max_x1,
+         CAST(min(n) AS BIGINT) AS n, CAST(min(s) AS BIGINT) AS s
+  FROM base CROSS JOIN rng
+  GROUP BY 1
+),
+cum AS (
+  SELECT *,
+         CAST(sum(cnt) OVER w AS BIGINT) AS n_left,
+         CAST(sum(sy) OVER w AS BIGINT) AS s_left,
+         CAST(max(bin_max_x1) OVER w AS BIGINT) AS threshold
+  FROM hist
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT *,
+         CAST(s_left AS DOUBLE) * CAST(s_left AS DOUBLE)
+           / CAST(n_left AS DOUBLE)
+         + CAST(s - s_left AS DOUBLE) * CAST(s - s_left AS DOUBLE)
+           / CAST(n - n_left AS DOUBLE) AS gain
+  FROM cum WHERE n_left < n
+),
+best AS (SELECT * FROM scored ORDER BY gain DESC, bin ASC LIMIT 1)
+SELECT bin AS split_bin, threshold AS split_x1_max, n_left,
+       n - n_left AS n_right,
+       round(CAST(s_left AS DOUBLE) / n_left, 6) AS mean_left,
+       round(CAST(s - s_left AS DOUBLE) / (n - n_left), 6) AS mean_right,
+       round((gain - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS var_reduction
+FROM best
+"""
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
@@ -454,4 +573,5 @@ QUERIES = {
     "ridge_models_by_segment": (ridge_models_by_segment, RIDGE_BY_SEGMENT_SQL),
     "ridge_classifier_eval": (ridge_classifier_eval, RIDGE_CLASSIFIER_SQL),
     "ridge_conformal_intervals": (ridge_conformal_intervals, RIDGE_CONFORMAL_SQL),
+    "stump_split_finder": (stump_split_finder, STUMP_SPLIT_SQL),
 }

@@ -235,6 +235,62 @@ def test_conformal_interval_covers_at_nominal_rate(spark, sf_dir):
     assert k == math.ceil(Fraction(9, 10) * (row["n_calib"] + 1))
 
 
+def _stump_best(spark, rows):
+    """Run the histogram split search over an in-memory design the
+    same way plans.regression.stump_split_finder does."""
+    import inmem_vector_db_spark.plans.regression as regmod
+
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+
+    def fake_design(_spark, _sf):
+        return df
+
+    orig = regmod._design
+    regmod._design = fake_design
+    try:
+        return regmod.stump_split_finder(spark, "unused").collect()[0]
+    finally:
+        regmod._design = orig
+
+
+def test_stump_recovers_step_function(spark):
+    rows = [(i, 0, 100 if i > 50 else 0) for i in range(100)]
+    best = _stump_best(spark, rows)
+    assert best["split_x1_max"] == 50  # the true step boundary
+    assert best["mean_left"] == 0.0
+    assert best["mean_right"] == 100.0
+    # variance reduction equals the full variance of a balanced step
+    assert best["var_reduction"] == pytest.approx(2500.0, abs=25)
+
+
+def test_stump_matches_bruteforce_over_bin_edges(spark):
+    rng = np.random.RandomState(9)
+    xs = rng.randint(0, 1000, size=80)
+    ys = rng.randint(-50, 50, size=80)
+    rows = [(int(a), 0, int(b)) for a, b in zip(xs, ys)]
+    best = _stump_best(spark, rows)
+    # brute force over the same 256 fixed-width bin edges
+    lo, hi = int(xs.min()), int(xs.max())
+    spans = {}
+    for a, b in zip(xs, ys):
+        spans.setdefault(((int(a) - lo) * 256) // (hi - lo + 1), []).append(
+            (int(a), int(b))
+        )
+    bins = sorted(spans)
+    n, s = len(rows), int(ys.sum())
+    best_gain, best_bin = None, None
+    nl = sl = 0
+    for b in bins:
+        nl += len(spans[b])
+        sl += sum(y for _, y in spans[b])
+        if nl == n:
+            break
+        gain = sl * sl / nl + (s - sl) ** 2 / (n - nl)
+        if best_gain is None or gain > best_gain:
+            best_gain, best_bin = gain, b
+    assert best["split_bin"] == best_bin
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

@@ -75,6 +75,7 @@ AUDITED = [
     "ridge_models_by_segment",
     "ridge_classifier_eval",
     "ridge_conformal_intervals",
+    "stump_split_finder",
 ]
 
 
