@@ -565,6 +565,144 @@ SELECT bin AS split_bin, threshold AS split_x1_max, n_left,
 FROM best
 """
 
+# --- classifier reliability diagram (calibration bins) ---------------
+#
+# Does the decision score MEAN anything?  Bin the raw scores into 10
+# fixed-width bins over their observed range and compare each bin's
+# mean score against its empirical positive rate.  The bin id is a
+# shared double expression over identical operands (so both engines
+# bucket identically), the mean score is the floor(x*1e6) int64 trick
+# from the k-means trainer, and the positive rate is a ratio of exact
+# counts.  One ≤10-group shuffle after the shuffle-free scoring pass.
+
+_SCORE_BIN_EXPR = (
+    "least(cast(floor((yhat - lo) * 10.0 / (hi - lo)) as bigint),"
+    " cast(9 as bigint))"
+)
+
+
+def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    design = _class_design(spark, sf_dir)
+    fit = ridge_fit(design, LAM)
+    scored = score(design, fit, LAM)
+    rng = scored.agg(F.min("yhat").alias("lo"), F.max("yhat").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(rng)).withColumn(
+        "score_bin", F.expr(_SCORE_BIN_EXPR)
+    )
+    n = F.count(F.lit(1))
+    sq = F.sum(F.floor(F.col("yhat") * 1_000_000).cast("long"))
+    return (
+        binned.groupBy("score_bin")
+        .agg(
+            n.alias("n_rows"),
+            F.round(sq.cast("double") / (F.lit(1e6) * n), 6).alias(
+                "mean_score"
+            ),
+            F.round(
+                F.sum((F.col("y") == 1).cast("long")).cast("double") / n, 6
+            ).alias("pos_rate"),
+        )
+    )
+
+
+RELIABILITY_BINS_SQL = f"""
+WITH base AS ({_CLASS_DESIGN_SQL}),
+sums AS ({moments_sql_select("SELECT x1, x2, y FROM base")}),
+{betas_sql_select(LAM)},
+scored AS (
+  SELECT y, (b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE)) AS yhat
+  FROM base CROSS JOIN betas
+),
+rng AS (SELECT min(yhat) AS lo, max(yhat) AS hi FROM scored)
+SELECT {_SCORE_BIN_EXPR} AS score_bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(floor(yhat * 1000000) AS BIGINT)) AS DOUBLE)
+             / (1e6 * count(*)), 6) AS mean_score,
+       round(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS pos_rate
+FROM scored CROSS JOIN rng
+GROUP BY 1
+"""
+
+
+# --- leakage-safe target encoding (out-of-fold category means) --------
+#
+# The standard high-cardinality categorical feature for tabular/LLM
+# metadata models: replace a category with the mean target of OTHER
+# folds in the same category (md5 folds — no row sees its own target),
+# Laplace-smoothed toward the global mean.  All sums are exact int64;
+# the encode value is a fixed double expression over them.  One
+# (category, fold) shuffle; the per-category totals come from a window
+# over the tiny grouped table, never a second data pass.
+
+_ENC_SMOOTH = 20  # pseudo-observations pulled toward the global mean
+
+
+def target_encode_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    design = _design(spark, sf_dir)
+    fold = F.conv(
+        F.substring(F.md5(F.col("okey").cast("string")), 1, 15), 16, 10
+    ).cast("long") % 4
+    per = (
+        design.withColumn("fold", fold)
+        .groupBy("segment", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_fold"),
+            F.sum("y").cast("long").alias("s_fold"),
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    wall = Window.partitionBy()
+    enc = (
+        per.withColumn("n_seg", F.sum("n_fold").over(wseg))
+        .withColumn("s_seg", F.sum("s_fold").over(wseg))
+        .withColumn("n_all", F.sum("n_fold").over(wall))
+        .withColumn("s_all", F.sum("s_fold").over(wall))
+        .withColumn(
+            "encoded",
+            F.round(
+                F.expr(
+                    f"(cast(s_seg - s_fold as double)"
+                    f" + {_ENC_SMOOTH} * (cast(s_all as double)"
+                    f" / cast(n_all as double)))"
+                    f" / (cast(n_seg - n_fold as double) + {_ENC_SMOOTH})"
+                ),
+                6,
+            ),
+        )
+    )
+    return enc.select("segment", "fold", "n_fold", "encoded")
+
+
+TARGET_ENCODE_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+folded AS (
+  SELECT segment,
+         CAST(('0x' || substr(md5(okey::VARCHAR), 1, 15))::UBIGINT % 4
+              AS BIGINT) AS fold,
+         y
+  FROM base
+),
+per AS (
+  SELECT segment, fold, CAST(count(*) AS BIGINT) AS n_fold,
+         CAST(sum(y) AS BIGINT) AS s_fold
+  FROM folded GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         CAST(sum(n_fold) OVER (PARTITION BY segment) AS BIGINT) AS n_seg,
+         CAST(sum(s_fold) OVER (PARTITION BY segment) AS BIGINT) AS s_seg,
+         CAST(sum(n_fold) OVER () AS BIGINT) AS n_all,
+         CAST(sum(s_fold) OVER () AS BIGINT) AS s_all
+  FROM per
+)
+SELECT segment, fold, n_fold,
+       round((CAST(s_seg - s_fold AS DOUBLE)
+              + {_ENC_SMOOTH} * (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+             / (CAST(n_seg - n_fold AS DOUBLE) + {_ENC_SMOOTH}), 6) AS encoded
+FROM tot
+"""
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
@@ -574,4 +712,9 @@ QUERIES = {
     "ridge_classifier_eval": (ridge_classifier_eval, RIDGE_CLASSIFIER_SQL),
     "ridge_conformal_intervals": (ridge_conformal_intervals, RIDGE_CONFORMAL_SQL),
     "stump_split_finder": (stump_split_finder, STUMP_SPLIT_SQL),
+    "classifier_reliability_bins": (
+        classifier_reliability_bins,
+        RELIABILITY_BINS_SQL,
+    ),
+    "target_encode_segments": (target_encode_segments, TARGET_ENCODE_SQL),
 }

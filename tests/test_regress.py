@@ -291,6 +291,52 @@ def test_stump_matches_bruteforce_over_bin_edges(spark):
     assert best["split_bin"] == best_bin
 
 
+def test_target_encoding_is_leakage_safe(spark):
+    import hashlib
+
+    import inmem_vector_db_spark.plans.regression as regmod
+
+    rows = [(i, "s" + str(i % 2), i % 7, 0, 10 * i % 113) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "okey long, segment string, x1 long, x2 long, y long"
+    )
+    orig = regmod._design
+    regmod._design = lambda _s, _d: df
+    try:
+        got = {
+            (r["segment"], r["fold"]): r
+            for r in regmod.target_encode_segments(spark, "x").collect()
+        }
+    finally:
+        regmod._design = orig
+
+    def fold_of(okey):
+        return int(hashlib.md5(str(okey).encode()).hexdigest()[:15], 16) % 4
+
+    n_all = len(rows)
+    s_all = sum(r[4] for r in rows)
+    for (seg, fold), r in got.items():
+        others = [
+            x[4] for x in rows if x[1] == seg and fold_of(x[0]) != fold
+        ]  # strictly out-of-fold: the row's own target never contributes
+        want = (sum(others) + 20 * (s_all / n_all)) / (len(others) + 20)
+        assert r["encoded"] == pytest.approx(want, abs=1e-6)
+
+
+def test_reliability_bins_partition_counts(spark, sf_dir):
+    from inmem_vector_db_spark.plans.regression import (
+        classifier_reliability_bins,
+    )
+
+    rows = classifier_reliability_bins(spark, sf_dir).collect()
+    assert all(0 <= r["score_bin"] <= 9 for r in rows)
+    assert all(0.0 <= r["pos_rate"] <= 1.0 for r in rows)
+    # every scored row lands in exactly one bin
+    from inmem_vector_db_spark.plans.regression import _class_design
+
+    assert sum(r["n_rows"] for r in rows) == _class_design(spark, sf_dir).count()
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

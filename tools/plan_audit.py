@@ -76,6 +76,8 @@ AUDITED = [
     "ridge_classifier_eval",
     "ridge_conformal_intervals",
     "stump_split_finder",
+    "classifier_reliability_bins",
+    "target_encode_segments",
 ]
 
 
