@@ -464,22 +464,26 @@ FROM cov CROSS JOIN sums
 _N_BINS = 256
 
 
-def stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    design = _design(spark, sf_dir)
+def _stump_best_df(design: DataFrame, feat: str, targ: str) -> DataFrame:
+    """One histogram split search: returns the 1-row best split
+    (bin, threshold = max feat value left of the split, side counts,
+    once-rounded leaf means, variance reduction) for ``targ`` on
+    ``feat``.  Shared by the single-stump entry and each boosting
+    round."""
     rng = design.agg(
-        F.min("x1").alias("lo"),
-        F.max("x1").alias("hi"),
+        F.min(feat).alias("lo"),
+        F.max(feat).alias("hi"),
         F.count(F.lit(1)).alias("n"),
-        F.sum("y").cast("long").alias("s"),
+        F.sum(targ).cast("long").alias("s"),
     )
     binned = design.crossJoin(F.broadcast(rng)).withColumn(
         "bin",
-        F.expr(f"((x1 - lo) * {_N_BINS}) div (hi - lo + 1)"),
+        F.expr(f"(({feat} - lo) * {_N_BINS}) div (hi - lo + 1)"),
     )
     hist = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum("y").cast("long").alias("sy"),
-        F.max("x1").alias("bin_max_x1"),
+        F.sum(targ).cast("long").alias("sy"),
+        F.max(feat).alias("bin_max"),
         F.min("n").alias("n"),
         F.min("s").alias("s"),
     )
@@ -487,7 +491,7 @@ def stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (
         hist.withColumn("n_left", F.sum("cnt").over(w))
         .withColumn("s_left", F.sum("sy").over(w))
-        .withColumn("threshold", F.max("bin_max_x1").over(w))
+        .withColumn("threshold", F.max("bin_max").over(w))
         .filter(F.col("n_left") < F.col("n"))
     )
     scored = cum.withColumn(
@@ -501,9 +505,9 @@ def stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = scored.orderBy(F.desc("gain"), F.asc("bin")).limit(1)
     return best.select(
-        F.col("bin").alias("split_bin"),
-        F.col("threshold").alias("split_x1_max"),
-        F.col("n_left"),
+        "bin",
+        "threshold",
+        "n_left",
         (F.col("n") - F.col("n_left")).alias("n_right"),
         F.round(
             F.col("s_left").cast("double") / F.col("n_left"), 6
@@ -523,46 +527,140 @@ def stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STUMP_SPLIT_SQL = f"""
-WITH base AS ({_DESIGN_SQL}),
-rng AS (
-  SELECT CAST(min(x1) AS BIGINT) AS lo, CAST(max(x1) AS BIGINT) AS hi,
-         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
-  FROM base
+def _stump_sql(base: str, feat: str, targ: str, p: str) -> str:
+    """DuckDB mirror of ``_stump_best_df`` as a prefixed CTE chain
+    ending in ``{p}best`` — composable, so the boosting oracle replays
+    each round with the same text the single-stump oracle uses."""
+    return f"""
+{p}rng AS (
+  SELECT CAST(min({feat}) AS BIGINT) AS lo, CAST(max({feat}) AS BIGINT) AS hi,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum({targ}) AS BIGINT) AS s
+  FROM {base}
 ),
-hist AS (
-  SELECT ((x1 - lo) * {_N_BINS}) // (hi - lo + 1) AS bin,
+{p}hist AS (
+  SELECT (({feat} - lo) * {_N_BINS}) // (hi - lo + 1) AS bin,
          CAST(count(*) AS BIGINT) AS cnt,
-         CAST(sum(y) AS BIGINT) AS sy,
-         CAST(max(x1) AS BIGINT) AS bin_max_x1,
+         CAST(sum({targ}) AS BIGINT) AS sy,
+         CAST(max({feat}) AS BIGINT) AS bin_max,
          CAST(min(n) AS BIGINT) AS n, CAST(min(s) AS BIGINT) AS s
-  FROM base CROSS JOIN rng
+  FROM {base} CROSS JOIN {p}rng
   GROUP BY 1
 ),
-cum AS (
+{p}cum AS (
   SELECT *,
          CAST(sum(cnt) OVER w AS BIGINT) AS n_left,
          CAST(sum(sy) OVER w AS BIGINT) AS s_left,
-         CAST(max(bin_max_x1) OVER w AS BIGINT) AS threshold
-  FROM hist
+         CAST(max(bin_max) OVER w AS BIGINT) AS threshold
+  FROM {p}hist
   WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
-scored AS (
+{p}scored AS (
   SELECT *,
          CAST(s_left AS DOUBLE) * CAST(s_left AS DOUBLE)
            / CAST(n_left AS DOUBLE)
          + CAST(s - s_left AS DOUBLE) * CAST(s - s_left AS DOUBLE)
            / CAST(n - n_left AS DOUBLE) AS gain
-  FROM cum WHERE n_left < n
+  FROM {p}cum WHERE n_left < n
 ),
-best AS (SELECT * FROM scored ORDER BY gain DESC, bin ASC LIMIT 1)
-SELECT bin AS split_bin, threshold AS split_x1_max, n_left,
-       n - n_left AS n_right,
-       round(CAST(s_left AS DOUBLE) / n_left, 6) AS mean_left,
-       round(CAST(s - s_left AS DOUBLE) / (n - n_left), 6) AS mean_right,
-       round((gain - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-             / CAST(n AS DOUBLE), 6) AS var_reduction
-FROM best
+{p}best AS (
+  SELECT bin, threshold, n_left, n - n_left AS n_right,
+         round(CAST(s_left AS DOUBLE) / n_left, 6) AS mean_left,
+         round(CAST(s - s_left AS DOUBLE) / (n - n_left), 6) AS mean_right,
+         round((gain - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS var_reduction
+  FROM {p}scored ORDER BY gain DESC, bin ASC LIMIT 1
+)"""
+
+
+def stump_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best = _stump_best_df(_design(spark, sf_dir), "x1", "y")
+    return best.select(
+        F.col("bin").alias("split_bin"),
+        F.col("threshold").alias("split_x1_max"),
+        "n_left",
+        "n_right",
+        "mean_left",
+        "mean_right",
+        "var_reduction",
+    )
+
+
+STUMP_SPLIT_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+{_stump_sql("base", "x1", "y", "a_")}
+SELECT bin AS split_bin, threshold AS split_x1_max, n_left, n_right,
+       mean_left, mean_right, var_reduction
+FROM a_best
+"""
+
+
+def boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds, exactly replayable: round 1 fits a stump
+    on x1 → y; its once-rounded leaf means predict; the residual is
+    floor-quantized back to int64; round 2 fits a stump on x2 → the
+    residual.  This is the gradient-boosting loop shape (fit, predict,
+    residualize, repeat) with every cross-round handoff quantized so
+    both engines walk the identical path — the k-means discipline
+    applied to additive trees.  Per round: one ≤256-row histogram
+    shuffle and a broadcast of a 1-row model."""
+    design = _design(spark, sf_dir)
+    b1 = _stump_best_df(design, "x1", "y")
+    handoff = F.broadcast(
+        b1.select(
+            F.col("threshold").alias("t1"),
+            F.col("mean_left").alias("ml1"),
+            F.col("mean_right").alias("mr1"),
+        )
+    )
+    design2 = (
+        design.crossJoin(handoff)
+        .withColumn(
+            "pred1",
+            F.when(F.col("x1") <= F.col("t1"), F.col("ml1")).otherwise(
+                F.col("mr1")
+            ),
+        )
+        .withColumn("r", F.floor(F.col("y") - F.col("pred1")).cast("long"))
+    )
+    b2 = _stump_best_df(design2, "x2", "r")
+    return (
+        b1.select(
+            F.col("threshold").alias("r1_split_x1_max"),
+            F.col("mean_left").alias("r1_mean_left"),
+            F.col("mean_right").alias("r1_mean_right"),
+            F.col("var_reduction").alias("r1_var_reduction"),
+        )
+        .crossJoin(
+            b2.select(
+                F.col("threshold").alias("r2_split_x2_max"),
+                F.col("mean_left").alias("r2_mean_left"),
+                F.col("mean_right").alias("r2_mean_right"),
+                F.col("var_reduction").alias("r2_var_reduction"),
+            )
+        )
+    )
+
+
+BOOSTED_STUMPS_SQL = f"""
+WITH base AS ({_DESIGN_SQL}),
+{_stump_sql("base", "x1", "y", "a_")},
+base2 AS (
+  SELECT base.*,
+         CAST(floor(y - (CASE WHEN x1 <= a_best.threshold
+                              THEN a_best.mean_left
+                              ELSE a_best.mean_right END)) AS BIGINT) AS r
+  FROM base CROSS JOIN a_best
+),
+{_stump_sql("base2", "x2", "r", "b_")}
+SELECT a_best.threshold AS r1_split_x1_max,
+       a_best.mean_left AS r1_mean_left,
+       a_best.mean_right AS r1_mean_right,
+       a_best.var_reduction AS r1_var_reduction,
+       b_best.threshold AS r2_split_x2_max,
+       b_best.mean_left AS r2_mean_left,
+       b_best.mean_right AS r2_mean_right,
+       b_best.var_reduction AS r2_var_reduction
+FROM a_best CROSS JOIN b_best
 """
 
 # --- classifier reliability diagram (calibration bins) ---------------
@@ -712,6 +810,7 @@ QUERIES = {
     "ridge_classifier_eval": (ridge_classifier_eval, RIDGE_CLASSIFIER_SQL),
     "ridge_conformal_intervals": (ridge_conformal_intervals, RIDGE_CONFORMAL_SQL),
     "stump_split_finder": (stump_split_finder, STUMP_SPLIT_SQL),
+    "boosted_stumps": (boosted_stumps, BOOSTED_STUMPS_SQL),
     "classifier_reliability_bins": (
         classifier_reliability_bins,
         RELIABILITY_BINS_SQL,

@@ -337,6 +337,29 @@ def test_reliability_bins_partition_counts(spark, sf_dir):
     assert sum(r["n_rows"] for r in rows) == _class_design(spark, sf_dir).count()
 
 
+def test_boosted_stumps_recover_additive_steps(spark):
+    import inmem_vector_db_spark.plans.regression as regmod
+
+    # y = 1000*step(x1>50) + 60*step(x2>30): round 1 takes the big
+    # step on x1, round 2 finds the small one left in the residuals
+    rows = [
+        (i, (7 * i) % 60, (1000 if i > 50 else 0) + (60 if (7 * i) % 60 > 30 else 0))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    orig = regmod._design
+    regmod._design = lambda _s, _d: df
+    try:
+        row = regmod.boosted_stumps(spark, "x").collect()[0]
+    finally:
+        regmod._design = orig
+    assert row["r1_split_x1_max"] == 50
+    assert row["r2_split_x2_max"] == 30
+    # round-2 leaves straddle the 60-unit residual step
+    assert row["r2_mean_right"] - row["r2_mean_left"] == pytest.approx(60, abs=5)
+    assert row["r2_var_reduction"] > 0
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

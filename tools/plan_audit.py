@@ -76,6 +76,7 @@ AUDITED = [
     "ridge_classifier_eval",
     "ridge_conformal_intervals",
     "stump_split_finder",
+    "boosted_stumps",
     "classifier_reliability_bins",
     "target_encode_segments",
 ]
