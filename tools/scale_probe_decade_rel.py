@@ -52,6 +52,11 @@ def build(spark) -> None:
         "orders": ["o_orderkey", "o_custkey"],
         "lineitem": ["l_orderkey"],
         "events": ["event_id", "user_id"],
+        # customer shifts WITH o_custkey so the orders->customer join
+        # stays intact in the synthetic decade (each copy keeps its own
+        # customers; per-customer group sizes preserved) — required by
+        # the ridge/ML family probes
+        "customer": ["c_custkey"],
     }
     for table, key_cols in specs.items():
         src = spark.read.parquet(f"{SRC_DIR}/{table}.parquet")
@@ -66,7 +71,7 @@ def build(spark) -> None:
         )
     # tables the loader may need but the probe queries don't scale
     for table in (
-        "region", "nation", "customer", "supplier", "part",
+        "region", "nation", "supplier", "part",
         "documents", "embeddings",
     ):
         spark.read.parquet(f"{SRC_DIR}/{table}.parquet").write.mode(
