@@ -3433,7 +3433,103 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# batch bucketed interval join: error events into purchase-session
+# intervals.  The scalable alternative to a range cross-join — sessions
+# explode to their hour buckets (bounded by session duration), probes
+# carry one bucket each, and the join is an EQUI-join on (user, hour)
+# with the exact containment predicate as a post-filter.  The blocking
+# is complete (a contained probe's hour always lies within the
+# session's hour span) so the oracle replays a direct range join and
+# the value hash proves the bucketed plan lost nothing.  At 100 TB the
+# equi-join shuffles hash-partitioned buckets while a theta-join would
+# degenerate to a broadcast nested loop.
+
+
+def interval_join_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = wu.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(wu)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull()
+            | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(wcum))
+    sess = (
+        marked.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "has_purchase"
+            ),
+        )
+        .filter(F.col("has_purchase") == 1)
+    )
+    hours = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("e_ts"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    joined = probes.join(hours, ["user_id", "bucket"]).filter(
+        (F.col("e_ts") >= F.col("s_start")) & (F.col("e_ts") <= F.col("s_end"))
+    )
+    return joined.groupBy("user_id").agg(
+        F.countDistinct("sid").alias("n_sessions_hit"),
+        F.count(F.lit(1)).alias("n_errors"),
+    )
+
+
+INTERVAL_JOIN_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS s_start, max(ts) AS s_end
+  FROM m GROUP BY 1, 2
+  HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+),
+hit AS (
+  SELECT e.user_id, s.sid
+  FROM events e JOIN sess s
+    ON e.user_id = s.user_id
+   AND e.ts >= s.s_start AND e.ts <= s.s_end
+  WHERE e.event_type = 'error'
+)
+SELECT user_id, CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions_hit,
+       CAST(count(*) AS BIGINT) AS n_errors
+FROM hit GROUP BY user_id
+"""
+
 QUERIES = {
+    "interval_join_error_sessions": (
+        interval_join_error_sessions,
+        INTERVAL_JOIN_SQL,
+    ),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

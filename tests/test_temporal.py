@@ -160,3 +160,55 @@ def test_asof_forward_small_case(spark):
     assert out[1]["asof_value"] == 5.0  # equal-ts right row matches
     assert out[2]["asof_value"] is None  # no purchase within 100s after 50
     assert out[3]["asof_value"] is None  # 5000s is past tolerance
+
+
+def test_interval_join_bucketing_is_complete(spark, sf_dir):
+    """The hour-bucket equi-join in interval_join_error_sessions is
+    pure blocking: its matches must equal a direct theta-join over the
+    same sessions (the oracle replays the theta form — this pins the
+    same fact inside Spark itself)."""
+    from pyspark.sql import Window
+
+    from inmem_vector_db_spark.plans.relational import (
+        interval_join_error_sessions,
+    )
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    bucketed = interval_join_error_sessions(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = wu.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("ts").over(wu)
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTE")),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(wcum))
+    sess = (
+        marked.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("hp"),
+        )
+        .filter(F.col("hp") == 1)
+    )
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts")
+    )
+    direct = (
+        probes.join(sess, "user_id")
+        .filter(
+            (F.col("e_ts") >= F.col("s_start")) & (F.col("e_ts") <= F.col("s_end"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("sid").alias("n_sessions_hit"),
+            F.count(F.lit(1)).alias("n_errors"),
+        )
+    )
+    assert bucketed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(bucketed).count() == 0

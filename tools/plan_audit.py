@@ -79,6 +79,7 @@ AUDITED = [
     "boosted_stumps",
     "classifier_reliability_bins",
     "target_encode_segments",
+    "interval_join_error_sessions",
 ]
 
 
