@@ -12,7 +12,7 @@ end.  This module applies the same discipline to linear models:
   be none of those (the order-sensitivity class
   tests/test_oracle_order_robustness.py pins suite-wide).
 * **One pass, d²-bounded state.**  The whole fit is a single keyless
-  aggregate: 9 moment sums for the d=3 design (intercept + 2
+  aggregate: 10 moment sums for the d=3 design (intercept + 2
   features).  Map-side partial aggregation means each partition ships
   ONE 9-int row to the final combine — the shuffle is
   ``O(partitions · d²)``, never ``O(rows)``.  This is exactly how
@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# The nine moment sums of the d=3 design matrix [1, x1, x2] against
+# The moment sums of the d=3 design matrix [1, x1, x2] against
 # target y.  Inputs x1, x2, y must already be int64 columns (callers
 # floor-quantize); Spark ANSI mode would throw on int64 overflow, so
 # products are formed in BIGINT only where bounded (x·x of

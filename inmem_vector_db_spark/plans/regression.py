@@ -4,7 +4,7 @@ scoring pass — train-then-score, the canonical 100 TB GLM pipeline.
 
 Model: ``o_totalprice ~ intercept + c_acctbal + order-day-index`` with
 ridge λ on the slope diagonal.  The content of the model is beside the
-point; the point is the SHAPE — a keyless 9-sum aggregate (map-side
+point; the point is the SHAPE — a keyless 10-sum aggregate (map-side
 partials, O(partitions·d²) shuffle), a constant-size Cramer solve
 evaluated from ONE shared SQL expression text by both engines, and a
 broadcast-scored residual pass whose error sums are floor-quantized
