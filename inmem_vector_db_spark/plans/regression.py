@@ -663,6 +663,68 @@ SELECT a_best.threshold AS r1_split_x1_max,
 FROM a_best CROSS JOIN b_best
 """
 
+# --- ALS user half-step (matrix-factorization inner loop) ------------
+#
+# Alternating least squares trains recommenders by freezing the item
+# factor matrix and solving one small ridge system PER USER — exactly
+# the grouped-moment shape: one key-shuffle of 10-int rows, then a
+# row-wise Cramer solve per user, item factors broadcast (here: a
+# 5-item factor table derived from md5, standing in for the previous
+# iteration's item matrix — the engine has no ratings corpus, so the
+# SHAPE is the certified capability, like λ).  With λ > 0 every
+# per-user system is provably nonsingular (a user who only ever
+# touches one item yields det = n·λ² > 0), so no user needs special-
+# casing — the property ALS implementations rely on.  Top-50 users by
+# interaction count keep the output bounded and deterministic.
+
+# shared factor text over h = 60-bit md5 integer of the item id
+_F1_EXPR = "h % 1000 - 500"
+_F2_EXPR = "(h {div} 1000) % 1000 - 500"
+
+
+def als_user_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    design = ev.select(
+        "user_id",
+        F.conv(F.substring(F.md5("event_type"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    ).select(
+        "user_id",
+        F.expr(_F1_EXPR).alias("x1"),
+        F.expr(_F2_EXPR.format(div="div")).alias("x2"),
+        "y",
+    )
+    fit = with_betas(moment_sums(design, keys=("user_id",)), LAM)
+    return (
+        fit.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(50)
+        .select("user_id", F.col("n").alias("n_events"), "b0", "b1", "b2")
+    )
+
+
+ALS_USER_SQL = f"""
+WITH base AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(event_type), 1, 15))::UBIGINT AS BIGINT) AS h,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+  FROM events
+),
+design AS (
+  SELECT user_id, {_F1_EXPR} AS x1, {_F2_EXPR.format(div="//")} AS x2, y
+  FROM base
+),
+sums AS ({moments_sql_select("SELECT user_id, x1, x2, y FROM design",
+                             keys=("user_id",))}),
+{betas_sql_select(LAM)}
+SELECT user_id, n AS n_events, b0, b1, b2
+FROM betas ORDER BY n DESC, user_id ASC LIMIT 50
+"""
+
+
 # --- classifier reliability diagram (calibration bins) ---------------
 #
 # Does the decision score MEAN anything?  Bin the raw scores into 10
@@ -811,6 +873,7 @@ QUERIES = {
     "ridge_conformal_intervals": (ridge_conformal_intervals, RIDGE_CONFORMAL_SQL),
     "stump_split_finder": (stump_split_finder, STUMP_SPLIT_SQL),
     "boosted_stumps": (boosted_stumps, BOOSTED_STUMPS_SQL),
+    "als_user_factors": (als_user_factors, ALS_USER_SQL),
     "classifier_reliability_bins": (
         classifier_reliability_bins,
         RELIABILITY_BINS_SQL,

@@ -360,6 +360,24 @@ def test_boosted_stumps_recover_additive_steps(spark):
     assert row["r2_var_reduction"] > 0
 
 
+def test_single_item_user_system_is_nonsingular_under_ridge(spark):
+    # constant features (a user who only ever touched one item): the
+    # unregularized normal equations are singular, but with lam > 0
+    # det = n*lam^2 > 0, so the ALS user step needs no special-casing
+    import math
+
+    rows = [(0, 7, -3, v) for v in (10, 30, 20, 40)]
+    df = spark.createDataFrame(rows, "user_id long, x1 long, x2 long, y long")
+    fit = with_betas(moment_sums(df, keys=("user_id",)), lam=100.0).collect()[0]
+    assert fit["det"] == pytest.approx(4 * 100.0**2)
+    for k in ("b0", "b1", "b2"):
+        assert math.isfinite(fit[k])
+    # the ridge prediction for the constant feature vector shrinks
+    # toward (but stays near) the user's mean rating
+    pred = fit["b0"] + fit["b1"] * 7 + fit["b2"] * -3
+    assert 0 < pred <= 25.0  # mean is 25, shrunk strictly below
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

@@ -80,6 +80,7 @@ AUDITED = [
     "classifier_reliability_bins",
     "target_encode_segments",
     "interval_join_error_sessions",
+    "als_user_factors",
 ]
 
 
