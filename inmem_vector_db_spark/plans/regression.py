@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.operators.regress import (
+    MOMENT_COLS,
     PREDICT_EXPR,
     betas_sql_select,
     combine_moments,
@@ -663,6 +664,87 @@ SELECT a_best.threshold AS r1_split_x1_max,
 FROM a_best CROSS JOIN b_best
 """
 
+# --- k-fold cross-validation by moment subtraction --------------------
+#
+# The held-out error estimate without k extra passes: per-fold moment
+# sums (one grouped aggregate) plus window totals give each fold's
+# LEAVE-FOLD-OUT training moments as an exact integer SUBTRACTION
+# (total − fold), so all k models come from the same single scan that
+# a plain fit costs.  Each fold's rows are then scored by the model
+# that never saw them (4-row broadcast join on fold).  This is the
+# moment-algebra dual of the target encoder's out-of-fold means —
+# sufficient statistics make CV a bookkeeping exercise, not k jobs.
+
+_CV_FOLDS = 4
+
+
+def ridge_crossval_mse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fold = F.conv(
+        F.substring(F.md5(F.col("okey").cast("string")), 1, 15), 16, 10
+    ).cast("long") % _CV_FOLDS
+    design = _design(spark, sf_dir).withColumn("fold", fold)
+    per = moment_sums(design, keys=("fold",))
+    wall = Window.partitionBy()
+    loo = per.select(
+        "fold",
+        *[
+            (F.sum(c).over(wall) - F.col(c)).cast("long").alias(c)
+            for c in list(per.columns)
+            if c != "fold"
+        ],
+    )
+    models = F.broadcast(
+        with_betas(loo, LAM).select("fold", "b0", "b1", "b2")
+    )
+    scored = (
+        design.join(models, "fold")
+        .withColumn("x1d", F.col("x1").cast("double"))
+        .withColumn("x2d", F.col("x2").cast("double"))
+        .withColumn("yhat", F.expr(PREDICT_EXPR))
+        .withColumn("resid", F.col("y").cast("double") - F.col("yhat"))
+        .withColumn(
+            "sq_err", F.floor(F.col("resid") * F.col("resid")).cast("long")
+        )
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy("fold").agg(
+        n.alias("n_test"),
+        F.round(F.sum("sq_err").cast("double") / n, 6).alias("mse"),
+    )
+
+
+RIDGE_CROSSVAL_SQL = f"""
+WITH based AS ({_DESIGN_SQL}),
+design AS (
+  SELECT *, CAST(('0x' || substr(md5(okey::VARCHAR), 1, 15))::UBIGINT
+                 % {_CV_FOLDS} AS BIGINT) AS fold
+  FROM based
+),
+per AS ({moments_sql_select("SELECT fold, x1, x2, y FROM design",
+                            keys=("fold",))}),
+sums AS (
+  SELECT fold,
+         {", ".join(f"CAST(sum({c}) OVER () - {c} AS BIGINT) AS {c}"
+                    for c in MOMENT_COLS)}
+  FROM per
+),
+{betas_sql_select(LAM)},
+scored AS (
+  SELECT d.fold,
+         CAST(floor((CAST(d.y AS DOUBLE)
+              - (b.b0 + b.b1 * CAST(d.x1 AS DOUBLE)
+                 + b.b2 * CAST(d.x2 AS DOUBLE)))
+              * (CAST(d.y AS DOUBLE)
+              - (b.b0 + b.b1 * CAST(d.x1 AS DOUBLE)
+                 + b.b2 * CAST(d.x2 AS DOUBLE)))) AS BIGINT) AS sq_err
+  FROM design d JOIN betas b ON d.fold = b.fold
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+       round(CAST(sum(sq_err) AS DOUBLE) / count(*), 6) AS mse
+FROM scored GROUP BY fold
+"""
+
+
 # --- ALS user half-step (matrix-factorization inner loop) ------------
 #
 # Alternating least squares trains recommenders by freezing the item
@@ -874,6 +956,7 @@ QUERIES = {
     "stump_split_finder": (stump_split_finder, STUMP_SPLIT_SQL),
     "boosted_stumps": (boosted_stumps, BOOSTED_STUMPS_SQL),
     "als_user_factors": (als_user_factors, ALS_USER_SQL),
+    "ridge_crossval_mse": (ridge_crossval_mse, RIDGE_CROSSVAL_SQL),
     "classifier_reliability_bins": (
         classifier_reliability_bins,
         RELIABILITY_BINS_SQL,

@@ -378,6 +378,33 @@ def test_single_item_user_system_is_nonsingular_under_ridge(spark):
     assert 0 < pred <= 25.0  # mean is 25, shrunk strictly below
 
 
+def test_moment_subtraction_equals_direct_holdout_fit(spark):
+    # the CV trick: (total - fold) moments must equal moments computed
+    # directly on the other folds — and therefore the same betas
+    from inmem_vector_db_spark.operators.regress import MOMENT_COLS
+
+    rows = [(i % 3, 2 * i - 9, (5 * i) % 13, 7 * i - 30) for i in range(24)]
+    df = spark.createDataFrame(rows, "fold long, x1 long, x2 long, y long")
+    per = moment_sums(df, keys=("fold",))
+    wall = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy()
+    loo = per.select(
+        "fold",
+        *[
+            (F.sum(c).over(wall) - F.col(c)).cast("long").alias(c)
+            for c in MOMENT_COLS
+        ],
+    )
+    loo_fit = {
+        r["fold"]: r for r in with_betas(loo, lam=5.0).collect()
+    }
+    for f in (0, 1, 2):
+        direct = with_betas(
+            moment_sums(df.filter(F.col("fold") != f)), lam=5.0
+        ).collect()[0]
+        for k in ("n", "b0", "b1", "b2"):
+            assert loo_fit[f][k] == direct[k]  # exact, not approx
+
+
 def test_score_residuals_match_python(spark):
     rows = [(10, 2, 55), (-4, 8, -11), (7, 7, 40), (0, 1, 2)]
     design = _design_df(spark, rows)

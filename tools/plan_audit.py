@@ -81,6 +81,7 @@ AUDITED = [
     "target_encode_segments",
     "interval_join_error_sessions",
     "als_user_factors",
+    "ridge_crossval_mse",
 ]
 
 
