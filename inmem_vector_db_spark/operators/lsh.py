@@ -328,15 +328,20 @@ def append_lsh_index(
     ).mode("append").parquet(f"{path}/signatures")
 
 
-def delete_from_lsh_index(spark, path: str, ids: Sequence) -> None:
+def delete_from_lsh_index(
+    spark, path: str, ids: Sequence, id_col: str = "vec_id"
+) -> None:
     """O(1) targeted delete via tombstones.  Every id appears in EVERY
     table partition of the signature artifact, so an in-place delete
     would rewrite the whole index — the production pattern is a
     tombstone side-table that ``read_lsh_index`` anti-joins (bounded:
     it only ever holds ids deleted since the last compaction) and
-    ``compact_lsh_index`` folds in during scheduled maintenance."""
+    ``compact_lsh_index`` folds in during scheduled maintenance.
+    ``id_col`` must match the one the index was written with — the
+    tombstone schema is built from it so read/compact anti-joins
+    resolve for non-default id columns too."""
     spark.createDataFrame(
-        [(i,) for i in ids], "vec_id long"
+        [(i,) for i in ids], f"{id_col} long"
     ).write.mode("append").parquet(f"{path}/tombstones")
 
 

@@ -354,13 +354,20 @@ SELECT n_rows, tp, fp, fn, tn, {_METRICS_SQL} FROM dcells
 # needs no tie policy), then check empirical coverage on the held-out
 # test bucket.  Distribution-free: coverage ≥ 1−α is guaranteed by
 # exchangeability, and the query MEASURES it rather than assuming it.
-# The calibration sort is a single-partition window — fine because
-# conformal calibration sets are bounded BY DESIGN at any corpus scale
-# (a fixed-size exchangeable sample calibrates a 100 TB model just as
-# well; the train/score passes are the data-sized legs and stay
-# distributed).
+# The calibration sort is a single-partition window, so the
+# calibration set must be SMALL — a fixed-size exchangeable sample
+# calibrates a 100 TB model just as well, and the train/score passes
+# are the data-sized legs that stay distributed.  We therefore thin
+# bucket 2 by a salted md5 SUB-bucket (keep 1/16) before ranking:
+# the global row_number only ever sees the subsample.  Honest caveat:
+# the subsample is a fixed FRACTION of the corpus, not a constant row
+# count — at extreme scale, lower the keep-rate (or add more md5
+# sub-bucket bits) so the ranked set stays in one task's memory; the
+# coverage guarantee is unaffected because any exchangeable subsample
+# is a valid calibration set.
 
 _CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
+_CONF_CALIB_MOD = 16  # calibration keep-rate = 1/16 of bucket 2
 
 
 def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,8 +376,17 @@ def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("okey").cast("string")), 1, 15), 16, 10
     ).cast("long") % 4
     design = design.withColumn("bucket", bucket)
+    subbucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("c"), F.col("okey").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long") % _CONF_CALIB_MOD
     fit = ridge_fit(design.filter(F.col("bucket") <= 1), LAM)
-    calib = score(design.filter(F.col("bucket") == 2), fit, LAM)
+    calib = score(
+        design.filter((F.col("bucket") == 2) & (subbucket == 0)), fit, LAM
+    )
     test = score(design.filter(F.col("bucket") == 3), fit, LAM)
 
     rn = F.row_number().over(Window.orderBy("abs_err", "okey"))
@@ -427,7 +443,10 @@ calib AS (
   SELECT abs_err,
          row_number() OVER (ORDER BY abs_err, okey) AS rn,
          count(*) OVER () AS n_calib
-  FROM scored WHERE bucket = 2
+  FROM scored
+  WHERE bucket = 2
+    AND CAST(('0x' || substr(md5('c' || okey::VARCHAR), 1, 15))::UBIGINT
+             % {_CONF_CALIB_MOD} AS BIGINT) = 0
 ),
 qrow AS (
   SELECT abs_err AS qhat, CAST(n_calib AS BIGINT) AS n_calib

@@ -3385,11 +3385,16 @@ def bpe_encode_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-class join back to the per-source word counts, so the
     corpus text is never re-scanned per merge."""
     merges, cur = _bpe_train(spark, sf_dir)
+    # materialize the bounded per-word stats (vocab-size rows) via an
+    # eager localCheckpoint so the trainer's folded-vocab cache can be
+    # released here — otherwise repeated invocations leave `cur`
+    # resident forever (only the lineage-free checkpoint stays live)
     enc = cur.select(
         "w",
         F.length("w").alias("n_chars_w"),
         F.size("syms").alias("n_syms"),
-    )
+    ).localCheckpoint()
+    cur.unpersist()
     docs = load_table(spark, sf_dir, "documents")
     persrc = (
         docs.select("source", F.explode(tokens("text")).alias("w"))

@@ -363,14 +363,15 @@ def test_plans_match_recorded_baseline(spark):
     import json
     import os
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "plan_audit", "/root/repo/tools/plan_audit.py"
+        "plan_audit", os.path.join(repo_root, "tools", "plan_audit.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     spark.catalog.clearCache()
     live = mod.collect(spark)
-    with open(os.path.join("/root/repo", "PLAN_BASELINE.json")) as fh:
+    with open(os.path.join(repo_root, "PLAN_BASELINE.json")) as fh:
         recorded = json.load(fh)
     diffs = {
         k: (recorded.get(k), live[k])

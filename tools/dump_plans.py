@@ -9,10 +9,12 @@ Usage: python tools/dump_plans.py
 from __future__ import annotations
 
 import io
+import os
 import sys
 from contextlib import redirect_stdout
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 import __spark_entry__ as entrymod  # noqa: E402
 from inmem_vector_db_spark.session import get_spark  # noqa: E402
@@ -320,7 +322,7 @@ def main() -> None:
         lines += [f"## {name}", "", f"**Reading:** {reading}", "", "```"]
         lines += kept
         lines += ["```", ""]
-    with open("/root/repo/PLANS.md", "w") as f:
+    with open(os.path.join(REPO_ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
     print(f"wrote PLANS.md ({len(lines)} lines)")
 

@@ -24,7 +24,8 @@ import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 import __spark_entry__ as entrymod  # noqa: E402
 from inmem_vector_db_spark.session import get_spark  # noqa: E402
@@ -120,7 +121,7 @@ def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     out = collect(spark)
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_BASELINE.json")
+    path = os.path.join(REPO_ROOT, "PLAN_BASELINE.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"wrote {path} ({len(out)} queries)")
