@@ -250,3 +250,165 @@ def r2_sql_select() -> str:
         f"ssed AS (SELECT *, {SSE_EXPR} AS sse FROM betas),\n"
         f"fit AS (SELECT *, {R2_EXPR} AS r2 FROM ssed)"
     )
+
+
+# --- general d: generated elimination text for m slope features ------
+#
+# The d=3 constants above are HANDWRITTEN; everything below GENERATES
+# the same expression text for any m ≤ 4 slope features (matrix size
+# m+1 ≤ 5) by first-row cofactor expansion.  tests/test_regress.py
+# pins RidgeSpec(2) == the handwritten constants character-for-
+# character, so the generator is a strict generalization: the proven
+# bit-identical-cross-engine property of the d=3 family transfers to
+# higher d because the higher-d text is produced by the SAME rules.
+# Cofactor text grows ~(m+1)! — fine through 5×5 (120 products), the
+# documented ceiling; beyond that, generate an elimination (LDLᵀ)
+# CTE chain instead.
+
+
+def _det_text(mat: list[list[str]]) -> str:
+    """Determinant of a matrix of expression strings, first-row
+    cofactor expansion; 2×2 base case renders ``a * d - b * c``."""
+    n = len(mat)
+    if n == 1:
+        return mat[0][0]
+    if n == 2:
+        return f"{mat[0][0]} * {mat[1][1]} - {mat[0][1]} * {mat[1][0]}"
+    out = ""
+    for j in range(n):
+        minor = [row[:j] + row[j + 1 :] for row in mat[1:]]
+        term = f"{mat[0][j]} * ({_det_text(minor)})"
+        out += term if not out else (f" - {term}" if j % 2 else f" + {term}")
+    return out
+
+
+class RidgeSpec:
+    """Ridge normal equations for ``m`` slope features (design
+    [1, x1..xm], int64 columns ``x1..xm, y``): moment names, Cramer
+    determinant/beta/predict/SSE expression text, and the Spark/DuckDB
+    evaluation helpers — the d=3 module surface, parametric in m."""
+
+    def __init__(self, m: int):
+        if not 1 <= m <= 4:
+            raise ValueError(
+                "RidgeSpec supports 1..4 slope features (5x5 Cramer "
+                "text ceiling); use an LDL^T CTE chain beyond that"
+            )
+        self.m = m
+        r = range(1, m + 1)
+        self.moments = {"n": "count(*)"}
+        self.moments.update({f"s{i}": f"sum(x{i})" for i in r})
+        self.moments.update(
+            {
+                f"s{i}{j}": f"sum(x{i} * x{j})"
+                for i in r
+                for j in range(i, m + 1)
+            }
+        )
+        self.moments["sy"] = "sum(y)"
+        self.moments.update({f"s{i}y": f"sum(x{i} * y)" for i in r})
+        self.moments["syy"] = "sum(y * y)"
+
+        def a(i: int, j: int) -> str:  # XᵀX + λI' entry text
+            if i == 0 and j == 0:
+                return "nd"
+            if i == 0 or j == 0:
+                return f"s{max(i, j)}d"
+            if i == j:
+                return f"(s{i}{i}d + {{lam}})"
+            return f"s{min(i, j)}{max(i, j)}d"
+
+        def g(i: int, j: int) -> str:  # plain XᵀX entry text (no λ)
+            if i == 0 and j == 0:
+                return "nd"
+            if i == 0 or j == 0:
+                return f"s{max(i, j)}d"
+            return f"s{min(i, j)}{max(i, j)}d"
+
+        b = ["syd"] + [f"s{i}yd" for i in r]
+        full = [[a(i, j) for j in range(m + 1)] for i in range(m + 1)]
+        self.det_exprs = {"det": _det_text(full)}
+        for k in range(m + 1):
+            rep = [
+                [b[i] if j == k else full[i][j] for j in range(m + 1)]
+                for i in range(m + 1)
+            ]
+            self.det_exprs[f"det{k}"] = _det_text(rep)
+        self.beta_exprs = {
+            f"b{k}": f"round(det{k} / det, 6)" for k in range(m + 1)
+        }
+        self.predict_expr = "b0" + "".join(f" + b{i} * x{i}d" for i in r)
+        xty = " + ".join(f"b{i} * {b[i]}" for i in range(m + 1))
+        quad = " + ".join(
+            f"b{i} * ("
+            + " + ".join(f"b{j} * {g(i, j)}" for j in range(m + 1))
+            + ")"
+            for i in range(m + 1)
+        )
+        self.sse_expr = f"syyd - 2 * ({xty}) + ({quad})"
+        self.r2_expr = R2_EXPR
+
+    # -- Spark-side evaluation (mirrors the module-level d=3 helpers) --
+
+    def moment_sums(self, design: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+        aggs = [
+            F.expr(expr).cast("long").alias(name)
+            for name, expr in self.moments.items()
+        ]
+        if keys:
+            return design.groupBy(*keys).agg(*aggs)
+        return design.agg(*aggs)
+
+    def with_betas(self, sums: DataFrame, lam) -> DataFrame:
+        out = sums
+        for name in self.moments:
+            out = out.withColumn(f"{name}d", F.col(name).cast("double"))
+        for name, tmpl in self.det_exprs.items():
+            out = out.withColumn(name, F.expr(tmpl.format(lam=_lam_text(lam))))
+        for name, expr in self.beta_exprs.items():
+            out = out.withColumn(name, F.expr(expr))
+        return out
+
+    def with_r2(self, fit: DataFrame) -> DataFrame:
+        return fit.withColumn("sse", F.expr(self.sse_expr)).withColumn(
+            "r2", F.expr(self.r2_expr)
+        )
+
+    def ridge_fit(self, design: DataFrame, lam: float) -> DataFrame:
+        return self.with_betas(self.moment_sums(design), lam)
+
+    # -- DuckDB mirrors -------------------------------------------------
+
+    def moments_sql_select(self, base_sql: str, keys: tuple[str, ...] = ()) -> str:
+        cols = ",\n       ".join(
+            f"CAST({expr} AS BIGINT) AS {name}"
+            for name, expr in self.moments.items()
+        )
+        if keys:
+            klist = ", ".join(keys)
+            return (
+                f"SELECT {klist},\n       {cols}\nFROM ({base_sql})"
+                f"\nGROUP BY {klist}"
+            )
+        return f"SELECT {cols}\nFROM ({base_sql})"
+
+    def betas_sql_select(self, lam) -> str:
+        dcols = ", ".join(f"CAST({n} AS DOUBLE) AS {n}d" for n in self.moments)
+        dets = ", ".join(
+            f"{tmpl.format(lam=_lam_text(lam))} AS {name}"
+            for name, tmpl in self.det_exprs.items()
+        )
+        betas = ", ".join(
+            f"{expr} AS {name}" for name, expr in self.beta_exprs.items()
+        )
+        return (
+            f"dsums AS (SELECT *, {dcols} FROM sums),\n"
+            f"dets AS (SELECT *, {dets} FROM dsums),\n"
+            f"betas AS (SELECT *, {betas} FROM dets)"
+        )
+
+    def r2_sql_select(self) -> str:
+        return (
+            f"ssed AS (SELECT *, {self.sse_expr} AS sse FROM betas),\n"
+            f"fit AS (SELECT *, {self.r2_expr} AS r2 FROM ssed)"
+        )

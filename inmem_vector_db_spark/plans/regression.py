@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from inmem_vector_db_spark.operators.regress import (
     MOMENT_COLS,
     PREDICT_EXPR,
+    RidgeSpec,
     betas_sql_select,
     combine_moments,
     lambda_sweep,
@@ -964,8 +965,83 @@ SELECT segment, fold, n_fold,
 FROM tot
 """
 
+# --- d=5 design: the generated-elimination generalization ------------
+#
+# Everything above fits the HANDWRITTEN d=3 (intercept + 2 features)
+# expression text.  This entry fits intercept + FOUR lineitem features
+# through `RidgeSpec(4)` — the same moment/Cramer pattern with the
+# determinant text GENERATED by first-row cofactor expansion
+# (tests/test_regress.py pins RidgeSpec(2) == the handwritten d=3 text
+# character-for-character, so this is a strict generalization, not a
+# parallel implementation).  Shuffle is still O(partitions · d²): 21
+# int64 moment sums, one keyless aggregate, constant-size solve.
+
+_SPEC4 = RidgeSpec(4)
+
+_D4_TERMS = [
+    ("intercept", "b0"),
+    ("quantity", "b1"),
+    ("discount_pct", "b2"),
+    ("tax_pct", "b3"),
+    ("linenumber", "b4"),
+]
+
+
+def _design4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-feature int64 design over lineitem (all-double source columns,
+    so floor-before-cast is the same IEEE op on both engines):
+    y = floor(extendedprice) ~ quantity + discount% + tax% + linenumber."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.floor(F.col("l_quantity")).cast("long").alias("x1"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("x3"),
+        F.col("l_linenumber").cast("long").alias("x4"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+
+
+def ridge_fit_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fit = _SPEC4.with_r2(_SPEC4.ridge_fit(_design4(spark, sf_dir), LAM))
+    terms = F.array(
+        *[
+            F.struct(F.lit(t).alias("term"), F.col(b).alias("beta"))
+            for t, b in _D4_TERMS
+        ]
+    )
+    return fit.select(
+        F.explode(terms).alias("t"),
+        F.col("n").alias("n_rows"),
+        F.col("r2"),
+    ).select("t.term", "t.beta", "n_rows", "r2")
+
+
+_D4_BASE_SQL = """
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x1,
+         CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+         CAST(floor(l_tax * 100) AS BIGINT) AS x3,
+         CAST(l_linenumber AS BIGINT) AS x4,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+"""
+
+RIDGE_FIT_D4_SQL = (
+    f"WITH base AS ({_D4_BASE_SQL}),\n"
+    f"sums AS ({_SPEC4.moments_sql_select('SELECT x1, x2, x3, x4, y FROM base')}),\n"
+    f"{_SPEC4.betas_sql_select(LAM)},\n"
+    f"{_SPEC4.r2_sql_select()}\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{t}' AS term, {b} AS beta, n AS n_rows, r2 FROM fit"
+        if i == 0
+        else f"SELECT '{t}', {b}, n, r2 FROM fit"
+        for i, (t, b) in enumerate(_D4_TERMS)
+    )
+)
+
+
 QUERIES = {
     "ridge_regression_fit": (ridge_regression_fit, RIDGE_FIT_SQL),
+    "ridge_fit_d4": (ridge_fit_d4, RIDGE_FIT_D4_SQL),
     "ridge_segment_residuals": (ridge_segment_residuals, RIDGE_RESIDUALS_SQL),
     "ridge_lambda_sweep": (ridge_lambda_sweep, RIDGE_SWEEP_SQL),
     "ridge_online_stream": (ridge_online_stream, RIDGE_ONLINE_SQL),

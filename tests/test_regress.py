@@ -420,3 +420,60 @@ def test_score_residuals_match_python(spark):
             int(np.floor(resid * resid)),
             int(np.floor(abs(resid))),
         )
+
+
+# --- RidgeSpec: the generated-text generalization (d <= 5) -----------
+
+
+def test_ridgespec2_reproduces_handwritten_d3_text_verbatim():
+    """The generator is a STRICT generalization: for m=2 slope features
+    it must emit the handwritten d=3 module constants character-for-
+    character, so the proven bit-identical-cross-engine property of the
+    d=3 family transfers to every m the generator supports."""
+    from inmem_vector_db_spark.operators import regress as R
+
+    spec = R.RidgeSpec(2)
+    assert spec.moments == R._MOMENTS
+    assert spec.det_exprs == R.DET_EXPRS
+    assert spec.beta_exprs == R.BETA_EXPRS
+    assert spec.predict_expr == R.PREDICT_EXPR
+    assert spec.sse_expr == R.SSE_EXPR
+
+
+def test_ridgespec_rejects_out_of_range_m():
+    from inmem_vector_db_spark.operators.regress import RidgeSpec
+
+    for bad in (0, 5, -1):
+        with pytest.raises(ValueError):
+            RidgeSpec(bad)
+
+
+def test_ridgespec4_cramer_matches_numpy_solve(spark):
+    """4-feature Cramer text vs LAPACK on the same exact-int system."""
+    from inmem_vector_db_spark.operators.regress import RidgeSpec
+
+    rng = np.random.RandomState(7)
+    n, lam = 400, 5.0
+    xs = rng.randint(0, 50, (n, 4))
+    y = (
+        3 + 2 * xs[:, 0] - xs[:, 1] + 4 * xs[:, 3] + rng.randint(-3, 4, n)
+    ).astype(np.int64)
+    rows = [tuple(map(int, r)) + (int(t),) for r, t in zip(xs, y)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, x3 long, x4 long, y long")
+    fit = RidgeSpec(4).ridge_fit(df, lam).collect()[0]
+    x = np.column_stack([np.ones(n), xs.astype(np.float64)])
+    gram = x.T @ x + np.diag([0.0, lam, lam, lam, lam])
+    ref = np.linalg.solve(gram, x.T @ y.astype(np.float64))
+    got = np.array([fit[f"b{i}"] for i in range(5)])
+    assert np.allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_ridgespec4_fit_is_partition_invariant(spark):
+    from inmem_vector_db_spark.operators.regress import RidgeSpec
+
+    spec = RidgeSpec(4)
+    rows = [(i % 11, (i * i) % 7, i % 5, i % 3, 2 * i - 5) for i in range(60)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, x3 long, x4 long, y long")
+    one = spec.ridge_fit(df, 2.0).collect()[0]
+    many = spec.ridge_fit(df.repartition(13), 2.0).collect()[0]
+    assert one == many  # exact int64 moments -> bit-identical solve
