@@ -70,6 +70,26 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         return time.perf_counter() - t0
 
+    # Host-drift calibration (judge r5 item #4): one FIXED CPU-bound
+    # aggregation — integer hashing over a generated range, no I/O, no
+    # data dependence — timed min-of-3.  BASELINE.md records identical
+    # code drifting ±20% between runs purely from host conditions;
+    # dividing per-query ratios by the calibration ratio makes the
+    # noise-vs-regression call mechanical instead of a judge re-timing.
+    def _calibration_sec() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # bit_xor, not sum: ANSI mode throws on int64 sum overflow
+            spark.range(0, 60_000_000, 1, 32).selectExpr(
+                "bit_xor(xxhash64(id)) AS s"
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    calibration = _calibration_sec()
+
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in qmap.items():
@@ -125,6 +145,7 @@ def main() -> None:
             "median": median,
             "queries": timings,
             "min_of_2": rerun,
+            "calibration_sec": calibration,
             "sf": sf,
         }, fh, indent=1, sort_keys=True)
     print(json.dumps({
@@ -134,6 +155,7 @@ def main() -> None:
         "n_queries": len(timings),
         "median": median,
         "full": "BENCH_FULL.json",
+        "calibration_sec": calibration,
         "queries": headline,
         "sf": sf,
     }, separators=(",", ":")))

@@ -53,6 +53,14 @@ def test_build_entries_precede_their_consumers():
         ("pq_codebook_build", "knn_pq"),
         ("rp_projection_index", "rp_knn_recall"),
         ("pq_codebook_build", "ann_ivfpq"),
+        # lifecycle entries derive entry-private copies from shared
+        # memoized bases — the base build must attribute to the
+        # family's index-build row, not to the first mutation entry
+        ("lsh_signature_index", "lsh_index_append_search"),
+        ("lsh_signature_index", "lsh_index_delete_search"),
+        ("lsh_signature_index", "lsh_index_compact_stats"),
+        ("ann_ivf_index_build", "ann_ivf_delete_search"),
+        ("ann_ivf_append_search", "ann_index_stream_append"),
     ]:
         if build in pos and consumer in pos:
             assert pos[build] < pos[consumer], (build, consumer)
