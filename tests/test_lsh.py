@@ -262,3 +262,29 @@ def test_artifact_served_search_has_no_python_stage(spark, emb, tmp_path):
     for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan, f"{node} in probe plan"
     assert res.count() == 15
+
+
+def test_lifecycle_with_custom_id_col(spark, emb, tmp_path):
+    """The whole write/delete/read/compact contract must work for a
+    non-default id column (advisor r5: delete hardcoded the tombstone
+    schema to vec_id, so custom-id tombstones could never resolve)."""
+    from inmem_vector_db_spark.operators.lsh import (
+        compact_lsh_index,
+        delete_from_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    lsh = RandomHyperplaneLSH(dim=64, num_tables=4, hash_size=4, seed=11)
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "lsh_custom")
+    write_lsh_index(lsh, corpus, path, id_col="doc_id")
+    delete_from_lsh_index(spark, path, [2, 5], id_col="doc_id")
+    kept = read_lsh_index(spark, path, id_col="doc_id")
+    assert kept.filter(F.col("doc_id").isin([2, 5])).isEmpty()
+    assert kept.select("doc_id").distinct().count() == 98
+    assert compact_lsh_index(spark, path, id_col="doc_id") == 2
+    folded = read_lsh_index(spark, path, id_col="doc_id")
+    assert folded.select("doc_id").distinct().count() == 98

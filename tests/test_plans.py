@@ -353,8 +353,8 @@ def test_projected_topk_shuffles_survivors_not_corpus(spark, sf_dir):
 
 
 def test_plans_match_recorded_baseline(spark):
-    """Plan-shape regression gate: the physical-plan metrics of 30
-    side-effect-free queries (shuffle count, broadcast count, Python
+    """Plan-shape regression gate: the physical-plan metrics of every
+    non-streaming entry (shuffle count, broadcast count, Python
     stages, top-k shape) must equal PLAN_BASELINE.json.  An accidental
     extra Exchange, a lost broadcast, or a HOF degraded to a Python UDF
     fails here instead of silently costing a cluster; accepting an
