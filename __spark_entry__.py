@@ -1283,6 +1283,26 @@ def _incremental_signature_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def reset_cached_memos() -> None:
+    """Drop the session-memoized PERSISTED DataFrames (the on-disk
+    artifact memos stay).  Plan shape through a persisted memo depends
+    on CacheManager registration state: a fresh session plans the
+    memoized fragment as a registered InMemoryRelation (whose cached
+    build subtree prints in the plan), while a long-lived test session
+    whose caches were cleared plans raw lineage that column pruning
+    then collapses differently.  PLAN_BASELINE.json is recorded against
+    the fresh state; tools/plan_audit.py calls this (plus
+    ``spark.catalog.clearCache()``) so any session reproduces it."""
+    for memo in (
+        _IVF_COARSE,
+        _PQ_ARTIFACTS,
+        _QUANTIZED_CORPUS,
+        _KMEANS_COARSE,
+        _EXACT_RECALL_BASELINE,
+    ):
+        memo.clear()
+
+
 # one written artifact per (session, corpus, variant): each build job
 # runs once, every later call serves from the partitioned parquet
 _ARTIFACT_DIRS: dict[tuple, str] = {}

@@ -87,6 +87,11 @@ def plan_metrics(plan: str) -> dict:
 
 
 def collect(spark) -> dict:
+    # reproduce the fresh-session cache state regardless of what ran
+    # before in this session: plans through persisted memos differ
+    # depending on CacheManager registration (see reset_cached_memos)
+    spark.catalog.clearCache()
+    entrymod.reset_cached_memos()
     qs = entrymod.queries()
     out = {}
     for name in audited_names():
