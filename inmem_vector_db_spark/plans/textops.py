@@ -2495,6 +2495,112 @@ FROM d GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# group-aware dataset split + leakage audit: when rows share an entity
+# (all events of one user, all chunks of one document), a ROW-level
+# split leaks — near-identical rows from the same entity land on both
+# sides of the train/test boundary and the eval overstates the model.
+# The fix is to hash the GROUP key, so every group lands wholly in one
+# split.  This entry runs BOTH assignments over events (group =
+# user_id) and audits them side by side: the group-keyed split must
+# have ZERO straddling groups, while the row-keyed split's straddle
+# count measures exactly how much leakage the naive approach invites.
+# Both assignments are pure row-local md5 expressions (no shuffle until
+# the audit aggregate), so the split scales like the scan itself.
+
+
+def group_split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def split_of(bucket):
+        return (
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    labeled = ev.select(
+        "user_id",
+        split_of(hash_bucket(F.col("event_id").cast("string"), 100)).alias(
+            "by_row"
+        ),
+        split_of(hash_bucket(F.col("user_id").cast("string"), 100)).alias(
+            "by_group"
+        ),
+    )
+
+    def audit(col: str) -> DataFrame:
+        groups = labeled.groupBy("user_id").agg(
+            F.count_distinct(col).alias("ns")
+        )
+        g = groups.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("ns") > 1).cast("long")).alias("n_straddling"),
+        )
+        rows = labeled.agg(
+            *[
+                F.sum((F.col(col) == s).cast("long")).alias(f"{s}_rows")
+                for s in ("train", "val", "test")
+            ]
+        )
+        return g.crossJoin(F.broadcast(rows)).select(
+            F.lit(col).alias("method"),
+            "n_groups",
+            "n_straddling",
+            "train_rows",
+            "val_rows",
+            "test_rows",
+        )
+
+    return audit("by_group").unionByName(audit("by_row")).orderBy("method")
+
+
+GROUP_SPLIT_LEAKAGE_SQL = """
+WITH lab AS (
+  SELECT user_id,
+         CASE WHEN rb < 80 THEN 'train' WHEN rb < 90 THEN 'val'
+              ELSE 'test' END AS by_row,
+         CASE WHEN gb < 80 THEN 'train' WHEN gb < 90 THEN 'val'
+              ELSE 'test' END AS by_group
+  FROM (
+    SELECT user_id,
+           ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT % 100 AS rb,
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::UBIGINT % 100 AS gb
+    FROM events
+  )
+),
+g_grp AS (
+  SELECT count(*) AS n_groups,
+         count(*) FILTER (WHERE ns > 1) AS n_straddling
+  FROM (SELECT user_id, count(DISTINCT by_group) AS ns FROM lab GROUP BY 1)
+),
+g_row AS (
+  SELECT count(*) AS n_groups,
+         count(*) FILTER (WHERE ns > 1) AS n_straddling
+  FROM (SELECT user_id, count(DISTINCT by_row) AS ns FROM lab GROUP BY 1)
+),
+r_grp AS (
+  SELECT count(*) FILTER (WHERE by_group = 'train') AS train_rows,
+         count(*) FILTER (WHERE by_group = 'val') AS val_rows,
+         count(*) FILTER (WHERE by_group = 'test') AS test_rows
+  FROM lab
+),
+r_row AS (
+  SELECT count(*) FILTER (WHERE by_row = 'train') AS train_rows,
+         count(*) FILTER (WHERE by_row = 'val') AS val_rows,
+         count(*) FILTER (WHERE by_row = 'test') AS test_rows
+  FROM lab
+)
+SELECT 'by_group' AS method, n_groups, n_straddling,
+       train_rows, val_rows, test_rows
+FROM g_grp CROSS JOIN r_grp
+UNION ALL
+SELECT 'by_row', n_groups, n_straddling, train_rows, val_rows, test_rows
+FROM g_row CROSS JOIN r_row
+ORDER BY method
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-dimension embedding standardization (feature scaling: the z-score
 # normalize step before quantization / indexing)
 
@@ -3972,6 +4078,7 @@ QUERIES: dict[str, tuple] = {
     "quality_quantile_filter": (quality_quantile_filter_q, QUALITY_QUANTILE_SQL),
     "vocab_encode": (vocab_encode_q, VOCAB_ENCODE_SQL),
     "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
+    "group_split_leakage": (group_split_leakage_q, GROUP_SPLIT_LEAKAGE_SQL),
     "embedding_standardize": (embedding_standardize_q, EMBEDDING_STANDARDIZE_SQL),
     "crossdoc_shingle_dup": (crossdoc_shingle_dup_q, CROSSDOC_SHINGLE_SQL),
     "curriculum_buckets": (curriculum_buckets_q, CURRICULUM_SQL),

@@ -378,3 +378,21 @@ def test_bpe_train_merges_planted(spark):
     # (ab, ab) inside the four 'abab' occurrences
     r2 = rows[1]
     assert (r2["left"], r2["right"]) == ("ab", "ab")
+
+
+def test_group_split_has_zero_leakage_by_construction(spark, sf_dir):
+    """Group-keyed split assignment can never straddle a group across
+    train/val/test (the md5 bucket is a function of the group key),
+    while the row-keyed split on the same corpus demonstrably does —
+    the audit the entry exists to report."""
+    from inmem_vector_db_spark.plans.textops import group_split_leakage_q
+
+    rows = {r["method"]: r for r in group_split_leakage_q(spark, sf_dir).collect()}
+    assert rows["by_group"]["n_straddling"] == 0
+    assert rows["by_row"]["n_straddling"] > 0
+    for m in rows.values():  # both methods partition the same corpus
+        assert m["train_rows"] + m["val_rows"] + m["test_rows"] == (
+            rows["by_group"]["train_rows"]
+            + rows["by_group"]["val_rows"]
+            + rows["by_group"]["test_rows"]
+        )
