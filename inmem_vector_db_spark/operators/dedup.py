@@ -215,6 +215,83 @@ def _minhash_band_verify(
     return verified
 
 
+def minhash_probe_index(
+    sig_index: DataFrame,
+    is_batch,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """ASYMMETRIC near-dup probe: a fresh batch against the STANDING
+    signature index — the production incremental-dedup shape (a crawl
+    batch is deduped against a 100 TB corpus without ever generating
+    corpus-internal pairs).  ``is_batch`` is a boolean Column splitting
+    the index into batch (small) and corpus (huge) sides.
+
+    Pipeline: band keys for both sides from the shared artifact →
+    equi-join corpus bands against the BROADCAST batch bands on
+    (band_idx, band_key) — the corpus side streams, nothing corpus-
+    sized shuffles — → distinct (batch, corpus) candidates → exact
+    Jaccard verify on the shingle sets.  Cost is O(|batch| × bucket
+    hit rate), independent of corpus-internal duplication.
+
+    Returns (batch_id, corpus_id, jaccard) for every banding candidate
+    (callers threshold / rank); jaccard uses the same intersect/union
+    expression as ``_minhash_band_verify`` so oracles mirror it
+    verbatim."""
+    rows_per_band = num_hashes // bands
+    sig = sig_index.select(
+        F.col(id_col), "sig", "shset", is_batch.alias("__b")
+    ).filter(F.size("shset") > 0)
+    band_keys = sig.select(
+        F.col(id_col),
+        F.col("__b"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                        ).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    batch = band_keys.filter(F.col("__b")).select(
+        F.col(id_col).alias("batch_id"), "band_idx", "band_key"
+    )
+    corpus = band_keys.filter(~F.col("__b")).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_key"
+    )
+    cand = (
+        corpus.join(F.broadcast(batch), ["band_idx", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sh = sig.select(F.col(id_col), "shset")
+    return (
+        cand.join(
+            F.broadcast(
+                sh.withColumnsRenamed({id_col: "batch_id", "shset": "sh_a"})
+            ),
+            "batch_id",
+        )
+        .join(sh.withColumnsRenamed({id_col: "corpus_id", "shset": "sh_b"}), "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_precision_curve(
     sig_index: DataFrame,
     id_col: str = "doc_id",

@@ -330,6 +330,93 @@ SELECT id_a, id_b, jaccard FROM pairs
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: probe a FRESH BATCH against the standing index.
+# The corpus-internal pair queries above answer "what duplicates exist";
+# production ingestion asks a different question — "is anything in
+# TODAY'S crawl a near-dup of the standing 100 TB corpus" — and must
+# answer it in O(|batch|), never touching corpus-internal pairs.
+# operators.dedup.minhash_probe_index does exactly that: band keys for
+# both sides come from the ONE shared signature artifact, the corpus
+# side streams against the broadcast batch bands, and candidates get
+# the exact Jaccard verify.  doc_id % 37 == 0 stands in for the batch.
+
+
+def dedup_probe_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from inmem_vector_db_spark.operators.dedup import minhash_probe_index
+
+    sig = corpus_signature_index(spark, sf_dir)
+    hits = minhash_probe_index(sig, F.col("doc_id") % 37 == 0)
+    w = Window.partitionBy("batch_id")
+    ranked = hits.withColumn(
+        "rn",
+        F.row_number().over(
+            w.orderBy(F.desc("jaccard"), F.col("corpus_id"))
+        ),
+    ).withColumn("n_candidates", F.count(F.lit(1)).over(w))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "batch_id",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("corpus_id").alias("best_match"),
+            F.col("jaccard").alias("best_jaccard"),
+            (F.col("jaccard") >= 0.5).cast("long").alias("is_dup"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+DEDUP_PROBE_BATCH_SQL = f"""
+WITH {_SH_CTE},
+sig AS (
+  SELECT doc_id, list_distinct(shingles) AS shset,
+         list_transform(generate_series(0, 11),
+           i -> list_min(list_transform(shingles,
+             s -> (((507952114 * (i + 1)) % 2147483647)
+                   * (('0x' || substr(md5(s), 1, 15))::UBIGINT % 2147483647)
+                   + 40503 * (i + 7)) % 2147483647))) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+bands AS (
+  SELECT doc_id, bb.b AS band_idx,
+         md5(array_to_string(list_slice(sig, bb.b*3 + 1, bb.b*3 + 3), '|')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_id, b2.doc_id AS corpus_id
+  FROM bands a JOIN bands b2
+    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+  WHERE a.doc_id % 37 = 0 AND b2.doc_id % 37 <> 0
+),
+verified AS (
+  SELECT c.batch_id, c.corpus_id,
+         round(len(list_filter(sa.shset, s -> list_contains(sb.shset, s)))::DOUBLE
+               / (len(sa.shset) + len(sb.shset)
+                  - len(list_filter(sa.shset, s -> list_contains(sb.shset, s)))), 6) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.batch_id
+  JOIN sig sb ON sb.doc_id = c.corpus_id
+),
+ranked AS (
+  SELECT batch_id, corpus_id, jaccard,
+         row_number() OVER (PARTITION BY batch_id
+                            ORDER BY jaccard DESC, corpus_id) AS rn,
+         count(*) OVER (PARTITION BY batch_id) AS nc
+  FROM verified
+)
+SELECT batch_id,
+       CAST(nc AS BIGINT) AS n_candidates,
+       corpus_id AS best_match,
+       jaccard AS best_jaccard,
+       CAST(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM ranked WHERE rn = 1
+ORDER BY batch_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup: near-dup CLUSTERS — pairs alone under-remove (A~B, B~C but not
 # A~C); connected components over the pair graph gives the transitive
 # dup groups, then one canonical doc (longest text, id tie-break) is
@@ -4038,6 +4125,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_summary": (dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
     "dedup_exact_pairs": (dedup_exact_pairs_q, DEDUP_EXACT_PAIRS_SQL),
     "dedup_minhash_pairs": (dedup_minhash_pairs_q, DEDUP_MINHASH_SQL),
+    "dedup_probe_batch": (dedup_probe_batch_q, DEDUP_PROBE_BATCH_SQL),
     "dedup_clusters": (dedup_clusters_q, DEDUP_CLUSTERS_SQL),
     "corpus_merge_upsert": (corpus_merge_upsert_q, CORPUS_MERGE_SQL),
     "approx_distinct_kmv": (approx_distinct_kmv_q, APPROX_DISTINCT_KMV_SQL),

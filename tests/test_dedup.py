@@ -309,3 +309,34 @@ def test_containment_sig_index_path_agrees(corpus):
     b = sorted(map(tuple, D.containment_pairs(
         corpus, threshold=0.5, sig_index=idx).collect()))
     assert a == b and len(a) > 0
+
+
+def test_probe_index_is_asymmetric_and_complete(spark, sf_dir):
+    """Batch-vs-index probe: (1) emits only (batch, corpus) pairs —
+    never corpus-internal ones; (2) over the probed direction it finds
+    exactly the pairs the symmetric self-dedup finds (same banding,
+    same verify), so incremental ingestion loses nothing vs a full
+    corpus re-dedup."""
+    from pyspark.sql import functions as F
+
+    from inmem_vector_db_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_probe_index,
+    )
+    from inmem_vector_db_spark.operators.signatures import (
+        corpus_signature_index,
+    )
+
+    sig = corpus_signature_index(spark, sf_dir)
+    is_batch = F.col("doc_id") % 37 == 0
+    hits = minhash_probe_index(sig, is_batch).collect()
+    assert all(r["batch_id"] % 37 == 0 and r["corpus_id"] % 37 != 0 for r in hits)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = minhash_lsh_pairs(docs, jaccard_threshold=0.0, sig_index=sig)
+    cross = {
+        (a, b) if a % 37 == 0 else (b, a)
+        for a, b in ((r["id_a"], r["id_b"]) for r in full.collect())
+        if (a % 37 == 0) != (b % 37 == 0)
+    }
+    assert {(r["batch_id"], r["corpus_id"]) for r in hits} == cross
