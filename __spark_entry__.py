@@ -1423,6 +1423,22 @@ def _ivf_base250_path(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _ivf_append_path(spark: SparkSession, sf_dir: str) -> str:
+    """The appended (base<250 + appended-rest) index artifact — shared
+    by the append-search entry (which owns its build cost) and the
+    rebuild entry (which retrains FROM it)."""
+    from inmem_vector_db_spark.operators.ann import append_ivf_index
+
+    def mutate(path: str) -> None:
+        append_ivf_index(
+            _emb(spark, sf_dir).filter(F.col("vec_id") >= 250), path
+        )
+
+    return _derive_artifact(
+        spark, sf_dir, "ivf_append_", _ivf_base250_path(spark, sf_dir), mutate
+    )
+
+
 def _ann_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF maintenance under the value oracle: copy the
     shared base artifact (vectors with ``vec_id < 250``), then
@@ -1432,23 +1448,61 @@ def _ann_ivf_append_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole corpus to the base build's centroids, proving append+search
     loses and duplicates nothing vs a from-scratch build with the same
     centroids."""
-    from inmem_vector_db_spark.operators.ann import (
-        append_ivf_index,
-        ivf_search_indexed,
-    )
+    from inmem_vector_db_spark.operators.ann import ivf_search_indexed
 
-    def mutate(path: str) -> None:
-        append_ivf_index(
-            _emb(spark, sf_dir).filter(F.col("vec_id") >= 250), path
-        )
-
-    path = _derive_artifact(
-        spark, sf_dir, "ivf_append_", _ivf_base250_path(spark, sf_dir), mutate
-    )
+    path = _ivf_append_path(spark, sf_dir)
     q = _query_vec(spark, sf_dir, 1)
     return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
         "vec_id", F.round("dist", 6).alias("dist")
     )
+
+
+def _ann_ivf_rebuild_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN leg that closes the index-maintenance lifecycle
+    (M10: build → append → delete → compact → REBUILD): the appended
+    artifact routes the whole corpus through the 5 frozen base-build
+    centroids (coarse, skewed lists — the drift appends accrue);
+    ``rebuild_ivf_index`` re-derives centroids on the CURRENT corpus
+    into a NEW path (readers keep serving the old index until the
+    swap; the rebuild never races its own input scan), and the entry
+    searches the rebuilt index.  The oracle assigns the corpus to the
+    FULL stride-centroid set — i.e. exactly a from-scratch build — so
+    the value hash proves retrain-from-artifact == scratch build."""
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_search_indexed,
+        rebuild_ivf_index,
+    )
+
+    def build(path: str) -> None:
+        rebuild_ivf_index(
+            spark, _ivf_append_path(spark, sf_dir), path, stride=50
+        )
+
+    path = _memo_artifact(spark, sf_dir, "ivf_rebuild_", build)
+    q = _query_vec(spark, sf_dir, 7)
+    return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_ANN_IVF_REBUILD_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3
+)
+SELECT a.vec_id, round(list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM assigned a, q
+WHERE a.cluster_id IN (SELECT cid FROM probe)
+ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+LIMIT 10
+"""
 
 
 _ANN_IVF_APPEND_ORACLE = """
@@ -3953,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _kmeans_embeddings,
         "ann_ivf_kmeans_recall": _ann_ivf_kmeans_recall,
         "ann_ivf_append_search": _ann_ivf_append_search,
+        "ann_ivf_rebuild_search": _ann_ivf_rebuild_search,
         "ann_index_stream_append": _ann_index_stream_append,
         "ann_ivf_delete_search": _ann_ivf_delete_search,
         "incremental_signature_stream": _incremental_signature_stream,
@@ -4045,6 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _KMEANS_EMB_ORACLE,
         "ann_ivf_kmeans_recall": _ANN_IVF_KMEANS_RECALL_ORACLE,
         "ann_ivf_append_search": _ANN_IVF_APPEND_ORACLE,
+        "ann_ivf_rebuild_search": _ANN_IVF_REBUILD_ORACLE,
         "ann_index_stream_append": _ANN_INDEX_STREAM_APPEND_ORACLE,
         "ann_ivf_delete_search": _ANN_IVF_DELETE_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,

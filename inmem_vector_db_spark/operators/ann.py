@@ -304,6 +304,38 @@ def compact_ivf_index(
     return len(cids)
 
 
+def rebuild_ivf_index(
+    spark,
+    old_path: str,
+    new_path: str,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 4096,
+    centroids: tuple[list, np.ndarray] | None = None,
+) -> None:
+    """The RETRAIN job ``append_ivf_index`` defers to: when appends
+    against frozen centroids have drifted/skewed the lists, re-derive
+    centroids on the CURRENT corpus and write a fresh artifact.
+
+    Deliberately writes to a NEW path instead of rewriting in place —
+    the production shape at any scale: readers keep serving the old
+    index until an atomic pointer swap, the rebuild never races its own
+    input scan (an in-place overwrite would read and clobber the same
+    files), and a failed rebuild leaves the old index intact.  The
+    output is byte-content-identical to ``write_ivf_index`` over the
+    same rows (same assignment, same layout), pinned in test_ann.py.
+
+    ``centroids``: pass a trained ``kmeans_fit`` result to retrain
+    properly; default re-derives the deterministic stride init from the
+    current corpus."""
+    corpus = spark.read.parquet(f"{old_path}/vectors").select(id_col, vec_col)
+    write_ivf_index(
+        corpus, new_path, stride=stride, id_col=id_col, vec_col=vec_col,
+        max_centroids=max_centroids, centroids=centroids,
+    )
+
+
 def ivf_search_indexed(
     spark,
     path: str,

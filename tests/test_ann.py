@@ -435,3 +435,43 @@ def test_compact_ivf_index(emb, tmp_path):
     )
     assert after == before
     assert compact_ivf_index(spark, path) == 0  # idempotent
+
+
+def test_rebuild_from_artifact_equals_scratch_build(spark, emb, tmp_path):
+    """rebuild_ivf_index (the retrain job append_ivf_index defers to):
+    retraining FROM a drifted appended artifact into a new path must
+    produce exactly the artifact a from-scratch build over the same
+    rows produces — same centroids, same assignments — and must leave
+    the old artifact untouched (readers serve it until the swap)."""
+    from inmem_vector_db_spark.operators.ann import (
+        append_ivf_index,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+
+    old = str(tmp_path / "old")
+    write_ivf_index(emb.filter(F.col("vec_id") < 250), old, stride=50)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 250), old)
+    before = spark.read.parquet(f"{old}/vectors").count()
+
+    new = str(tmp_path / "new")
+    rebuild_ivf_index(spark, old, new, stride=50)
+    scratch = str(tmp_path / "scratch")
+    write_ivf_index(emb, scratch, stride=50)
+
+    def norm(path):
+        return spark.read.parquet(f"{path}/vectors").select(
+            "vec_id", F.col("cluster_id").cast("long").alias("cid")
+        )
+
+    got, want = norm(new), norm(scratch)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    cents = lambda p: sorted(  # noqa: E731
+        (r["cid"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{p}/centroids").collect()
+    )
+    assert cents(new) == cents(scratch)
+    # more centroids than the drifted 5-centroid base routing
+    assert len(cents(new)) > 5
+    # old artifact untouched
+    assert spark.read.parquet(f"{old}/vectors").count() == before
