@@ -1293,6 +1293,10 @@ def reset_cached_memos() -> None:
     then collapses differently.  PLAN_BASELINE.json is recorded against
     the fresh state; tools/plan_audit.py calls this (plus
     ``spark.catalog.clearCache()``) so any session reproduces it."""
+    from inmem_vector_db_spark.operators.signatures import (
+        clear_signature_cache,
+    )
+
     for memo in (
         _IVF_COARSE,
         _PQ_ARTIFACTS,
@@ -1301,6 +1305,9 @@ def reset_cached_memos() -> None:
         _EXACT_RECALL_BASELINE,
     ):
         memo.clear()
+    # the dedup family's shared signature memo persists in its own
+    # module (operators.signatures._CACHE) — same plan-state hazard
+    clear_signature_cache()
 
 
 # one written artifact per (session, corpus, variant): each build job
