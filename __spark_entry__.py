@@ -3441,6 +3441,77 @@ SELECT DISTINCT md5(text) AS h, lang FROM documents
 """
 
 
+def _dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming INGEST DEDUP GATE — the production front door of a
+    continuously-crawled corpus: fresh documents arrive as a file
+    stream (maxFilesPerTrigger=1), each micro-batch is signatured and
+    probed against the STANDING corpus signature index via
+    ``minhash_probe_index`` (corpus bands stream against the broadcast
+    micro-batch bands, exact Jaccard verify on candidates only), and
+    the verified hits append to a parquet sink.  Because every batch
+    doc's probe is self-contained against the static index, the union
+    of the micro-batched probes must equal the ONE-SHOT batch probe —
+    this entry shares ``dedup_probe_batch``'s oracle verbatim, so the
+    value hash proves the streamed gate loses, duplicates, and
+    misranks nothing.  Pairs with ``ann_index_stream_append`` (vector
+    side) to close the streaming ingest loop for text."""
+    import tempfile
+
+    from inmem_vector_db_spark.operators.dedup import minhash_probe_index
+    from inmem_vector_db_spark.operators.signatures import (
+        corpus_signature_index,
+        text_signature_index,
+    )
+    from inmem_vector_db_spark.plans.textops import probe_hits_report
+
+    def build(out: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        staged = tempfile.mkdtemp(prefix="probe_feed_")
+        docs.filter(F.col("doc_id") % 37 == 0).repartition(3).write.mode(
+            "append"
+        ).parquet(staged)
+        standing = (
+            corpus_signature_index(spark, sf_dir)
+            .filter(F.col("doc_id") % 37 != 0)
+            .select("doc_id", "sig", "shset")
+        )
+
+        def handle(batch_df: DataFrame, _bid: int) -> None:
+            if batch_df.isEmpty():
+                return
+            bsig = text_signature_index(batch_df).select(
+                "doc_id", "sig", "shset"
+            )
+            sig = standing.withColumn("__isb", F.lit(False)).unionByName(
+                bsig.withColumn("__isb", F.lit(True))
+            )
+            minhash_probe_index(sig, F.col("__isb")).write.mode(
+                "append"
+            ).parquet(f"{out}/hits")
+
+        q = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, "
+                "source string, n_chars bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    out = _memo_artifact(spark, sf_dir, "probe_stream_", build)
+    return probe_hits_report(spark.read.parquet(f"{out}/hits"))
+
+
+# streamed gate == one-shot probe, bit-identically: same oracle text
+from inmem_vector_db_spark.plans.textops import (  # noqa: E402
+    DEDUP_PROBE_BATCH_SQL as _DEDUP_PROBE_STREAM_ORACLE,
+)
+
+
 def _user_distinct_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV distinct-user estimation: the events table replayed
     as a file stream, each micro-batch's distributed bottom-k merged
@@ -3980,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stream": _session_window_stream,
         "click_purchase_stream": _click_purchase_stream,
         "docs_dedup_stream": _docs_dedup_stream,
+        "dedup_probe_stream": _dedup_probe_stream,
         "jsonl_source_agg": _jsonl_source_agg,
         "rest_feed_source_agg": _rest_feed_source_agg,
         "feed_tail_stream": _feed_tail_stream,
@@ -4073,6 +4145,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_stream": _SESSION_WINDOW_STREAM_ORACLE,
         "click_purchase_stream": _CLICK_PURCHASE_STREAM_ORACLE,
         "docs_dedup_stream": _DOCS_DEDUP_STREAM_ORACLE,
+        "dedup_probe_stream": _DEDUP_PROBE_STREAM_ORACLE,
         "user_distinct_stream": _USER_DISTINCT_STREAM_ORACLE,
         "value_histogram_stream": _VALUE_HISTOGRAM_STREAM_ORACLE,
         "user_totals_stateful_stream": _USER_TOTALS_STATEFUL_ORACLE,

@@ -341,13 +341,12 @@ SELECT id_a, id_b, jaccard FROM pairs
 # the exact Jaccard verify.  doc_id % 37 == 0 stands in for the batch.
 
 
-def dedup_probe_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def probe_hits_report(hits: DataFrame) -> DataFrame:
+    """Per-batch-doc best-match report over (batch_id, corpus_id,
+    jaccard) probe hits — shared by the one-shot probe entry and the
+    streaming ingest-gate entry so both sit under the SAME oracle."""
     from pyspark.sql.window import Window
 
-    from inmem_vector_db_spark.operators.dedup import minhash_probe_index
-
-    sig = corpus_signature_index(spark, sf_dir)
-    hits = minhash_probe_index(sig, F.col("doc_id") % 37 == 0)
     w = Window.partitionBy("batch_id")
     ranked = hits.withColumn(
         "rn",
@@ -365,6 +364,15 @@ def dedup_probe_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("jaccard") >= 0.5).cast("long").alias("is_dup"),
         )
         .orderBy("batch_id")
+    )
+
+
+def dedup_probe_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inmem_vector_db_spark.operators.dedup import minhash_probe_index
+
+    sig = corpus_signature_index(spark, sf_dir)
+    return probe_hits_report(
+        minhash_probe_index(sig, F.col("doc_id") % 37 == 0)
     )
 
 

@@ -58,6 +58,7 @@ EXCLUDED = {
     "user_totals_stateful_stream": "stream runs at construction",
     "stream_file_sink_roundtrip": "stream runs at construction",
     "incremental_signature_stream": "stream runs at construction",
+    "dedup_probe_stream": "foreachBatch stream runs at construction",
 }
 
 
