@@ -60,7 +60,8 @@ def main() -> None:
         if "index_build" in n or "signature_index" in n
         or "codebook_build" in n or "append_search" in n
         or "delete_search" in n or "compact_stats" in n
-        or "stream_append" in n or "projection_index" in n or n in (
+        or "stream_append" in n or "projection_index" in n
+        or "probe_stream" in n or "rebuild_search" in n or n in (
             "rest_feed_source_agg", "incremental_signature_stream",
         )
     }
