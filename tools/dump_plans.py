@@ -22,6 +22,21 @@ from inmem_vector_db_spark.session import get_spark  # noqa: E402
 HEADLINERS = {
     "knn_cosine": "no Exchange anywhere: scan -> project(distance) -> "
     "TakeOrderedAndProject. Partition-local top-k, driver merges.",
+    "dedup_probe_batch": "asymmetric ingest probe: the fresh batch's band "
+    "keys sit behind a BroadcastExchange, the standing corpus STREAMS "
+    "against them — no corpus-sized shuffle, no corpus-internal pairs; "
+    "exact-Jaccard verify touches candidates only.",
+    "ann_ivf_rebuild_search": "retrain served from the REBUILT artifact: "
+    "the probe is a partition-pruned parquet scan of the new index "
+    "(TakeOrderedAndProject, zero Exchange) — the rebuild job itself wrote "
+    "to a fresh path, so serving never raced maintenance.",
+    "ridge_fit_d4": "the d=5 generalization keeps the d=3 shape: one "
+    "keyless 21-sum aggregate (map-side partial), generated 5x5 Cramer "
+    "text evaluated on the 1-row result — shuffle is O(partitions*d^2) "
+    "however large lineitem grows.",
+    "group_split_leakage": "both split assignments are row-local md5 "
+    "expressions inside the scan's codegen stage; the only Exchanges are "
+    "the audit's per-group and global aggregates.",
     "knn_prefilter_label": "label filter is in PushedFilters — pruning happens "
     "in the parquet reader, before the distance expression runs.",
     "knn_multi_cosine": "vectorized multi-query kNN: mapInPandas emits only "
