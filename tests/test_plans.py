@@ -379,3 +379,59 @@ def test_plans_match_recorded_baseline(spark):
         if live[k] != recorded.get(k)
     }
     assert not diffs, f"plan shape drifted (regen tools/plan_audit.py if intentional): {diffs}"
+
+
+def test_plan_metrics_survive_session_memo_pollution(spark, sf_dir):
+    """Regression guard for the round-6 bug class (hit TWICE): plans
+    through persisted session memos show the registered
+    InMemoryRelation's build subtree only while the CacheManager
+    registration is alive, so a session whose caches were cleared
+    after memo creation planned the memo-backed entries differently
+    than the recorded fresh state.  This test deliberately creates
+    that hostile state — materialize the signature + recall memos,
+    then clearCache — and asserts the audit machinery still reproduces
+    the recorded metrics for every entry that drifted before the
+    reset_cached_memos() fix."""
+    import importlib.util
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+    from inmem_vector_db_spark.operators.signatures import (
+        corpus_signature_index,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(repo_root, "tools", "plan_audit.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # hostile state: memos exist and materialized, registrations cleared
+    corpus_signature_index(spark, sf_dir).count()
+    entrymod.queries()["knn_quantized_recall"](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+
+    sensitive = [
+        "knn_quantized", "knn_quantized_recall", "ann_ivfpq_recall",
+        "rp_knn_recall", "dedup_probe_batch", "dedup_minhash_pairs",
+        "dedup_clusters", "dedup_containment", "duplicated_spans",
+        "dedup_minhash_precision",
+    ]
+    # collect() resets memos + cache, then builds in queries() order;
+    # restrict the audited list to keep this test fast
+    mod.EXCLUDED = {
+        n: "not under test"
+        for n in entrymod.queries()
+        if n not in sensitive
+    }
+    live = mod.collect(spark)
+    with open(os.path.join(repo_root, "PLAN_BASELINE.json")) as fh:
+        recorded = json.load(fh)
+    diffs = {
+        k: (recorded.get(k), live[k])
+        for k in live
+        if live[k] != recorded.get(k)
+    }
+    assert not diffs, f"memo-pollution plan drift returned: {diffs}"
