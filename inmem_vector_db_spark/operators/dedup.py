@@ -271,15 +271,21 @@ def minhash_probe_index(
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    sh = sig.select(F.col(id_col), "shset")
+    # verify stage, still O(|batch|): every broadcast below is bounded
+    # by the batch side.  sh_batch is the batch rows' shingle sets
+    # (O(|batch|)); probe = candidates + sh_a is bounded by
+    # |batch| × bucket hit rate.  The corpus shingle table is NEVER
+    # broadcast or shuffled — it streams once against the broadcast
+    # probe, the same at-rest posture as the banding join above.
+    sh_batch = sig.filter(F.col("__b")).select(
+        F.col(id_col).alias("batch_id"), F.col("shset").alias("sh_a")
+    )
+    sh_corpus = sig.filter(~F.col("__b")).select(
+        F.col(id_col).alias("corpus_id"), F.col("shset").alias("sh_b")
+    )
+    probe = cand.join(F.broadcast(sh_batch), "batch_id")
     return (
-        cand.join(
-            F.broadcast(
-                sh.withColumnsRenamed({id_col: "batch_id", "shset": "sh_a"})
-            ),
-            "batch_id",
-        )
-        .join(sh.withColumnsRenamed({id_col: "corpus_id", "shset": "sh_b"}), "corpus_id")
+        sh_corpus.join(F.broadcast(probe), "corpus_id")
         .select(
             "batch_id",
             "corpus_id",
