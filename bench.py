@@ -93,7 +93,16 @@ def main() -> None:
 
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
-    for name, fn in qmap.items():
+    # Execute in REGISTRATION order (builders before the entries that
+    # serve from their artifacts), NOT the window-first queries() order:
+    # since the round-7 window rotation, windowed consumers (e.g.
+    # ann_ivf_rebuild_search) may precede their out-of-window builders
+    # in queries() order, and running them first would misattribute the
+    # one-time artifact build to the consumer's bench row.  The
+    # build-before-consumer property of exec_order() is pinned by
+    # tests/test_entry_contract.py.
+    for name in entrymod.exec_order():
+        fn = qmap[name]
         best = None
         try:
             for _ in range(max(1, repeats)):  # min-of-N damps GC/JIT noise

@@ -24,10 +24,17 @@ def test_queries_lead_with_the_window_in_order():
 
 def test_every_windowed_entry_has_an_oracle():
     # a windowed rows-only entry would silently downgrade a hard-signal
-    # slot to a weak check
+    # slot to a weak check; the single deliberate exception
+    # (dedup_simhash_fast: xxhash64 has no DuckDB mirror) is named in
+    # _ROWS_ONLY_WINDOWED and value-graded by dedup_simhash_fast_check
     oracles = entrymod.oracle_sql()
-    missing = [n for n in entrymod._DRIVER_WINDOW if n not in oracles]
+    missing = [
+        n for n in entrymod._DRIVER_WINDOW
+        if n not in oracles and n not in entrymod._ROWS_ONLY_WINDOWED
+    ]
     assert not missing, missing
+    assert entrymod._ROWS_ONLY_WINDOWED <= set(entrymod._DRIVER_WINDOW)
+    assert not entrymod._ROWS_ONLY_WINDOWED & set(entrymod.oracle_sql())
 
 
 def test_every_oracle_has_a_query():
@@ -36,31 +43,49 @@ def test_every_oracle_has_a_query():
     assert not orphaned, orphaned
 
 
-def test_build_entries_precede_their_consumers():
-    """Cost attribution: artifact builds must be window-ordered before
-    the entries that serve from them."""
-    w = entrymod._DRIVER_WINDOW
-    pos = {n: i for i, n in enumerate(w)}
-    for build, consumer in [
-        ("dedup_signature_index", "dedup_minhash_pairs"),
-        ("dedup_signature_index", "dedup_clusters"),
-        ("dedup_signature_index", "dedup_containment"),
-        ("ann_ivf_index_build", "ann_ivf_partitioned"),
-        ("rest_feed_source_agg", "feed_tail_stream"),
-        ("kmeans_embeddings", "ann_ivf_kmeans_recall"),
-        ("lsh_signature_index", "lsh_knn_cosine"),
-        ("lsh_signature_index", "lsh_knn_multiprobe"),
-        ("pq_codebook_build", "knn_pq"),
-        ("rp_projection_index", "rp_knn_recall"),
-        ("pq_codebook_build", "ann_ivfpq"),
-        # lifecycle entries derive entry-private copies from shared
-        # memoized bases — the base build must attribute to the
-        # family's index-build row, not to the first mutation entry
-        ("lsh_signature_index", "lsh_index_append_search"),
-        ("lsh_signature_index", "lsh_index_delete_search"),
-        ("lsh_signature_index", "lsh_index_compact_stats"),
-        ("ann_ivf_index_build", "ann_ivf_delete_search"),
-        ("ann_ivf_append_search", "ann_index_stream_append"),
-    ]:
-        if build in pos and consumer in pos:
-            assert pos[build] < pos[consumer], (build, consumer)
+# every (builder, consumer) pair whose artifact/memo the consumer
+# serves from; pinned UNCONDITIONALLY on exec_order() — the order bench
+# and the local gates actually execute in — so a reordering can never
+# silently attribute a one-time build cost to a serving row (this
+# mis-attribution shipped twice as a class: probe_stream and
+# rebuild_search in round 6)
+_BUILD_BEFORE_CONSUMER = [
+    ("dedup_signature_index", "dedup_minhash_pairs"),
+    ("dedup_signature_index", "dedup_clusters"),
+    ("dedup_signature_index", "dedup_containment"),
+    ("dedup_signature_index", "dedup_probe_batch"),
+    ("dedup_signature_index", "dedup_probe_stream"),
+    ("ann_ivf_index_build", "ann_ivf_partitioned"),
+    ("rest_feed_source_agg", "feed_tail_stream"),
+    ("kmeans_embeddings", "ann_ivf_kmeans_recall"),
+    ("lsh_signature_index", "lsh_knn_cosine"),
+    ("lsh_signature_index", "lsh_knn_multiprobe"),
+    ("pq_codebook_build", "knn_pq"),
+    ("rp_projection_index", "rp_knn_recall"),
+    ("pq_codebook_build", "ann_ivfpq"),
+    # lifecycle entries derive entry-private copies from shared
+    # memoized bases — the base build must attribute to the
+    # family's index-build row, not to the first mutation entry
+    ("lsh_signature_index", "lsh_index_append_search"),
+    ("lsh_signature_index", "lsh_index_delete_search"),
+    ("lsh_signature_index", "lsh_index_compact_stats"),
+    ("ann_ivf_index_build", "ann_ivf_delete_search"),
+    ("ann_ivf_append_search", "ann_index_stream_append"),
+    ("ann_ivf_index_build", "ann_ivf_append_search"),
+    # rebuild derives from the APPENDED artifact (advisor r6 pin)
+    ("ann_ivf_append_search", "ann_ivf_rebuild_search"),
+]
+
+
+def test_build_entries_precede_their_consumers_in_exec_order():
+    """Cost attribution: artifact builds must execute before the
+    entries that serve from them, in the order bench/gates run."""
+    order = entrymod.exec_order()
+    pos = {n: i for i, n in enumerate(order)}
+    for build, consumer in _BUILD_BEFORE_CONSUMER:
+        assert build in pos and consumer in pos, (build, consumer)
+        assert pos[build] < pos[consumer], (build, consumer)
+
+
+def test_exec_order_is_a_permutation_of_queries():
+    assert sorted(entrymod.exec_order()) == sorted(entrymod.queries())

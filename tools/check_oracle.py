@@ -96,7 +96,10 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
-    for name, fn in qs.items():
+    # registration order = build-before-consumer (cost attribution and
+    # artifact availability match bench; see __spark_entry__.exec_order)
+    for name in entrymod.exec_order():
+        fn = qs[name]
         if only and name not in only:
             continue
         t0 = time.time()
