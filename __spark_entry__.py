@@ -43,9 +43,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+# session-memoized query vectors: the fetch is test scaffolding (the
+# reference's search API RECEIVES the query vector; only the oracle SQL
+# re-derives it from the table), and re-running the one-row lookup job
+# per entry call charged ~0.26 s of pure scheduling overhead to every
+# kNN bench row — over a third of the flagship's r6 wall (profiled in
+# BASELINE.md round 7).  A plain Python list keyed by (app, sf, id):
+# no persisted-DataFrame memo, so no plan-state hazard (it only feeds
+# a literal, identical bytes every call).
+_QUERY_VEC_CACHE: dict[tuple, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).head()
-    return [float(x) for x in row["embedding"]]
+    key = (spark.sparkContext.applicationId, sf_dir, vec_id)
+    got = _QUERY_VEC_CACHE.get(key)
+    if got is None:
+        row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).head()
+        got = [float(x) for x in row["embedding"]]
+        _QUERY_VEC_CACHE[key] = got
+    return got
 
 
 def _knn_query(metric: str, k: int = 10):

@@ -43,6 +43,18 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
 
 
+# Memoized reader DataFrames: a DataFrame is an immutable plan handle,
+# and re-building reader + NTZ-normalization columns via py4j costs
+# ~80 ms per load_table call — pure client overhead charged to every
+# entry's bench row (the driver tables are immutable, so the plan can
+# never go stale).  NOT a .persist() memo: nothing registers in the
+# CacheManager, so this has none of the plan-instability hazard that
+# reset_cached_memos() exists for (cache substitution is by plan
+# equality, unaffected by object reuse).  Keyed by app id + path +
+# the chaos knob so a repartition-gated run never reuses a plain plan.
+_READER_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Columnar parquet => column pruning + filter pushdown.
 
@@ -53,6 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons agree.  Untagged microsecond timestamps (current driver
     output) arrive as TIMESTAMP_NTZ and are normalized to LTZ.
     """
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        os.environ.get("SPARK_GRAFT_REPARTITION"),
+    )
+    got = _READER_CACHE.get(key)
+    if got is not None:
+        return got
+    _READER_CACHE[key] = got = _load_table_uncached(spark, sf_dir, name)
+    return got
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
