@@ -4050,6 +4050,40 @@ _DRIVER_WINDOW = [
 # pinned by tests/test_entry_contract.py
 _ROWS_ONLY_WINDOWED = {"dedup_simhash_fast"}
 
+# Entries that OWN a one-time artifact/memo build (their first call
+# builds, later calls serve the memo) — bench times them exactly once:
+# a min-of-2 re-run would time the memo hit and falsify the build cost
+# the row exists to attribute.  This mis-attribution shipped twice as
+# a class (probe_stream and rebuild_search in round 6), so membership
+# is now EXPLICIT and structurally pinned: tests/test_entry_contract.py
+# asserts every entry function that calls _memo_artifact/_derive_artifact
+# (directly or through a *_path helper) appears here.
+_BUILD_ENTRIES = {
+    "ann_index_stream_append",
+    "ann_ivf_append_search",
+    "ann_ivf_delete_search",
+    "ann_ivf_index_build",
+    "ann_ivf_rebuild_search",
+    "dedup_probe_stream",
+    "dedup_signature_index",
+    "incremental_signature_stream",
+    "lsh_index_append_search",
+    "lsh_index_compact_stats",
+    "lsh_index_delete_search",
+    "lsh_signature_index",
+    "pq_codebook_build",
+    "rest_feed_source_agg",
+    "rp_projection_index",
+    # first exec_order toucher of a persisted-DataFrame session memo:
+    # their first call pays the memoized coarse build (centroids /
+    # quantized corpus / exact-recall baseline), so a re-run would
+    # under-report them the same way an artifact re-run would
+    "ann_ivf_euclidean",
+    "ivf_nprobe_tradeoff",
+    "kmeans_embeddings",
+    "knn_quantized",
+}
+
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every entry in REGISTRATION order — the canonical build-before-
