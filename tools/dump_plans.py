@@ -306,6 +306,15 @@ HEADLINERS = {
     "sorted-array HOF (work bounded by basket_size^2), two partial-agg "
     "groupBys, broadcast of the single-item counts — no corpus "
     "self-join anywhere.",
+    "nb_lang_classifier": "all-JVM trained model: vocab-bounded "
+    "token-lang count aggregates, 5-row broadcast of per-lang "
+    "constants, one vocab-keyed equi-join for scoring, 5-row-per-doc "
+    "window for the argmax — integer scores end to end, no Python "
+    "stage, no all-pairs work.",
+    "dedup_simhash_fast_check": "both signature pipelines run their "
+    "normal banded shapes; the grade is one full-outer join of two "
+    "tiny pair sets plus a single aggregate row — the check costs "
+    "nothing beyond the pipelines it grades.",
 }
 
 
