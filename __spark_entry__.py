@@ -1528,6 +1528,71 @@ LIMIT 10
 """
 
 
+def _ivf_shard_b_path(spark: SparkSession, sf_dir: str) -> str:
+    """The INDEPENDENTLY-built second shard (vectors with vec_id >=
+    250, centroids stride-derived from ITS OWN corpus) — the input the
+    merge entry absorbs.  Built at most once per session; the merge
+    entry owns the build cost (it is in _BUILD_ENTRIES)."""
+    from inmem_vector_db_spark.operators.ann import write_ivf_index
+
+    return _memo_artifact(
+        spark, sf_dir, "ivf_shard_b_",
+        lambda path: write_ivf_index(
+            _emb(spark, sf_dir).filter(F.col("vec_id") >= 250), path, stride=50
+        ),
+    )
+
+
+def _ann_ivf_merge_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard CONSOLIDATION closing the index fleet lifecycle (build →
+    append → delete → compact → rebuild → MERGE): two shards are
+    indexed independently (base = vec_id < 250 with its own centroids;
+    shard B = the rest with ITS own centroids), then
+    ``merge_ivf_index`` absorbs shard B into a derived copy of the
+    base — B's routing is dropped, the base's frozen centroids stay
+    the authority — and the entry searches the unified index.  The
+    oracle assigns the WHOLE corpus to the base centroids (the same
+    from-scratch replay the append entry uses, different query), so
+    the value hash proves the merge re-routed every absorbed vector
+    correctly and lost/duplicated nothing."""
+    from inmem_vector_db_spark.operators.ann import (
+        ivf_search_indexed,
+        merge_ivf_index,
+    )
+
+    def mutate(path: str) -> None:
+        merge_ivf_index(spark, path, _ivf_shard_b_path(spark, sf_dir))
+
+    path = _derive_artifact(
+        spark, sf_dir, "ivf_merge_", _ivf_base250_path(spark, sf_dir), mutate
+    )
+    q = _query_vec(spark, sf_dir, 11)
+    return ivf_search_indexed(spark, path, q, k=10, nprobe=3).select(
+        "vec_id", F.round("dist", 6).alias("dist")
+    )
+
+
+_ANN_IVF_MERGE_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id % 50 = 0 AND vec_id < 250),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         min(struct_pack(d := list_distance(e.embedding::DOUBLE[], c.ce::DOUBLE[]), c := c.cid))['c'] AS cluster_id
+  FROM embeddings e, cents c GROUP BY e.vec_id, e.embedding
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_distance(c.ce::DOUBLE[], q.qv::DOUBLE[]), c.cid LIMIT 3
+)
+SELECT a.vec_id, round(list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS dist
+FROM assigned a, q
+WHERE a.cluster_id IN (SELECT cid FROM probe)
+ORDER BY list_distance(a.embedding::DOUBLE[], q.qv::DOUBLE[]), a.vec_id
+LIMIT 10
+"""
+
+
 _ANN_IVF_APPEND_ORACLE = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
 cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
@@ -4064,6 +4129,7 @@ _BUILD_ENTRIES = {
     "ann_ivf_delete_search",
     "ann_ivf_index_build",
     "ann_ivf_rebuild_search",
+    "ann_ivf_merge_search",
     "dedup_probe_stream",
     "dedup_signature_index",
     "incremental_signature_stream",
@@ -4171,6 +4237,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_recall": _ann_ivf_kmeans_recall,
         "ann_ivf_append_search": _ann_ivf_append_search,
         "ann_ivf_rebuild_search": _ann_ivf_rebuild_search,
+        "ann_ivf_merge_search": _ann_ivf_merge_search,
         "ann_index_stream_append": _ann_index_stream_append,
         "ann_ivf_delete_search": _ann_ivf_delete_search,
         "incremental_signature_stream": _incremental_signature_stream,
@@ -4275,6 +4342,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans_recall": _ANN_IVF_KMEANS_RECALL_ORACLE,
         "ann_ivf_append_search": _ANN_IVF_APPEND_ORACLE,
         "ann_ivf_rebuild_search": _ANN_IVF_REBUILD_ORACLE,
+        "ann_ivf_merge_search": _ANN_IVF_MERGE_ORACLE,
         "ann_index_stream_append": _ANN_INDEX_STREAM_APPEND_ORACLE,
         "ann_ivf_delete_search": _ANN_IVF_DELETE_ORACLE,
         "label_centroids": _LABEL_CENTROIDS_ORACLE,

@@ -336,6 +336,29 @@ def rebuild_ivf_index(
     )
 
 
+def merge_ivf_index(
+    spark,
+    path: str,
+    other_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Absorb ANOTHER independently-built IVF artifact into this one —
+    the shard-consolidation job a distributed index fleet needs (two
+    crawl shards indexed in parallel, then unified for serving).  The
+    destination's FROZEN centroids stay the routing authority: the
+    other shard's inverted lists are read back as plain vectors (its
+    own cluster_id routing is dropped — it was derived from different
+    centroids and means nothing here) and re-assigned via
+    ``append_ivf_index``, so the merged artifact is content-identical
+    to having appended the other shard's rows in the first place.
+    Cost is O(|other shard|) — the destination's untouched lists are
+    never rewritten — and the read of the source shard is a plain
+    partitioned-parquet scan that parallelizes over its lists."""
+    moved = spark.read.parquet(f"{other_path}/vectors").select(id_col, vec_col)
+    append_ivf_index(moved, path, id_col=id_col, vec_col=vec_col)
+
+
 def ivf_search_indexed(
     spark,
     path: str,

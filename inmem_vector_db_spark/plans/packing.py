@@ -306,8 +306,118 @@ GROUP BY shard ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: data-layout QA for multi-dimensional
+# file pruning.  At 100 TB, the layout you WRITE decides how many files
+# a selective two-column predicate must read: a file is skippable iff
+# its per-column [min, max] envelope misses the query box, so
+# clustering the write order by the bit-interleaved Z-value keeps both
+# envelopes tight simultaneously, where any single-column (or arrival)
+# order leaves the other column's envelope spanning the whole domain.
+# This entry MEASURES that effect instead of asserting it: the same
+# rows are ntile'd into equal-size files under arrival order and under
+# Z-order, and the output counts how many files the box predicate
+# survives pruning into, per layout.  Everything is integer arithmetic
+# (bit interleave, min/max, counts) from one shared expression text,
+# so the Spark result and the DuckDB oracle match bit-for-bit.
+# Production write = repartitionByRange(z) + sortWithinPartitions(z)
+# + write; the global ntile window here is the bounded QA analogue at
+# measurement scale (same posture as shard_profile above).
+
+_Z_BITS = 11  # covers user_id <= 1499 and floor(value) <= 560 at sf0.1
+_Z_EXPR = " + ".join(
+    f"(((u >> {i}) & 1) << {2 * i}) + (((vq >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+_Z_FILES = 16
+# the box predicate whose pruning is measured (inclusive bounds)
+_Z_BOX = {"u_lo": 10, "u_hi": 40, "v_lo": 50, "v_hi": 150}
+
+
+def zorder_layout_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.floor("value").cast("bigint").alias("vq"),
+        "event_id",
+    )
+    z = ev.withColumn("z", F.expr(_Z_EXPR))
+    box = (
+        (F.col("u_min") <= F.lit(_Z_BOX["u_hi"]))
+        & (F.col("u_max") >= F.lit(_Z_BOX["u_lo"]))
+        & (F.col("v_min") <= F.lit(_Z_BOX["v_hi"]))
+        & (F.col("v_max") >= F.lit(_Z_BOX["v_lo"]))
+    )
+    rows_matched = z.filter(
+        F.col("u").between(_Z_BOX["u_lo"], _Z_BOX["u_hi"])
+        & F.col("vq").between(_Z_BOX["v_lo"], _Z_BOX["v_hi"])
+    ).count()
+
+    def layout(name: str, order_cols) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        files = (
+            z.withColumn("f", F.ntile(_Z_FILES).over(w))
+            .groupBy("f")
+            .agg(
+                F.min("u").alias("u_min"),
+                F.max("u").alias("u_max"),
+                F.min("vq").alias("v_min"),
+                F.max("vq").alias("v_max"),
+            )
+        )
+        return files.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(box.cast("long")).alias("files_scanned"),
+            F.lit(rows_matched).cast("long").alias("rows_matched"),
+        )
+
+    return layout("arrival", [F.col("event_id")]).unionByName(
+        layout("zorder", [F.col("z"), F.col("event_id")])
+    )
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH base AS (
+  SELECT user_id AS u, CAST(floor(value) AS BIGINT) AS vq, event_id
+  FROM events
+),
+z AS (SELECT *, {_Z_EXPR} AS z FROM base),
+m AS (
+  SELECT count(*)::BIGINT AS rows_matched FROM z
+  WHERE u BETWEEN {_Z_BOX["u_lo"]} AND {_Z_BOX["u_hi"]}
+    AND vq BETWEEN {_Z_BOX["v_lo"]} AND {_Z_BOX["v_hi"]}
+),
+arrival AS (
+  SELECT ntile({_Z_FILES}) OVER (ORDER BY event_id) AS f, u, vq FROM z
+),
+zord AS (
+  SELECT ntile({_Z_FILES}) OVER (ORDER BY z, event_id) AS f, u, vq FROM z
+),
+pruned AS (
+  SELECT 'arrival' AS layout, count(*)::BIGINT AS n_files,
+         CAST(sum(CASE WHEN u_min <= {_Z_BOX["u_hi"]} AND u_max >= {_Z_BOX["u_lo"]}
+                        AND v_min <= {_Z_BOX["v_hi"]} AND v_max >= {_Z_BOX["v_lo"]}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned
+  FROM (SELECT f, min(u) u_min, max(u) u_max, min(vq) v_min, max(vq) v_max
+        FROM arrival GROUP BY f)
+  UNION ALL
+  SELECT 'zorder', count(*)::BIGINT,
+         CAST(sum(CASE WHEN u_min <= {_Z_BOX["u_hi"]} AND u_max >= {_Z_BOX["u_lo"]}
+                        AND v_min <= {_Z_BOX["v_hi"]} AND v_max >= {_Z_BOX["v_lo"]}
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT f, min(u) u_min, max(u) u_max, min(vq) v_min, max(vq) v_max
+        FROM zord GROUP BY f)
+)
+SELECT p.layout, p.n_files, p.files_scanned, m.rows_matched
+FROM pruned p, m
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "sequence_packing": (sequence_packing_q, SEQUENCE_PACKING_SQL),
     "boilerplate_ngrams": (boilerplate_ngrams_q, BOILERPLATE_SQL),
     "training_shards": (training_shards_q, TRAINING_SHARDS_SQL),
+    "zorder_layout_pruning": (zorder_layout_pruning_q, ZORDER_LAYOUT_SQL),
 }

@@ -475,3 +475,44 @@ def test_rebuild_from_artifact_equals_scratch_build(spark, emb, tmp_path):
     assert len(cents(new)) > 5
     # old artifact untouched
     assert spark.read.parquet(f"{old}/vectors").count() == before
+
+
+def test_merge_ivf_equals_direct_append(spark, emb, tmp_path):
+    """merge_ivf_index (shard consolidation): absorbing an
+    independently-built shard must produce exactly the artifact that
+    appending the shard's raw rows would — the source shard's own
+    centroid routing is dropped, the destination's frozen centroids
+    stay the authority — and the source shard must be left untouched."""
+    from inmem_vector_db_spark.operators.ann import (
+        append_ivf_index,
+        merge_ivf_index,
+        write_ivf_index,
+    )
+
+    dst = str(tmp_path / "dst")
+    write_ivf_index(emb.filter(F.col("vec_id") < 250), dst, stride=50)
+    src = str(tmp_path / "src")
+    write_ivf_index(emb.filter(F.col("vec_id") >= 250), src, stride=50)
+    src_before = spark.read.parquet(f"{src}/vectors").count()
+
+    merge_ivf_index(spark, dst, src)
+
+    want_path = str(tmp_path / "want")
+    write_ivf_index(emb.filter(F.col("vec_id") < 250), want_path, stride=50)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 250), want_path)
+
+    def norm(path):
+        return spark.read.parquet(f"{path}/vectors").select(
+            "vec_id", F.col("cluster_id").cast("long").alias("cid")
+        )
+
+    got, want = norm(dst), norm(want_path)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # destination centroids unchanged by the merge (routing authority)
+    cents = lambda p: sorted(  # noqa: E731
+        (r["cid"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{p}/centroids").collect()
+    )
+    assert cents(dst) == cents(want_path)
+    # source shard untouched (it keeps serving until decommissioned)
+    assert spark.read.parquet(f"{src}/vectors").count() == src_before

@@ -74,6 +74,9 @@ _BUILD_BEFORE_CONSUMER = [
     ("ann_ivf_index_build", "ann_ivf_append_search"),
     # rebuild derives from the APPENDED artifact (advisor r6 pin)
     ("ann_ivf_append_search", "ann_ivf_rebuild_search"),
+    # merge derives from the shared base250 artifact, whose build cost
+    # belongs to its first toucher (the append entry)
+    ("ann_ivf_append_search", "ann_ivf_merge_search"),
 ]
 
 

@@ -315,6 +315,14 @@ HEADLINERS = {
     "normal banded shapes; the grade is one full-outer join of two "
     "tiny pair sets plus a single aggregate row — the check costs "
     "nothing beyond the pipelines it grades.",
+    "ann_ivf_merge_search": "the merged artifact serves like any IVF "
+    "index: zero Exchange, partition-pruned probe scan, "
+    "TakeOrderedAndProject — consolidation cost lives in the build, "
+    "never in the serve path.",
+    "zorder_layout_pruning": "pure integer bit-interleave projected "
+    "in-scan; two ntile windows + per-file min/max aggregates; the "
+    "output IS the pruning measurement (sf0.1: 16/16 files scanned "
+    "under arrival order vs 4/16 under z-order).",
 }
 
 
