@@ -3362,6 +3362,61 @@ def _compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-based snapshot TIME TRAVEL (sources/snapshots.py —
+    Iceberg/Delta semantics on plain parquet): commit v1 = events with
+    ``event_id % 3 != 0``, then commit the rest as v2, then read BOTH
+    versions back and fingerprint each (row count + bit_xor of the
+    md5-derived 60-bit id hash).  v1 is aggregated AFTER v2 was
+    committed, so a matching v1 row proves the append touched nothing
+    the old snapshot reads — the reproducible-training-run guarantee
+    ("train on snapshot v1" pins an exact file set forever).  The
+    oracle replays both versions as pure filters over the source
+    table; engine-portable integer arithmetic throughout."""
+    from inmem_vector_db_spark.functions.text import shingle_hash
+    from inmem_vector_db_spark.sources.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    def build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        commit_snapshot(ev.filter(F.col("event_id") % 3 != 0), path)
+        commit_snapshot(ev.filter(F.col("event_id") % 3 == 0), path)
+
+    root = _memo_artifact(spark, sf_dir, "snap_tbl_", build)
+    frames = []
+    for v in (1, 2):
+        df = read_snapshot(spark, root, v)
+        frames.append(
+            df.select(
+                shingle_hash(F.col("event_id").cast("string")).alias("h")
+            ).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr("bit_xor(h)").alias("xor_sig"),
+            )
+        )
+    return frames[0].unionByName(frames[1])
+
+
+_SNAPSHOT_TIME_TRAVEL_ORACLE = """
+WITH h AS (
+  SELECT event_id,
+         CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT
+              AS BIGINT) AS h
+  FROM events
+)
+SELECT 1 AS version, count(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xor_sig
+FROM h WHERE event_id % 3 <> 0
+UNION ALL
+SELECT 2 AS version, count(*) AS n_rows, CAST(bit_xor(h) AS BIGINT) AS xor_sig
+FROM h
+"""
+
+
 def _jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source round-trip (S4 widened to the LLM-corpus standard
     format): stage documents as line-delimited JSON, read back with an
@@ -4133,6 +4188,7 @@ _BUILD_ENTRIES = {
     "dedup_probe_stream",
     "dedup_signature_index",
     "incremental_signature_stream",
+    "snapshot_time_travel",
     "lsh_index_append_search",
     "lsh_index_compact_stats",
     "lsh_index_delete_search",
@@ -4210,6 +4266,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_write_roundtrip": _partitioned_write_roundtrip,
         "schema_evolution_roundtrip": _schema_evolution_roundtrip,
         "compaction_roundtrip": _compaction_roundtrip,
+        "snapshot_time_travel": _snapshot_time_travel,
         "user_distinct_stream": _user_distinct_stream,
         "value_histogram_stream": _value_histogram_stream,
         "user_totals_stateful_stream": _user_totals_stateful_stream,
@@ -4319,6 +4376,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_write_roundtrip": _DOCS_AGG_ORACLE,
         "schema_evolution_roundtrip": _SCHEMA_EVOLUTION_ORACLE,
         "compaction_roundtrip": _DOCS_AGG_ORACLE,
+        "snapshot_time_travel": _SNAPSHOT_TIME_TRAVEL_ORACLE,
         "image_pixel_stats": _IMAGE_PIXEL_ORACLE,
         "image_phash_dups": _IMAGE_PHASH_ORACLE,
         "video_frame_sample": _VIDEO_FRAME_ORACLE,

@@ -1,0 +1,94 @@
+"""Manifest-based snapshot versioning over plain parquet (S-family
+maintenance, beyond the reference): the minimal lakehouse time-travel
+pattern — Iceberg/Delta semantics with no table-format dependency.
+
+Each commit writes NEW immutable data directories and then a manifest
+(one JSON file per version) listing the complete directory set visible
+at that version.  The manifest write is the atomic commit point:
+
+* appends never rewrite or touch existing data files, so every
+  historical version stays byte-identical and readable forever;
+* a reader resolves ONE manifest and scans exactly that file set — it
+  can never observe a half-committed version (the data write happens
+  before the manifest exists) or a concurrent append (which only adds
+  a manifest the reader did not resolve);
+* at 100 TB this is the only write discipline that gives reproducible
+  training runs: "train on snapshot v7" pins the exact file set, while
+  a bare directory scan would silently absorb whatever landed since.
+
+Reference analog: the store's save/load persistence (S1/S2,
+``app/api/dependencies.py:36-67``) keeps only the LATEST state; this
+keeps them all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+
+
+def list_versions(table_path: str) -> list[int]:
+    """Committed versions, ascending (empty for a fresh table)."""
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(table_path: str, version: int) -> list[str]:
+    with open(
+        os.path.join(table_path, _MANIFEST_DIR, f"v{version}.json")
+    ) as fh:
+        return json.load(fh)["data_dirs"]
+
+
+def commit_snapshot(df: DataFrame, table_path: str) -> int:
+    """Append ``df`` as a new immutable version; returns the version.
+
+    Data lands in a fresh ``batch-NNNNN`` directory (``mode="error"``
+    so a retried half-commit can never silently double-write), then
+    the manifest is written as the atomic commit point.  The manifest
+    carries the FULL directory list (previous version's set + the new
+    directory), so resolving a version never walks a manifest chain."""
+    versions = list_versions(table_path)
+    v = (versions[-1] + 1) if versions else 1
+    data_dir = f"batch-{v:05d}"
+    df.write.mode("error").parquet(os.path.join(table_path, data_dir))
+    dirs = (_read_manifest(table_path, versions[-1]) if versions else []) + [
+        data_dir
+    ]
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "data_dirs": dirs}, fh)
+    os.rename(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Scan exactly the file set of ``version`` (default: latest).
+
+    A plain multi-path parquet read — column pruning and predicate
+    pushdown reach every file, and the scan parallelizes over the
+    union of the version's directories like any other table."""
+    versions = list_versions(table_path)
+    if not versions:
+        raise ValueError(f"no committed snapshots under {table_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"unknown snapshot version {v}; have {versions}")
+    dirs = _read_manifest(table_path, v)
+    return spark.read.parquet(
+        *[os.path.join(table_path, d) for d in dirs]
+    )

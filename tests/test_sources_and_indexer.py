@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.operators.indexer import FlatIndex, LSHIndex, make_index
 from inmem_vector_db_spark.sources.embedding import EmbeddingCache, hash_embed_texts
-from inmem_vector_db_spark.sources.loader import load_chunk_csv
+from inmem_vector_db_spark.sources.loader import load_chunk_csv, load_table
 
 
 @pytest.fixture(scope="module")
@@ -352,3 +352,34 @@ def test_document_feed_malformed_modes(spark, tmp_path):
     assert sorted(r["doc_id"] for r in read("skip").collect()) == [0, 1, 2]
     with _pytest.raises(Exception):
         read("fail").collect()
+
+
+def test_snapshot_time_travel_semantics(spark, sf_dir, tmp_path):
+    """sources/snapshots: appends create new versions without touching
+    old ones; every historical version stays readable and exact; a
+    reader can never resolve an uncommitted or unknown version."""
+    from inmem_vector_db_spark.sources.snapshots import (
+        commit_snapshot,
+        list_versions,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    with pytest.raises(ValueError):
+        read_snapshot(spark, root)  # nothing committed yet
+
+    v1 = commit_snapshot(docs.filter(F.col("doc_id") % 2 == 0), root)
+    ids_v1 = {r[0] for r in read_snapshot(spark, root).select("doc_id").collect()}
+    v2 = commit_snapshot(docs.filter(F.col("doc_id") % 2 == 1), root)
+    assert (v1, v2) == (1, 2) and list_versions(root) == [1, 2]
+
+    # old version byte-stable after the append
+    again_v1 = {r[0] for r in read_snapshot(spark, root, 1).select("doc_id").collect()}
+    assert again_v1 == ids_v1
+    # latest = union, exactly once each
+    latest = read_snapshot(spark, root)
+    assert latest.count() == docs.count()
+    assert latest.select("doc_id").distinct().count() == docs.count()
+    with pytest.raises(ValueError):
+        read_snapshot(spark, root, 3)

@@ -323,6 +323,10 @@ HEADLINERS = {
     "in-scan; two ntile windows + per-file min/max aggregates; the "
     "output IS the pruning measurement (sf0.1: 16/16 files scanned "
     "under arrival order vs 4/16 under z-order).",
+    "snapshot_time_travel": "each version resolves to a plain "
+    "multi-path parquet scan (pushdown and pruning reach every file); "
+    "the manifest is metadata-only — time travel costs nothing at "
+    "read time.",
 }
 
 
