@@ -131,7 +131,7 @@ def main() -> None:
         # query-vector fetch + plan analysis) that the min-of-2 policy
         # exists to separate from steady-state cost; it is serve-only
         # (no artifact memo), so a re-run measures real work
-        if "knn_cosine" in timings and "knn_cosine" not in top10:
+        if timings.get("knn_cosine", -1.0) >= 0 and "knn_cosine" not in top10:
             top10.append("knn_cosine")
         for name in top10:
             try:

@@ -342,17 +342,40 @@ def zorder_layout_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("bigint").alias("vq"),
         "event_id",
     )
-    z = ev.withColumn("z", F.expr(_Z_EXPR))
+    # loud truncation guard (same philosophy as operators.knn._dim_guard):
+    # a dimension past the interleave width would silently drop high
+    # bits and the measurement would stop measuring z-order — fail the
+    # job instead of degrading
+    oob = (
+        (F.col("u") < 0)
+        | (F.col("u") >= (1 << _Z_BITS))
+        | (F.col("vq") < 0)
+        | (F.col("vq") >= (1 << _Z_BITS))
+    )
+    z = ev.withColumn(
+        "z",
+        F.when(
+            oob,
+            F.raise_error(
+                F.lit(
+                    f"z-order dimension exceeds {_Z_BITS} bits — "
+                    "widen _Z_BITS for this corpus"
+                )
+            ),
+        ).otherwise(F.expr(_Z_EXPR)),
+    )
     box = (
         (F.col("u_min") <= F.lit(_Z_BOX["u_hi"]))
         & (F.col("u_max") >= F.lit(_Z_BOX["u_lo"]))
         & (F.col("v_min") <= F.lit(_Z_BOX["v_hi"]))
         & (F.col("v_max") >= F.lit(_Z_BOX["v_lo"]))
     )
-    rows_matched = z.filter(
+    # lazy 1-row aggregate cross-joined in (the nb_lang_classifier
+    # scalar pattern) — constructing this entry must launch no job
+    matched = z.filter(
         F.col("u").between(_Z_BOX["u_lo"], _Z_BOX["u_hi"])
         & F.col("vq").between(_Z_BOX["v_lo"], _Z_BOX["v_hi"])
-    ).count()
+    ).agg(F.count(F.lit(1)).alias("rows_matched"))
 
     def layout(name: str, order_cols) -> DataFrame:
         w = Window.orderBy(*order_cols)
@@ -370,8 +393,7 @@ def zorder_layout_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("layout"),
             F.count(F.lit(1)).alias("n_files"),
             F.sum(box.cast("long")).alias("files_scanned"),
-            F.lit(rows_matched).cast("long").alias("rows_matched"),
-        )
+        ).crossJoin(matched)
 
     return layout("arrival", [F.col("event_id")]).unionByName(
         layout("zorder", [F.col("z"), F.col("event_id")])

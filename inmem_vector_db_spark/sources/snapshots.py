@@ -32,14 +32,20 @@ _MANIFEST_DIR = "_manifests"
 
 
 def list_versions(table_path: str) -> list[int]:
-    """Committed versions, ascending (empty for a fresh table)."""
+    """Committed versions, ascending (empty for a fresh table).
+
+    Only exact ``v<digits>.json`` names count — a stray or hand-edited
+    file in the manifest directory must not take reads down."""
+    import re
+
     mdir = os.path.join(table_path, _MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
     out = []
     for name in os.listdir(mdir):
-        if name.startswith("v") and name.endswith(".json"):
-            out.append(int(name[1:-5]))
+        m = re.fullmatch(r"v(\d+)\.json", name)
+        if m:
+            out.append(int(m.group(1)))
     return sorted(out)
 
 
@@ -53,14 +59,23 @@ def _read_manifest(table_path: str, version: int) -> list[str]:
 def commit_snapshot(df: DataFrame, table_path: str) -> int:
     """Append ``df`` as a new immutable version; returns the version.
 
-    Data lands in a fresh ``batch-NNNNN`` directory (``mode="error"``
-    so a retried half-commit can never silently double-write), then
-    the manifest is written as the atomic commit point.  The manifest
+    Data lands in a fresh ``batch-NNNNN[-rK]`` directory
+    (``mode="error"`` so a retry can never silently double-write into
+    an existing one), then the manifest is written as the atomic
+    commit point.  A commit that died between the data write and the
+    manifest write leaves an ORPHAN directory no manifest references;
+    the retry probes past it to a fresh suffix, so the orphan is
+    harmless garbage (collectable by any dir not referenced by the
+    latest manifest) instead of wedging the table.  The manifest
     carries the FULL directory list (previous version's set + the new
     directory), so resolving a version never walks a manifest chain."""
     versions = list_versions(table_path)
     v = (versions[-1] + 1) if versions else 1
     data_dir = f"batch-{v:05d}"
+    retry = 0
+    while os.path.exists(os.path.join(table_path, data_dir)):
+        retry += 1
+        data_dir = f"batch-{v:05d}-r{retry}"
     df.write.mode("error").parquet(os.path.join(table_path, data_dir))
     dirs = (_read_manifest(table_path, versions[-1]) if versions else []) + [
         data_dir

@@ -144,6 +144,13 @@ def _artifact_owning_entries() -> set[str]:
         s = src_of(reg[name])
         if owns_build(s):
             owners.add(name)
+        # simhash_pairs(portable=False) persists its signature table
+        # internally and CacheManager dedupes identical plans across
+        # calls, so any entry on that path is re-run-hazardous too
+        # (the other dedup internal persists are bypassed because every
+        # entry passes the shared sig_index)
+        if "portable=False" in s:
+            owners.add(name)
         for t in tokens:
             if re.search(r"\b" + re.escape(t) + r"\(", s):
                 first_toucher.setdefault(t, name)

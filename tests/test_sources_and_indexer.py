@@ -383,3 +383,34 @@ def test_snapshot_time_travel_semantics(spark, sf_dir, tmp_path):
     assert latest.select("doc_id").distinct().count() == docs.count()
     with pytest.raises(ValueError):
         read_snapshot(spark, root, 3)
+
+
+def test_snapshot_commit_retry_survives_orphan_data_dir(spark, sf_dir, tmp_path):
+    """A commit that died between the data write and the manifest write
+    leaves an orphan batch directory; the retried commit must probe
+    past it instead of wedging the table forever on mode='error'."""
+    from inmem_vector_db_spark.sources.snapshots import (
+        commit_snapshot,
+        list_versions,
+        read_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    commit_snapshot(docs.filter(F.col("doc_id") % 2 == 0), root)
+    # simulate the half-commit: v2's data landed, no manifest followed
+    orphan = docs.filter(F.col("doc_id") % 2 == 1)
+    import os
+
+    orphan.write.parquet(os.path.join(root, "batch-00002"))
+    assert list_versions(root) == [1]  # orphan is invisible
+
+    v2 = commit_snapshot(orphan, root)  # the retry
+    assert v2 == 2
+    latest = read_snapshot(spark, root)
+    assert latest.count() == docs.count()
+    assert latest.select("doc_id").distinct().count() == docs.count()
+    # a foreign file in _manifests must not take listing down
+    with open(os.path.join(root, "_manifests", "view.json"), "w") as fh:
+        fh.write("{}")
+    assert list_versions(root) == [1, 2]
