@@ -368,7 +368,13 @@ SELECT n_rows, tp, fp, fn, tn, {_METRICS_SQL} FROM dcells
 # is a valid calibration set.
 
 _CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
-_CONF_CALIB_MOD = 16  # calibration keep-rate = 1/16 of bucket 2
+# Calibration keep-rate = 1/16 of bucket 2.  The single-partition
+# row_number over the thinned calibration set still grows linearly
+# with corpus size; at extreme scale lower the keep-rate by raising
+# THIS constant only — the oracle SQL below interpolates it
+# (f-string), so Spark and DuckDB stay consistent from the one edit
+# and no hand regeneration is involved (advisor r6 note).
+_CONF_CALIB_MOD = 16
 
 
 def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
