@@ -1359,6 +1359,75 @@ FROM events GROUP BY 1, 2
 """
 
 
+def late_backfill_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival BACKFILL — the complement of ``incremental_agg_merge``
+    (which appends a new partition forward): a late batch lands in PAST
+    hours, so the maintenance job detects the dirty hourly partitions
+    (one tiny distinct over the late batch), recomputes ONLY those
+    hours from base + late, and keeps every untouched stored row as-is
+    (anti-join; at rest this is a metadata-only retain, and the
+    recompute scan is partition-pruned to the dirty hours).  The
+    oracle is the full recompute over all events with a flag marking
+    the late-touched hours — the value hash IS the proof that
+    selective backfill equals recomputing everything.  Sums are exact
+    integer cents (one shared FLOOR expression), so merge-vs-recompute
+    can never drift by float association."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")
+    # deterministic ~2% "arrived late" subset, portable md5 bucketing
+    is_late = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 50
+        == 0
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    tagged = ev.select(
+        hour.alias("h"), cents.alias("cents"), is_late.alias("late")
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("h").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    stored = rollup(tagged.filter(~F.col("late")))
+    dirty = tagged.filter(F.col("late")).select("h").distinct()
+    untouched = stored.join(dirty, "h", "left_anti").withColumn(
+        "recomputed", F.lit(False)
+    )
+    recomputed = rollup(tagged.join(F.broadcast(dirty), "h")).withColumn(
+        "recomputed", F.lit(True)
+    )
+    return untouched.unionByName(recomputed).select(
+        F.col("h").alias("hour"), "n_events", "sum_cents", "recomputed"
+    )
+
+
+LATE_BACKFILL_SQL = """
+WITH tagged AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::UBIGINT % 50 = 0)
+           AS late
+  FROM events
+),
+dirty AS (SELECT DISTINCT h FROM tagged WHERE late),
+full_rollup AS (
+  SELECT h, count(*)::BIGINT AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM tagged GROUP BY h
+)
+SELECT f.h AS hour, f.n_events, f.sum_cents,
+       (d.h IS NOT NULL) AS recomputed
+FROM full_rollup f LEFT JOIN dirty d ON f.h = d.h
+"""
+
+
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -3565,6 +3634,7 @@ QUERIES = {
     "props_variant_stats": (props_variant_stats, PROPS_VARIANT_SQL),
     "events_anomaly_zscore": (events_anomaly_zscore, EVENTS_ANOMALY_SQL),
     "incremental_agg_merge": (incremental_agg_merge, INCREMENTAL_AGG_SQL),
+    "late_backfill_recompute": (late_backfill_recompute, LATE_BACKFILL_SQL),
     "fuzzy_name_pairs": (fuzzy_name_pairs, FUZZY_NAME_SQL),
     "user_rolling_activity": (user_rolling_activity, USER_ROLLING_SQL),
     "salted_event_stats": (salted_event_stats, SALTED_EVENT_SQL),

@@ -2506,6 +2506,75 @@ def quality_quantile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_normalize_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION of quality scores — the
+    mixing prerequisite when per-source quality distributions are not
+    comparable (crawl A's 0.6 ≠ crawl B's 0.6): map every doc's score
+    to its within-source percentile, then report the per-(source,
+    decile) mapping table — doc counts and the raw-score band each
+    decile covers.  That table IS the normalization transform a mixing
+    job applies.  Decile assignment is pure integer arithmetic over
+    (row_number, count) with a (q, doc_id) total order, so the result
+    is engine-portable with no float-rank hazard (q itself is the
+    6dp-rounded portable quality_score).  100 TB shape: one window per
+    source partition (sources partition the corpus — no global sort)
+    + one tiny groupBy; same posture note as quality_quantile_filter."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", "source", quality_score("text").alias("q"))
+    ws = Window.partitionBy("source")
+    ranked = q.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("q", "doc_id")
+        ),
+    ).withColumn("n", F.count(F.lit(1)).over(ws))
+    dec = F.expr(
+        "least(CAST(9 AS BIGINT), ((CAST(rn AS BIGINT) - 1) * 10)"
+        " div greatest(CAST(n AS BIGINT) - 1, 1))"
+    )
+    return (
+        ranked.withColumn("decile", dec)
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("q"), 6).alias("q_lo"),
+            F.round(F.max("q"), 6).alias("q_hi"),
+        )
+    )
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH d AS (SELECT doc_id, source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+s AS (
+  SELECT doc_id, source, len(t) AS n_tokens,
+         len(list_distinct(t))::DOUBLE / len(t) AS dr,
+         len(list_filter(t, x -> list_contains({SW}, x)))::DOUBLE / len(t) AS sw
+  FROM d
+),
+q AS (
+  SELECT doc_id, source,
+         round(0.4 * least(1.0, n_tokens / 128.0) + 0.4 * dr
+               + 0.2 * (1.0 - abs(sw - 0.3) / 0.7), 6) AS q
+  FROM s
+),
+ranked AS (
+  SELECT source, q,
+         row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM q
+)
+SELECT source,
+       CAST(least(9, ((rn - 1) * 10) // greatest(n - 1, 1)) AS BIGINT)
+         AS decile,
+       count(*) AS n_docs,
+       round(min(q), 6) AS q_lo,
+       round(max(q), 6) AS q_hi
+FROM ranked GROUP BY 1, 2
+""".replace("{SW}", _sql_list(STOPWORDS_EN))
+
+
 QUALITY_QUANTILE_SQL = """
 WITH d AS (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
 s AS (
@@ -4400,6 +4469,10 @@ QUERIES: dict[str, tuple] = {
     "posting_lists": (posting_lists_q, POSTING_LISTS_SQL),
     "conjunctive_search": (conjunctive_search_q, CONJUNCTIVE_SEARCH_SQL),
     "quality_quantile_filter": (quality_quantile_filter_q, QUALITY_QUANTILE_SQL),
+    "quantile_normalize_scores": (
+        quantile_normalize_scores_q,
+        QUANTILE_NORMALIZE_SQL,
+    ),
     "vocab_encode": (vocab_encode_q, VOCAB_ENCODE_SQL),
     "dataset_split": (dataset_split_q, DATASET_SPLIT_SQL),
     "group_split_leakage": (group_split_leakage_q, GROUP_SPLIT_LEAKAGE_SQL),
