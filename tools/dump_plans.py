@@ -327,6 +327,14 @@ HEADLINERS = {
     "multi-path parquet scan (pushdown and pruning reach every file); "
     "the manifest is metadata-only — time travel costs nothing at "
     "read time.",
+    "late_backfill_recompute": "dirty-hour detection is one tiny "
+    "distinct over the ~2% late batch (broadcast back); untouched "
+    "stored rows survive via anti-join; only the dirty hours rescan — "
+    "at rest both sides are partition-pruned.",
+    "quantile_normalize_scores": "one window per source partition "
+    "(sources partition the corpus — no global sort) + a tiny "
+    "groupBy; decile assignment is integer arithmetic, single "
+    "shuffle.",
 }
 
 
