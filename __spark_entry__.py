@@ -4097,78 +4097,79 @@ GROUP BY 1
 # (build-before-consumer pinned in test_entry_contract.py).  Projected
 # union driver coverage: 149 + 43 = 192 of 238.
 # Round-7 rotation (fourth and FINAL coverage rotation; judge r6 item
-# #1): the 49 entries that have never had a driver CORRECTNESS row +
-# events_type_pivot (whose only driver row is the long-since-fixed r01
-# hash mismatch — a green row retires the suite's last stale fail).
-# 50/50 green here closes cumulative driver-oracle union coverage at
-# 242/242: every entry in the suite validated by the hard signal at
-# least once.  No build rows needed in-window anymore: bench executes
-# in ``exec_order()`` (registration order, builders first), so window
-# position no longer controls bench cost attribution, and the driver's
-# correctness run only needs pass/fail.  One rows-only entry
-# (dedup_simhash_fast, xxhash64 not reproducible in DuckDB) is
-# windowed deliberately so even the weaker rows-check lands once; its
-# value-grade contract lives in dedup_simhash_fast_check (vs the
-# portable dedup_simhash ground truth).  In-window ordering keeps
-# dedup_probe_batch before dedup_probe_stream (shared standing-index
-# family, batch oracle is the stream's ground truth).
+# #1): the 7 entries shipped after round 7's final coverage rotation
+# (never driver-checked; judge's independent sf0.01 oracle run passed
+# all 7) + the 43 longest-unrevisited green entries (34 r1/r2-vintage +
+# the 9 stalest r3-vintage rows) so staleness is bounded, not just
+# coverage.  50/50 green here closes the cumulative driver-oracle
+# union at 249/249 AND caps oldest-check age at 5 rounds.  No build
+# rows needed in-window: bench executes in ``exec_order()``
+# (registration order, builders first), so window position no longer
+# controls bench cost attribution, and the driver's correctness run
+# only needs pass/fail.  In-window ordering keeps dedup_simhash (the
+# portable md5 ground truth) before dedup_simhash_fast_check (which
+# grades the xxhash64 variant against it).
 _DRIVER_WINDOW = [
-    "events_type_pivot",
-    "dedup_probe_batch",
-    "dedup_probe_stream",
-    "dedup_simhash_fast",
-    "ann_ivf_rebuild_search",
-    "ivf_balance",
-    "contrastive_pair_mining",
-    "knn_label_vote",
-    "approx_distinct_kmv",
-    "approx_distinct_hll_check",
-    "approx_quantile_check",
-    "heavy_hitters_cms",
-    "table_profile",
-    "dq_checks",
-    "udtf_sentences",
-    "sql_api_report",
-    "purchase_funnel",
-    "multitouch_attribution",
-    "next_purchase_asof",
-    "order_rank_stats",
-    "q13_order_distribution",
-    "revenue_share",
-    "weekly_growth",
-    "incremental_agg_merge",
-    "events_json_props",
-    "props_map_stats",
-    "props_variant_stats",
-    "events_anomaly_zscore",
-    "user_rolling_activity",
-    "event_trigram_motifs",
-    "windowed_dedup",
-    "value_histogram",
-    "hourly_trend_slope",
-    "time_weighted_avg",
-    "latest_event_per_user",
-    "activity_heatmap",
-    "weighted_sample",
-    "stratified_sample",
-    "corpus_sample",
-    "corpus_curation",
-    "conjunctive_search",
-    "quality_quantile_filter",
-    "group_split_leakage",
-    "curriculum_buckets",
-    "lang_confusion",
-    "source_profile",
-    "chunk_stitch",
-    "source_token_gini",
-    "source_mix_weights",
-    "embedding_drift_by_label",
+    # --- the 7 post-rotation round-7 entries (never driver-checked) ---
+    "snapshot_time_travel",
+    "ann_ivf_merge_search",
+    "late_backfill_recompute",
+    "dedup_simhash",
+    "dedup_simhash_fast_check",
+    "nb_lang_classifier",
+    "quantile_normalize_scores",
+    "zorder_layout_pruning",
+    # --- r1/r2-vintage greens (not driver-checked since round 2) ---
+    "knn_euclidean",
+    "knn_manhattan",
+    "knn_dot_product",
+    "knn_postfilter_parity",
+    "ann_ivf_multi",
+    "label_centroids",
+    "dedup_exact_pairs",
+    "fingerprint_summary",
+    "jsonl_source_agg",
+    "orc_source_agg",
+    "user_distinct_stream",
+    "value_histogram_stream",
+    "audio_meta_stats",
+    "image_resize_roundtrip",
+    "events_hourly",
+    "events_user_stats",
+    "events_sliding_windows",
+    "user_sessions",
+    "revenue_rollup",
+    "order_value_percentiles",
+    "users_purchase_and_error",
+    "supplier_geomean_price",
+    "click_purchase_pairs",
+    "customer_order_history",
+    "customers_never_urgent",
+    "customers_without_orders",
+    "order_status_cube",
+    "top_customers_per_nation",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_customers",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    # --- stalest r3-vintage greens (not driver-checked since round 3) ---
+    "q7_nation_volume",
+    "q21_waiting_suppliers",
+    "lang_id_counts",
+    "semantic_dedup",
+    "knn_quantized",
+    "partitioned_write_roundtrip",
+    "ann_ivfpq",
+    "lsh_knn_multiprobe",
 ]
 
-# the one deliberate rows-only window slot (no DuckDB value oracle:
-# xxhash64); every other windowed entry must carry a value oracle —
-# pinned by tests/test_entry_contract.py
-_ROWS_ONLY_WINDOWED = {"dedup_simhash_fast"}
+# rows-only window slots (no DuckDB value oracle); every other windowed
+# entry must carry a value oracle — pinned by tests/test_entry_contract.py.
+# Empty this round: dedup_simhash_fast got its rows-only driver row in
+# r07 and its value-grade contract (dedup_simhash_fast_check) is windowed.
+_ROWS_ONLY_WINDOWED: set[str] = set()
 
 # Entries that OWN a one-time artifact/memo build (their first call
 # builds, later calls serve the memo) — bench times them exactly once:

@@ -68,7 +68,15 @@ def commit_snapshot(df: DataFrame, table_path: str) -> int:
     harmless garbage (collectable by any dir not referenced by the
     latest manifest) instead of wedging the table.  The manifest
     carries the FULL directory list (previous version's set + the new
-    directory), so resolving a version never walks a manifest chain."""
+    directory), so resolving a version never walks a manifest chain.
+
+    The manifest is created with an EXCLUSIVE primitive (``os.link``
+    from a private tmp file — fails with EEXIST if the target exists,
+    unlike ``os.rename`` which silently overwrites).  Two concurrent
+    committers that both read latest=v1 therefore cannot both land
+    v2.json: the loser re-reads the version list and retries with a
+    bumped number, so both data directories end up referenced by SOME
+    manifest and no commit is silently lost."""
     versions = list_versions(table_path)
     v = (versions[-1] + 1) if versions else 1
     data_dir = f"batch-{v:05d}"
@@ -77,16 +85,24 @@ def commit_snapshot(df: DataFrame, table_path: str) -> int:
         retry += 1
         data_dir = f"batch-{v:05d}-r{retry}"
     df.write.mode("error").parquet(os.path.join(table_path, data_dir))
-    dirs = (_read_manifest(table_path, versions[-1]) if versions else []) + [
-        data_dir
-    ]
     mdir = os.path.join(table_path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".v{v}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": v, "data_dirs": dirs}, fh)
-    os.rename(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
-    return v
+    while True:
+        versions = list_versions(table_path)
+        v = (versions[-1] + 1) if versions else 1
+        dirs = (
+            _read_manifest(table_path, versions[-1]) if versions else []
+        ) + [data_dir]
+        tmp = os.path.join(mdir, f".v{v}.json.tmp-{os.getpid()}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "data_dirs": dirs}, fh)
+        try:
+            os.link(tmp, os.path.join(mdir, f"v{v}.json"))  # atomic commit
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race: re-read versions, bump, retry
+        os.remove(tmp)
+        return v
 
 
 def read_snapshot(

@@ -414,3 +414,54 @@ def test_snapshot_commit_retry_survives_orphan_data_dir(spark, sf_dir, tmp_path)
     with open(os.path.join(root, "_manifests", "view.json"), "w") as fh:
         fh.write("{}")
     assert list_versions(root) == [1, 2]
+
+
+def test_snapshot_concurrent_commit_never_lost(spark, sf_dir, tmp_path, monkeypatch):
+    """Two committers that both observed latest=v1 must land as v2 AND
+    v3 — the manifest create is exclusive (os.link), so the loser's
+    link raises EEXIST and it retries with a bumped number instead of
+    silently overwriting the winner's manifest (lost commit).  The
+    TOCTOU is simulated by feeding the loser a STALE version list
+    (missing the rival's v2) right up to its first link attempt."""
+    import json
+    import os
+
+    import inmem_vector_db_spark.sources.snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    snap.commit_snapshot(docs.filter(F.col("doc_id") % 3 == 0), root)
+    # the rival commit: its data dir + v2.json already on disk
+    mdir = os.path.join(root, "_manifests")
+    rival_dir = "batch-rival"
+    docs.filter(F.col("doc_id") % 3 == 1).write.parquet(
+        os.path.join(root, rival_dir)
+    )
+    v1_dirs = json.load(open(os.path.join(mdir, "v1.json")))["data_dirs"]
+    with open(os.path.join(mdir, "v2.json"), "w") as fh:
+        json.dump({"version": 2, "data_dirs": v1_dirs + [rival_dir]}, fh)
+
+    # loser's first two list_versions reads (pre-data-write + first
+    # manifest-loop pass) are stale: they don't see the rival's v2
+    real = snap.list_versions
+    calls = {"n": 0}
+
+    def stale_then_real(path):
+        calls["n"] += 1
+        vs = real(path)
+        return [x for x in vs if x != 2] if calls["n"] <= 2 else vs
+
+    monkeypatch.setattr(snap, "list_versions", stale_then_real)
+    v = snap.commit_snapshot(docs.filter(F.col("doc_id") % 3 == 2), root)
+    monkeypatch.setattr(snap, "list_versions", real)
+
+    assert calls["n"] >= 3  # the EEXIST retry actually fired
+    assert v == 3  # bumped past the rival, not overwritten onto it
+    assert snap.list_versions(root) == [1, 2, 3]
+    # v3 sees ALL three commits' rows: nothing was lost or orphaned
+    assert snap.read_snapshot(spark, root, 3).count() == docs.count()
+    assert snap.read_snapshot(spark, root, 2).count() == docs.filter(
+        F.col("doc_id") % 3 != 2
+    ).count()
+    # no leftover tmp files from the failed link attempt
+    assert not [n for n in os.listdir(mdir) if ".tmp" in n]
