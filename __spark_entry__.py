@@ -4211,6 +4211,20 @@ _BUILD_ENTRIES = {
     # the same falsified-min-of-2 class as the artifact builders
     "dedup_simhash_fast",
     "dedup_simhash_fast_check",
+    # boilerplate_profile persists its exploded shingle stream (three
+    # consuming branches) and never unpersists — identical re-invocation
+    # is a CacheManager plan-equality hit (surfaced by the round-8
+    # one-level callee scan in test_entry_contract.py)
+    "boilerplate_ngrams",
+    # first exec_order touchers of the _STAGED_EVENTS session memo:
+    # their first call pays the one-time events staging write (one per
+    # distinct (sf_dir, type-filter) key — events_hourly_stream stages
+    # the unfiltered copy, click_purchase_stream its filtered copy), so
+    # their bench rows are staging-inclusive by design (profiled in
+    # BASELINE.md r8: steady-state hourly rollup is ~1.1 s at sf0.1,
+    # flat across state-store counts 2..8)
+    "events_hourly_stream",
+    "click_purchase_stream",
 }
 
 

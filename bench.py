@@ -52,6 +52,15 @@ def main() -> None:
         )
         qv = [float(x) for x in tiny_emb.limit(1).collect()[0]["embedding"]]
         knn(tiny_emb, qv, k=3, metric="cosine").collect()
+        # steady-state the kNN family's one-time scaffolding on the
+        # BENCH corpus: the memoized query-vector fetch (a plain list
+        # that only feeds a literal — the timed work, distance fold +
+        # top-k over the full corpus, still runs cold) and the memoized
+        # reader DataFrame it touches.  This removes the old
+        # flagship-only forced re-run (advisor r7): every serve row now
+        # starts from the same steady state under the same policy.
+        for vid in (0, 1):
+            entrymod._query_vec(spark, sf_dir, vid)
     except Exception:
         pass  # warmup is best-effort; timings just run colder
 
@@ -126,13 +135,6 @@ def main() -> None:
             (n for n, t in timings.items() if t >= 0 and n not in build_rows),
             key=lambda n: -timings[n],
         )[:10]
-        # the flagship headline row always gets min-of-2 too: its
-        # first call carries one-time scaffolding (the memoized
-        # query-vector fetch + plan analysis) that the min-of-2 policy
-        # exists to separate from steady-state cost; it is serve-only
-        # (no artifact memo), so a re-run measures real work
-        if timings.get("knn_cosine", -1.0) >= 0 and "knn_cosine" not in top10:
-            top10.append("knn_cosine")
         for name in top10:
             try:
                 for _ in range(top_repeats - 1):

@@ -342,6 +342,7 @@ def merge_ivf_index(
     other_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    check_disjoint: bool = True,
 ) -> None:
     """Absorb ANOTHER independently-built IVF artifact into this one —
     the shard-consolidation job a distributed index fleet needs (two
@@ -354,8 +355,29 @@ def merge_ivf_index(
     to having appended the other shard's rows in the first place.
     Cost is O(|other shard|) — the destination's untouched lists are
     never rewritten — and the read of the source shard is a plain
-    partitioned-parquet scan that parallelizes over its lists."""
+    partitioned-parquet scan that parallelizes over its lists.
+
+    PRECONDITION: the shards' id sets are disjoint (they index
+    different corpus slices) — a shared id would silently serve
+    duplicate rows from the merged index.  ``check_disjoint`` enforces
+    this with a semi-join probe before any data moves (one extra scan
+    pair, short-circuited by ``limit(1)``); a fleet that partitions ids
+    by construction (shard = id range) may pass ``False`` to skip it."""
     moved = spark.read.parquet(f"{other_path}/vectors").select(id_col, vec_col)
+    if check_disjoint:
+        existing = spark.read.parquet(f"{path}/vectors").select(id_col)
+        dup = (
+            moved.select(id_col)
+            .join(existing, on=id_col, how="left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_ivf_index: shards share {id_col}={dup[0][0]!r}; "
+                "merged index would serve duplicates (shard id sets must "
+                "be disjoint, or dedup the source before merging)"
+            )
     append_ivf_index(moved, path, id_col=id_col, vec_col=vec_col)
 
 

@@ -2518,7 +2518,15 @@ def quantile_normalize_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-portable with no float-rank hazard (q itself is the
     6dp-rounded portable quality_score).  100 TB shape: one window per
     source partition (sources partition the corpus — no global sort)
-    + one tiny groupBy; same posture note as quality_quantile_filter."""
+    + one tiny groupBy; same posture note as quality_quantile_filter.
+    SKEW BOUND: per-source windows hold only while no single source
+    dominates — a crawl source owning 30% of the corpus becomes one
+    sort task.  The mapping table only needs decile BOUNDARIES, so the
+    production path for skewed mixes is
+    ``quantile_normalize_boundaries`` below (percentile_approx, pure
+    partial-agg groupBy, no sort); agreement with this exact form is
+    pinned by tests/test_text.py::test_quantile_normalize_approx_
+    boundaries_agree."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2542,6 +2550,31 @@ def quantile_normalize_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("q"), 6).alias("q_lo"),
             F.round(F.max("q"), 6).alias("q_hi"),
         )
+    )
+
+
+def quantile_normalize_boundaries(
+    docs: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """Skew-capped variant of ``quantile_normalize_scores_q``'s mapping
+    table: per-source decile BOUNDARIES ``(source, n_docs, bounds)``
+    where ``bounds[d]`` is the approximate d-th decile of the source's
+    quality scores (``bounds[0]``=min … ``bounds[10]``=max).
+
+    One ``percentile_approx`` groupBy — partial aggregation merges
+    bounded GK sketches, so a source holding 30% of a 100 TB corpus
+    costs what any groupBy key costs instead of serializing into a
+    single per-source sort task the way the exact row_number window
+    does.  A mixing job only needs these boundaries to assign deciles
+    (one broadcast join + a bucket lookup), never per-row ranks, so
+    this IS the production form at scale; the exact windowed entry
+    stays as the oracle-checked QA form.  ``accuracy`` trades sketch
+    memory for rank error (error <= 1/accuracy relative rank)."""
+    q = docs.select("source", quality_score(F.col("text")).alias("q"))
+    probs = [i / 10.0 for i in range(11)]
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("q", probs, F.lit(accuracy)).alias("bounds"),
     )
 
 

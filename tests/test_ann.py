@@ -516,3 +516,28 @@ def test_merge_ivf_equals_direct_append(spark, emb, tmp_path):
     assert cents(dst) == cents(want_path)
     # source shard untouched (it keeps serving until decommissioned)
     assert spark.read.parquet(f"{src}/vectors").count() == src_before
+
+
+def test_merge_ivf_rejects_overlapping_ids(spark, emb, tmp_path):
+    """Shards sharing any vec_id must be refused up front — a silent
+    merge would serve duplicate rows forever.  The probe runs BEFORE
+    any append, so a refused merge leaves the destination unchanged."""
+    import pytest
+
+    from inmem_vector_db_spark.operators.ann import (
+        merge_ivf_index,
+        write_ivf_index,
+    )
+
+    dst = str(tmp_path / "dst")
+    write_ivf_index(emb.filter(F.col("vec_id") < 250), dst, stride=50)
+    src = str(tmp_path / "src")  # overlaps dst on ids 200..249
+    write_ivf_index(emb.filter(F.col("vec_id") >= 200), src, stride=50)
+    before = spark.read.parquet(f"{dst}/vectors").count()
+
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_ivf_index(spark, dst, src)
+    assert spark.read.parquet(f"{dst}/vectors").count() == before
+    # the documented opt-out for fleets disjoint by construction
+    merge_ivf_index(spark, dst, src, check_disjoint=False)
+    assert spark.read.parquet(f"{dst}/vectors").count() > before

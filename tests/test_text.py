@@ -316,6 +316,44 @@ def test_quality_quantile_filter_median_split(spark, sf_dir):
         assert r["n_above_median"] <= r["n_docs"] // 2
 
 
+def test_quantile_normalize_approx_boundaries_agree(spark, sf_dir):
+    """The skew-capped percentile_approx boundary table (production
+    form: partial-agg groupBy, no per-source sort) must agree with the
+    exact windowed mapping table: every approx decile boundary d=1..9
+    lands inside [q_hi(d-1), q_hi(d)] of the exact table — i.e. within
+    one decile band of the true rank — and the endpoints (min/max) are
+    exact.  This is what licenses swapping the approx form in when one
+    crawl source dominates the corpus."""
+    from unittest import mock
+
+    import inmem_vector_db_spark.plans.textops as TX
+    from inmem_vector_db_spark.sources.loader import load_table as real_load
+
+    docs = real_load(spark, sf_dir, "documents")
+    with mock.patch.object(TX, "load_table", lambda s, d, n: docs):
+        exact = TX.quantile_normalize_scores_q(spark, "unused").collect()
+    approx = {
+        r["source"]: r for r in TX.quantile_normalize_boundaries(docs).collect()
+    }
+    hi = {(r["source"], r["decile"]): r["q_hi"] for r in exact}
+    lo = {(r["source"], r["decile"]): r["q_lo"] for r in exact}
+    n_docs = {}
+    for r in exact:
+        n_docs[r["source"]] = n_docs.get(r["source"], 0) + r["n_docs"]
+    assert set(approx) == set(n_docs)
+    eps = 1e-6  # exact table rounds to 6dp; bounds are raw data values
+    for src, row in approx.items():
+        assert row["n_docs"] == n_docs[src]
+        b = row["bounds"]
+        assert len(b) == 11
+        assert abs(b[0] - lo[(src, 0)]) <= eps  # min is exact
+        assert abs(b[10] - hi[(src, 9)]) <= eps  # max is exact
+        for d in range(1, 10):
+            assert hi[(src, d - 1)] - eps <= b[d] <= hi[(src, d)] + eps, (
+                src, d, b[d], hi[(src, d - 1)], hi[(src, d)],
+            )
+
+
 def test_chunk_stitch_finds_planted_boundary(spark):
     from inmem_vector_db_spark.plans.textops import chunk_stitch_q
     from unittest import mock
