@@ -3726,15 +3726,21 @@ def _user_totals_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("maxFilesPerTrigger", "8").parquet(staged)
     updates = running_user_totals(stream_in)
     qname = "stateful_totals_sink"
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stot_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # 16 stores, not the session's 64 and not the stateful-agg 4: the
+    # pandas state operator needs Python-worker parallelism (4 stores
+    # starve it: 5.96 s) but still pays per-store commits (64 stores:
+    # 3.90 s); measured best at sf0.1 = 16 (2.11 s, vs 2.69 at 8).
+    # Pinned by STREAM_PLAN_BASELINE.json.
+    with _small_shuffle(spark, 16):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stot_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     upd = spark.table(qname)
     # the stateful operator emits UNROUNDED sums; round here with
     # F.round (half-away-from-zero, same as the oracle's SQL round) —
