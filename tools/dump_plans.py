@@ -217,11 +217,13 @@ HEADLINERS = {
     "from ONE bucket aggregate (groupBy band key -> intra-bucket pair "
     "HOF -> distinct), replacing the former self-join's two shuffle "
     "sides + SMJ sort; shuffles move band keys and id pairs only.",
-    "q1_pricing_summary": "scan-filter-aggregate with EXACT-DECIMAL "
-    "money math: every product/sum is Tungsten decimal (long-backed), "
-    "so the rounded outputs are permutation-invariant — no float "
-    "summation order can flip a 2-dp boundary; filter pushed to the "
-    "scan, partial+final agg over ~8 groups.",
+    "q1_pricing_summary": "scan-filter-aggregate with EXACT money math "
+    "that never leaves long-backed codegen (round 8): operands become "
+    "bigint cents, the wide product sums split hi/lo around 10^6 — no "
+    "per-row BigDecimal (the old wide-decimal sums cost 2.5x) — and "
+    "the exact totals reassemble in decimal on the ~8 grouped rows; "
+    "permutation-invariant, filter pushed to the scan, partial+final "
+    "agg, overflow bound ~9e12 rows/group.",
     "ann_ivf_index_build": "the index-build job as its own row: one "
     "arg-min assignment pass (mapInPandas, broadcast centroid matrix), "
     "one partitioned write; the summary agg re-reads the written "
@@ -320,9 +322,12 @@ HEADLINERS = {
     "TakeOrderedAndProject — consolidation cost lives in the build, "
     "never in the serve path.",
     "zorder_layout_pruning": "pure integer bit-interleave projected "
-    "in-scan; two ntile windows + per-file min/max aggregates; the "
-    "output IS the pruning measurement (sf0.1: 16/16 files scanned "
-    "under arrival order vs 4/16 under z-order).",
+    "in-scan; file assignment is a DISTRIBUTED exact ntile (round 8): "
+    "deterministic ordered key buckets, per-bucket row_number + "
+    "broadcast offsets, SQL NTILE fill rule as integer arithmetic — "
+    "no single-partition WindowExec anywhere; the output IS the "
+    "pruning measurement (sf0.1: 16/16 files scanned under arrival "
+    "order vs 4/16 under z-order).",
     "snapshot_time_travel": "each version resolves to a plain "
     "multi-path parquet scan (pushdown and pruning reach every file); "
     "the manifest is metadata-only — time travel costs nothing at "
