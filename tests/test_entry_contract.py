@@ -77,6 +77,18 @@ _BUILD_BEFORE_CONSUMER = [
     # merge derives from the shared base250 artifact, whose build cost
     # belongs to its first toucher (the append entry)
     ("ann_ivf_append_search", "ann_ivf_merge_search"),
+    # the _STAGED_EVENTS default-key staging write (one-time events
+    # copy for the file-stream source) must attribute to
+    # events_hourly_stream, its designated first toucher (r8 item #2:
+    # this staging cost was the entry's entire "drift" vs r1) — every
+    # other default-key stager serves the memo
+    ("events_hourly_stream", "stream_static_enrich"),
+    ("events_hourly_stream", "stream_versioned_enrich"),
+    ("events_hourly_stream", "session_window_stream"),
+    ("events_hourly_stream", "user_distinct_stream"),
+    ("events_hourly_stream", "stream_file_sink_roundtrip"),
+    ("events_hourly_stream", "user_totals_stateful_stream"),
+    ("events_hourly_stream", "value_histogram_stream"),
 ]
 
 
