@@ -4231,6 +4231,15 @@ _BUILD_ENTRIES = {
     # flat across state-store counts 2..8)
     "events_hourly_stream",
     "click_purchase_stream",
+    # _STAGED_FMT stagers: every format-roundtrip entry stages its own
+    # (sf_dir, fmt) documents copy on first call — same staging-
+    # inclusive attribution class as the events stagers above
+    "jsonl_source_agg",
+    "csv_source_agg",
+    "orc_source_agg",
+    "partitioned_write_roundtrip",
+    "schema_evolution_roundtrip",
+    "compaction_roundtrip",
 }
 
 

@@ -156,6 +156,12 @@ def _artifact_owning_entries() -> set[str]:
         # pays a full events write (the r7->r8 events_hourly_stream
         # "drift" was exactly this staging cost, profiled in BASELINE.md)
         "_STAGED_EVENTS",
+        # the format-roundtrip entries' staged documents copies: every
+        # user stages its OWN (sf_dir, fmt) key, so each is its own
+        # build row (inline users are flagged directly; _stage_docs_as
+        # helper users via the token's first-toucher plus manual
+        # extras in _BUILD_ENTRIES)
+        "_STAGED_FMT",
     )
     HARNESS = {
         "_registry", "queries", "exec_order", "oracle_sql", "entry",
