@@ -4115,60 +4115,74 @@ GROUP BY 1
 # only needs pass/fail.  In-window ordering keeps dedup_simhash (the
 # portable md5 ground truth) before dedup_simhash_fast_check (which
 # grades the xxhash64 variant against it).
+# Round-9 rotation (staleness maintenance; judge r8 item #2): union is
+# closed at 249/249, so the window is now purely the staleness policy.
+# Latest-driver-check vintages after r8: 14 entries at r3, 41 at r4,
+# 44 at r5 (then 50 each at r6/r7/r8).  The 14 r3 rows are the true
+# stalest (age-5 at this round's check — they MUST be windowed to keep
+# oldest-check age <= 5), then the r4 cohort fills the remaining 36
+# slots.  That leaves 5 r4 rows over the 50-slot budget; the 5 deferred
+# are EXACTLY the r4-vintage entries the round-8 judge independently
+# oracle-verified at sf0.01 (VERDICT.md r8: events_hourly_stream,
+# user_totals_stateful_stream, boilerplate_ngrams, csv_source_agg,
+# compaction_roundtrip), so their effective staleness is r8; they join
+# the round-10 window with the r5 cohort (5 + 44 = 49 <= 50, keeping
+# the <=5-round invariant with one slot spare).  Within each cohort the
+# order is registration order, which keeps every memoized builder
+# (kmeans_embeddings < ann_ivf_kmeans_recall) before its consumers.
 _DRIVER_WINDOW = [
-    # --- the 7 post-rotation round-7 entries (never driver-checked) ---
-    "snapshot_time_travel",
-    "ann_ivf_merge_search",
-    "late_backfill_recompute",
-    "dedup_simhash",
-    "dedup_simhash_fast_check",
-    "nb_lang_classifier",
-    "quantile_normalize_scores",
-    "zorder_layout_pruning",
-    # --- r1/r2-vintage greens (not driver-checked since round 2) ---
-    "knn_euclidean",
-    "knn_manhattan",
-    "knn_dot_product",
-    "knn_postfilter_parity",
-    "ann_ivf_multi",
-    "label_centroids",
-    "dedup_exact_pairs",
-    "fingerprint_summary",
-    "jsonl_source_agg",
-    "orc_source_agg",
-    "user_distinct_stream",
-    "value_histogram_stream",
-    "audio_meta_stats",
-    "image_resize_roundtrip",
-    "events_hourly",
-    "events_user_stats",
-    "events_sliding_windows",
-    "user_sessions",
-    "revenue_rollup",
-    "order_value_percentiles",
-    "users_purchase_and_error",
-    "supplier_geomean_price",
-    "click_purchase_pairs",
-    "customer_order_history",
-    "customers_never_urgent",
-    "customers_without_orders",
-    "order_status_cube",
-    "top_customers_per_nation",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_customers",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    # --- stalest r3-vintage greens (not driver-checked since round 3) ---
-    "q7_nation_volume",
-    "q21_waiting_suppliers",
-    "lang_id_counts",
-    "semantic_dedup",
-    "knn_quantized",
-    "partitioned_write_roundtrip",
-    "ann_ivfpq",
-    "lsh_knn_multiprobe",
+    # --- r3-vintage greens (not driver-checked since round 3) ---
+    "knn_multi_cosine",
+    "knn_prefilter_label",
+    "ann_ivf_prefilter",
+    "ann_ivf_recall",
+    "click_purchase_stream",
+    "stream_file_sink_roundtrip",
+    "image_phash_dups",
+    "video_frame_sample",
+    "store_parity_search",
+    "dedup_exact_summary",
+    "dedup_ngram_jaccard",
+    "crossdoc_shingle_dup",
+    "degree_distribution",
+    "bloom_pruned_revenue",
+    # --- r4-vintage greens (not driver-checked since round 4) ---
+    "ann_ivf_euclidean",
+    "store_search_pipeline",
+    "docs_dedup_stream",
+    "session_window_stream",
+    "feed_tail_stream",
+    "image_pixel_stats",
+    "audio_energy_stats",
+    "knn_pq",
+    "ann_truncated_recall",
+    "ann_ivf_partitioned",
+    "kmeans_embeddings",
+    "ann_ivf_kmeans_recall",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q18_large_volume_customers",
+    "purchase_attribution_asof",
+    "text_quality",
+    "embedding_near_dup",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_canonical",
+    "decontam_overlap",
+    "chunk_documents",
+    "repetition_filters",
+    "training_shards",
+    "bpe_train_merges",
+    "source_mix_resample",
+    "k_anonymity_report",
+    "fuzzy_name_pairs",
+    "pagerank_bipartite",
+    "corpus_merge_upsert",
+    "corpus_scd2_history",
+    "salted_join_revenue",
+    "sequence_packing",
+    "zorder_cells",
+    "bucketed_join_revenue",
 ]
 
 # rows-only window slots (no DuckDB value oracle); every other windowed
@@ -4240,6 +4254,13 @@ _BUILD_ENTRIES = {
     "partitioned_write_roundtrip",
     "schema_evolution_roundtrip",
     "compaction_roundtrip",
+    # owner of the _BUCKETED_FACTS module-level memo (plans/tpch_extra):
+    # its first call pays the one-time bucketed-warehouse write for BOTH
+    # facts, so the row is staging-inclusive by design — the last member
+    # of the falsified-min-of-2 class (judge r8 item #1: its r7 row was
+    # a 0.80 s memo-hit reading, the honest staging-inclusive cost is
+    # ~2.5 s at sf0.1)
+    "bucketed_join_revenue",
 }
 
 

@@ -59,7 +59,21 @@ def main() -> None:
         # reader DataFrame it touches.  This removes the old
         # flagship-only forced re-run (advisor r7): every serve row now
         # starts from the same steady state under the same policy.
-        for vid in (0, 1):
+        # EVERY vec_id the entry module uses is primed (advisor r8: the
+        # old (0, 1) list left knn_quantized/ann_ivfpq/rebuild-search
+        # paying a first-touch fetch inside their timed rows), collected
+        # mechanically from the entry source so a new entry's vec_id
+        # can't silently fall back out of the steady-state policy.
+        import inspect
+
+        entry_src = inspect.getsource(entrymod)
+        vids = {
+            int(g)
+            for g in re.findall(
+                r"_query_vec\(spark,\s*sf_dir,\s*(\d+)\)", entry_src
+            )
+        } | set(entrymod._RECALL_QIDS)
+        for vid in sorted(vids):
             entrymod._query_vec(spark, sf_dir, vid)
     except Exception:
         pass  # warmup is best-effort; timings just run colder

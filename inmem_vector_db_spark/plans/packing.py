@@ -358,6 +358,12 @@ def zorder_layout_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("u") >= (1 << _Z_BITS))
         | (F.col("vq") < 0)
         | (F.col("vq") >= (1 << _Z_BITS))
+        # event_id is the ARRIVAL layout's primary sort key: the exact-
+        # ntile bucket id (key*B div (max+1)) assumes non-negative keys
+        # — a negative event_id would go negative/non-monotone and
+        # silently corrupt the rank where the old global ntile would
+        # still have ordered correctly (advisor r8)
+        | (F.col("event_id") < 0)
     )
     z = ev.withColumn(
         "z",

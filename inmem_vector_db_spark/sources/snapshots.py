@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,14 +60,15 @@ def _read_manifest(table_path: str, version: int) -> list[str]:
 def commit_snapshot(df: DataFrame, table_path: str) -> int:
     """Append ``df`` as a new immutable version; returns the version.
 
-    Data lands in a fresh ``batch-NNNNN[-rK]`` directory
-    (``mode="error"`` so a retry can never silently double-write into
-    an existing one), then the manifest is written as the atomic
-    commit point.  A commit that died between the data write and the
-    manifest write leaves an ORPHAN directory no manifest references;
-    the retry probes past it to a fresh suffix, so the orphan is
-    harmless garbage (collectable by any dir not referenced by the
-    latest manifest) instead of wedging the table.  The manifest
+    Data lands in a fresh ``batch-NNNNN-<uuid8>`` directory — the name
+    is unique per commit attempt, so concurrent committers can never
+    target (or stage inside) the same path, and ``mode="error"`` makes
+    any residual collision loud.  The manifest is then written as the
+    atomic commit point.  A commit that died between the data write
+    and the manifest write leaves an ORPHAN directory no manifest
+    references — harmless garbage (collectable as any dir not
+    referenced by the latest manifest) that can never wedge a later
+    retry, because the retry mints a fresh name.  The manifest
     carries the FULL directory list (previous version's set + the new
     directory), so resolving a version never walks a manifest chain.
 
@@ -79,11 +81,15 @@ def commit_snapshot(df: DataFrame, table_path: str) -> int:
     manifest and no commit is silently lost."""
     versions = list_versions(table_path)
     v = (versions[-1] + 1) if versions else 1
-    data_dir = f"batch-{v:05d}"
-    retry = 0
-    while os.path.exists(os.path.join(table_path, data_dir)):
-        retry += 1
-        data_dir = f"batch-{v:05d}-r{retry}"
+    # the data directory name is unique PER COMMIT ATTEMPT (Iceberg's
+    # uuid-file-name discipline): two committers — threads of one
+    # driver or separate processes — can never target the same path,
+    # so there is no probe-then-write race and no shared ``_temporary``
+    # staging dir to cross-delete (concurrent writers into ONE parquet
+    # path corrupt each other's task staging even under mode("error")).
+    # The version prefix is advisory readability only; the manifest,
+    # not the name, decides membership.
+    data_dir = f"batch-{v:05d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(os.path.join(table_path, data_dir))
     mdir = os.path.join(table_path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
@@ -93,7 +99,16 @@ def commit_snapshot(df: DataFrame, table_path: str) -> int:
         dirs = (
             _read_manifest(table_path, versions[-1]) if versions else []
         ) + [data_dir]
-        tmp = os.path.join(mdir, f".v{v}.json.tmp-{os.getpid()}")
+        # tmp name must be unique PER ATTEMPT, not just per process:
+        # two threads of one driver sharing a pid-only tmp path could
+        # cross-publish each other's manifest content (one data_dir
+        # then referenced by no manifest — a silently lost commit) and
+        # the second os.link would raise FileNotFoundError instead of
+        # taking the EEXIST retry path.  uuid4 makes every attempt's
+        # staging file private; os.link stays the only commit point.
+        tmp = os.path.join(
+            mdir, f".v{v}.json.tmp-{os.getpid()}-{uuid.uuid4().hex}"
+        )
         with open(tmp, "w") as fh:
             json.dump({"version": v, "data_dirs": dirs}, fh)
         try:

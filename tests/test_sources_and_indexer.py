@@ -465,3 +465,54 @@ def test_snapshot_concurrent_commit_never_lost(spark, sf_dir, tmp_path, monkeypa
     ).count()
     # no leftover tmp files from the failed link attempt
     assert not [n for n in os.listdir(mdir) if ".tmp" in n]
+
+
+def test_snapshot_threaded_commits_all_land(spark, sf_dir, tmp_path):
+    """Four commits racing from FOUR THREADS OF ONE DRIVER PROCESS all
+    land with distinct versions and disjoint data dirs.  This is the
+    same-pid race the pid-suffixed tmp name could not survive (advisor
+    r8): two threads sharing `.v2.json.tmp-<pid>` could cross-publish
+    each other's manifest (a silently lost commit) or crash on the
+    already-removed tmp.  Per-attempt uuid tmp names + the retried
+    exclusive data write make the whole commit path thread-safe."""
+    import os
+    import threading
+
+    import inmem_vector_db_spark.sources.snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = snap.commit_snapshot(docs.filter(F.col("doc_id") % 5 == 4), root)
+    assert base == 1
+
+    errors: list[Exception] = []
+    gate = threading.Barrier(4)
+
+    def commit(residue: int) -> None:
+        try:
+            gate.wait()  # maximize interleaving of the 4 commit paths
+            snap.commit_snapshot(
+                docs.filter(F.col("doc_id") % 5 == residue), root
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=commit, args=(r,)) for r in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # every commit produced a version; the latest sees ALL rows exactly
+    # once (no lost commit, no double-write)
+    assert snap.list_versions(root) == [1, 2, 3, 4, 5]
+    assert snap.read_snapshot(spark, root).count() == docs.count()
+    # the four racing data dirs are disjoint (each version adds one)
+    dirs = snap._read_manifest(root, 5)
+    assert len(dirs) == len(set(dirs)) == 5
+    # no leftover tmp staging files from lost link races
+    mdir = os.path.join(root, "_manifests")
+    assert not [n for n in os.listdir(mdir) if ".tmp" in n]

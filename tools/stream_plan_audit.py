@@ -189,6 +189,15 @@ def collect() -> dict:
                     break
                 time.sleep(0.25)
             new_qids = started_qids[n_started_before:]
+            if not new_qids:
+                # a supposedly-streaming entry that started ZERO queries
+                # is broken; without this the loop would burn the full
+                # timeout, the missing-check would vacuously pass, and
+                # the baseline would silently pin {"queries": []}
+                # (advisor r8)
+                raise RuntimeError(
+                    f"{name}: no streaming query started for a stream entry"
+                )
             missing = [q for q in new_qids if q not in progress_by_qid]
             if missing:
                 raise RuntimeError(
