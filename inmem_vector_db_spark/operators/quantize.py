@@ -172,8 +172,19 @@ def knn_int8(
     (id, codes, scale) — 4x less IO than float32 at scale — and keeps
     the whole distance computation in BLAS, with zero interpreted
     higher-order functions.  Output: (query_id long, id_col, dist).
+
+    Ingestion is ``mapInArrow``, not ``mapInPandas``: the (N, D) codes
+    matrix comes from the Arrow ListArray's FLAT int8 buffer in one
+    reshape, instead of Arrow->pandas materializing N per-row ndarray
+    cells that ``np.stack`` then re-copies.  Profiled at the synthetic
+    sf1 decade (round 9): per-row stacking dominated the scan — 0.56 s
+    of a 1.06 s scan for 20k rows — and was the suite's worst scaling
+    exponent (alpha +0.41).  The float64 math below is expression-for-
+    expression the old pandas path (flat.astype(float64) == per-cell
+    asarray(dtype=float64)), so candidate sets are bit-identical.
     """
     import numpy as np
+    import pyarrow as pa
 
     if k <= 0:
         raise ValueError("k must be > 0")
@@ -189,20 +200,33 @@ def knn_int8(
     out_schema = f"query_id long, {id_col} {idt}, dist double"
     met, kk = metric, k
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         qids_, qmat_ = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            codes = np.stack(
-                [np.asarray(c, dtype=np.float64) for c in pdf[q_col]]
-            )  # (N, D)
-            if codes.shape[1] != qmat_.shape[1]:
+            names = rb.schema.names
+            qcol = rb.column(names.index(q_col))
+            if qcol.null_count:
+                raise ValueError(f"NULL {q_col} in quantized corpus")
+            # ListArray layout: offsets index the shared flat values
+            # buffer; a rectangular batch has constant row length, so
+            # the (N, D) matrix is one zero-copy slice + reshape
+            offs = np.asarray(qcol.offsets)
+            lens = np.diff(offs)
+            d = int(lens[0]) if n else 0
+            if not (lens == qmat_.shape[1]).all():
                 raise ValueError(
-                    f"embedding dimension mismatch: query dim={qmat_.shape[1]}, "
-                    f"corpus batch shape={codes.shape}"
+                    f"embedding dimension mismatch: query dim="
+                    f"{qmat_.shape[1]}, corpus batch dims="
+                    f"{sorted(set(lens.tolist()))} over {n} rows"
                 )
-            scales = pdf[scale_col].to_numpy(dtype=np.float64)
+            flat = np.asarray(qcol.values)[offs[0]: offs[-1]]
+            codes = flat.astype(np.float64).reshape(n, d)  # (N, D)
+            scales = np.asarray(
+                rb.column(names.index(scale_col))
+            ).astype(np.float64)
             vmat = codes * scales[:, None]  # dequantize, matches q*scale
             if met == "euclidean":
                 d2 = (
@@ -223,20 +247,20 @@ def knn_int8(
                     sim = (qmat_ @ vmat.T) / denom
                 dmat = np.where(denom == 0.0, 1.0, 1.0 - sim)
             take = min(kk, dmat.shape[1])
-            ids = pdf[id_col].to_numpy()
-            frames = []
+            ids = np.asarray(rb.column(names.index(id_col)))
             for qi, qid in enumerate(qids_):
                 # (dist, id) lexsort: map-side cut keeps lowest ids on
                 # ties (same contract as knn_join_vectorized)
                 idx = np.lexsort((ids, dmat[qi]))[:take]
-                frames.append(
-                    pd.DataFrame(
-                        {"query_id": qid, id_col: ids[idx], "dist": dmat[qi, idx]}
-                    )
+                yield pa.record_batch(
+                    {
+                        "query_id": np.full(take, qid, dtype=np.int64),
+                        id_col: ids[idx],
+                        "dist": dmat[qi, idx],
+                    }
                 )
-            yield pd.concat(frames, ignore_index=True)
 
-    partial = corpus_q.select(id_col, q_col, scale_col).mapInPandas(
+    partial = corpus_q.select(id_col, q_col, scale_col).mapInArrow(
         part, schema=out_schema
     )
     w = Window.partitionBy("query_id").orderBy("dist", id_col)

@@ -3307,7 +3307,12 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parts"
         )
     )
-    n_orders = baskets.agg(F.count(F.lit(1)).alias("n")).head()["n"]
+    # lazy 1-row scalar, broadcast-cross-joined in (the nb_lang_classifier
+    # pattern): the old eager .head() here ran the full basket build a
+    # SECOND time at query-construction (profiled r9: construction alone
+    # cost as much as the run), and made constructing the entry launch a
+    # job
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pair_expr = F.flatten(
         F.transform(
             "parts",
@@ -3337,13 +3342,14 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(singles.withColumnsRenamed({"part": "pb", "n_one": "n_b"})),
             "pb",
         )
+        .crossJoin(F.broadcast(n_orders))
         .select(
             F.col("pa").alias("part_a"),
             F.col("pb").alias("part_b"),
             "n_ab",
             (
                 F.col("n_ab").cast("double")
-                * F.lit(int(n_orders))
+                * F.col("n_orders")
                 / (F.col("n_a") * F.col("n_b"))
             ).alias("lift_raw"),
             (F.col("n_ab").cast("double") / F.col("n_a")).alias("conf_raw"),

@@ -85,7 +85,13 @@ def dtype_mismatches(sdf, rel) -> list[str]:
     return bad
 
 
-def main() -> int:
+def main(order_names: list[str] | None = None) -> int:
+    """Run the gate over ``order_names`` (default: ``exec_order()`` —
+    build-before-consumer, matching bench cost attribution).  The
+    driver-order replay gate (tools/replay_driver_order.py) passes
+    ``queries()`` order instead: window-first, consumers before their
+    builders, artifacts built on demand — the exact order the driver's
+    correctness run executes."""
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check", master="local[8]",
@@ -96,9 +102,8 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
-    # registration order = build-before-consumer (cost attribution and
-    # artifact availability match bench; see __spark_entry__.exec_order)
-    for name in entrymod.exec_order():
+    for name in (order_names if order_names is not None
+                 else entrymod.exec_order()):
         fn = qs[name]
         if only and name not in only:
             continue

@@ -63,7 +63,17 @@ EXCLUDED = {
 
 
 def audited_names() -> list[str]:
-    return [n for n in entrymod.queries() if n not in EXCLUDED]
+    # exec_order (registration order, builders first), NOT queries()
+    # order: plan shape through a persisted memo depends on whether the
+    # memo's cache entry is registered when the plan is captured, so
+    # capturing in the window-first queries() order would re-shape the
+    # recorded plans every time the driver window rotates (observed in
+    # round 9: the rotation alone re-shaped the whole dedup family's
+    # python-stage counts).  exec_order is rotation-invariant and
+    # matches bench's execution, so the baseline only changes when the
+    # CODE changes.  Driver-order (cold-consumer) behavior is covered
+    # separately by tools/replay_driver_order.py's value gate.
+    return [n for n in entrymod.exec_order() if n not in EXCLUDED]
 
 
 def plan_metrics(plan: str) -> dict:
@@ -77,7 +87,7 @@ def plan_metrics(plan: str) -> dict:
     python = sum(
         1
         for ln in lines
-        if re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas", ln)
+        if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas", ln)
     )
     return {
         "shuffle_exchanges": shuffle,
