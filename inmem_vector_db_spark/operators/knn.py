@@ -22,8 +22,10 @@ Spark-first design:
     |corpus| x |queries| candidate rows by query_id — fine for modest
     fan-outs, wrong at 100 TB.
 
-  - ``knn_join_vectorized``: ``mapInPandas`` computes a numpy
-    distance-matrix per Arrow batch and emits only the local top-k per
+  - ``knn_join_vectorized``: ``mapInArrow`` computes a numpy
+    distance-matrix per Arrow batch (the (N, D) corpus matrix reshaped
+    straight from the ListArray's flat buffer — no per-row cell
+    materialization) and emits only the local top-k per
     query per batch (<= k x |queries| rows per partition), then a final
     tiny window merges.  The shuffle input shrinks from |corpus| x
     |queries| to N_partitions x k x |queries| — this is the scale path,
@@ -37,7 +39,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -156,6 +157,9 @@ def knn_join_vectorized(
     if metric not in METRICS:
         raise ValueError(f"unknown metric {metric!r}")
 
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
     rows = queries.select(query_id_col, query_vec_col).collect()
     if not rows:
         raise ValueError("queries is empty")
@@ -169,29 +173,42 @@ def knn_join_vectorized(
         f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, "
         "dist double"
     )
+    # Arrow output types must match the declared schema exactly (ids can
+    # be any type — long doc ids, string keys — across the 18 call sites)
+    qid_t = to_arrow_type(queries.schema[query_id_col].dataType)
+    id_t = to_arrow_type(corpus.schema[id_col].dataType)
     met = metric
     kk = k
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         qids_, qmat_ = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            if pdf[vec_col].isna().any():
+            names = rb.schema.names
+            vcol = rb.column(names.index(vec_col))
+            if vcol.null_count or vcol.values.null_count:
                 # same failure contract as _dim_guard's NULL branch
                 raise ValueError(
                     "embedding dimension mismatch: NULL embedding in corpus"
                 )
-            vmat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )  # (N, D)
-            if vmat.ndim != 2 or vmat.shape[1] != qmat_.shape[1]:
+            # (N, D) matrix from the ListArray's FLAT buffer: one slice +
+            # reshape instead of materializing N per-row ndarray cells
+            # (the per-row stack was the knn_quantized decade bottleneck;
+            # same Arrow layout, same fix — see operators/quantize.py)
+            offs = np.asarray(vcol.offsets)
+            lens = np.diff(offs)
+            if not (lens == qmat_.shape[1]).all():
                 # same failure contract as the expression path's
                 # _dim_guard: loud error, not a numpy broadcast surprise
                 raise ValueError(
                     f"embedding dimension mismatch: query dim={qmat_.shape[1]}, "
-                    f"corpus batch shape={vmat.shape}"
+                    f"corpus batch dims={sorted(set(lens.tolist()))} "
+                    f"over {n} rows"
                 )
+            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
+            vmat = flat.astype(np.float64).reshape(n, qmat_.shape[1])
             if met == "euclidean":
                 # |q-v|^2 = |q|^2 + |v|^2 - 2 q.v   (BLAS-backed)
                 d2 = (
@@ -211,10 +228,8 @@ def knn_join_vectorized(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sim = (qmat_ @ vmat.T) / denom
                 dmat = np.where(denom == 0.0, 1.0, 1.0 - sim)
-            n = dmat.shape[1]
-            take = min(kk, n)
-            ids = pdf[id_col].to_numpy()
-            frames = []
+            take = min(kk, dmat.shape[1])
+            ids = np.asarray(rb.column(names.index(id_col)))
             for qi, qid in enumerate(qids_):
                 # lexicographic (dist, id) selection so tied distances at
                 # the per-batch cut keep the LOWEST ids — map-side pruning
@@ -222,18 +237,16 @@ def knn_join_vectorized(
                 # duplicate vectors (common in dedup corpora) would make
                 # the k-th neighbor partition-layout-dependent.
                 idx = np.lexsort((ids, dmat[qi]))[:take]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id_col: qid,
-                            id_col: ids[idx],
-                            "dist": dmat[qi, idx],
-                        }
-                    )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([qid] * take, type=qid_t),
+                        pa.array(ids[idx], type=id_t),
+                        pa.array(dmat[qi, idx], type=pa.float64()),
+                    ],
+                    names=[query_id_col, id_col, "dist"],
                 )
-            yield pd.concat(frames, ignore_index=True)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(part, schema=out_schema)
+    partial = corpus.select(id_col, vec_col).mapInArrow(part, schema=out_schema)
     w = Window.partitionBy(query_id_col).orderBy("dist", id_col)
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -208,7 +208,7 @@ def knn_int8(
                 continue
             names = rb.schema.names
             qcol = rb.column(names.index(q_col))
-            if qcol.null_count:
+            if qcol.null_count or qcol.values.null_count:
                 raise ValueError(f"NULL {q_col} in quantized corpus")
             # ListArray layout: offsets index the shared flat values
             # buffer; a rectangular batch has constant row length, so

@@ -259,7 +259,7 @@ def test_artifact_served_search_has_no_python_stage(spark, emb, tmp_path):
         emb, queries, k=5, metric="cosine", index=read_lsh_index(spark, path)
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
-    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython", "FlatMapGroupsInPandas"):
+    for node in ("ArrowEvalPython", "MapInPandas", "MapInArrow", "BatchEvalPython", "FlatMapGroupsInPandas"):
         assert node not in plan, f"{node} in probe plan"
     assert res.count() == 15
 

@@ -187,7 +187,7 @@ def test_q6_pushes_all_filters_to_scan(spark, sf_dir):
 
 
 def test_knn_join_vectorized_plan_partial_topk(emb):
-    """The vectorized multi-query path: a MapInPandas stage emits the
+    """The vectorized multi-query path: a MapInArrow stage emits the
     per-partition partial top-k, and the only Exchange below the final
     window is over those partial rows — no CartesianProduct of the
     corpus against the queries."""
@@ -197,7 +197,7 @@ def test_knn_join_vectorized_plan_partial_topk(emb):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     plan = _plan(knn_join_vectorized(emb, queries, k=3))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
