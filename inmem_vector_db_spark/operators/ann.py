@@ -22,7 +22,6 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,7 +88,17 @@ def ivf_assign(
     ``keep_cols``: extra attribute columns carried through into the
     index rows — the layout filtered ANN needs (attributes live IN the
     inverted lists, so a metadata prefilter is a column predicate on
-    the probed partitions, never a join back to the base table)."""
+    the probed partitions, never a join back to the base table).
+
+    ``mapInArrow`` ingestion: the (N, D) matrix reshapes straight from
+    the ListArray's flat buffer, and every pass-through column (id,
+    embedding, keep_cols) is the INPUT Arrow array re-emitted untouched
+    — no pandas round-trip for data this stage doesn't compute on.
+    Same float64 math as before, so assignments are bit-identical
+    (this is the corpus-wide pass behind every ann_ivf_* build row)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((list(cids), cmat))
     keep = [c for c in keep_cols if c not in (id_col, vec_col)]
@@ -101,29 +110,45 @@ def ivf_assign(
         )
         + f"cluster_id {corpus.schema[id_col].dataType.simpleString()}"
     )
+    cid_t = to_arrow_type(corpus.schema[id_col].dataType)
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cids_, cmat_ = bc.value
         cid_arr = np.asarray(cids_)
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            names = rb.schema.names
+            vcol = rb.column(names.index(vec_col))
+            if vcol.null_count or vcol.values.null_count:
+                raise ValueError(
+                    f"NULL {vec_col} in corpus: cannot assign a cluster"
+                )
+            offs = np.asarray(vcol.offsets)
+            lens = np.diff(offs)
+            if not (lens == cmat_.shape[1]).all():
+                raise ValueError(
+                    f"embedding dimension mismatch: centroid dim="
+                    f"{cmat_.shape[1]}, corpus batch dims="
+                    f"{sorted(set(lens.tolist()))} over {n} rows"
+                )
+            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
+            mat = flat.astype(np.float64).reshape(n, cmat_.shape[1])
             d2 = (
                 (mat * mat).sum(1)[:, None]
                 + (cmat_ * cmat_).sum(1)[None, :]
                 - 2.0 * mat @ cmat_.T
             )
-            out = {
-                id_col: pdf[id_col].to_numpy(),
-                vec_col: pdf[vec_col],
-            }
-            for c in keep:
-                out[c] = pdf[c].to_numpy()
-            out["cluster_id"] = cid_arr[np.argmin(d2, axis=1)]
-            yield pd.DataFrame(out)
+            cluster = pa.array(cid_arr[np.argmin(d2, axis=1)], type=cid_t)
+            cols = [
+                rb.column(names.index(c)) for c in (id_col, vec_col, *keep)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols + [cluster], names=[id_col, vec_col, *keep, "cluster_id"]
+            )
 
-    return corpus.select(id_col, vec_col, *keep).mapInPandas(part, schema=out_schema)
+    return corpus.select(id_col, vec_col, *keep).mapInArrow(part, schema=out_schema)
 
 
 def write_ivf_index(

@@ -36,7 +36,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,27 +45,53 @@ SCALE = 1_000_000  # component quantization for exact integer sums
 
 
 def _partial_sums(vec_col: str):
-    """mapInPandas stage: per-(partition-batch, cluster) scaled-int sums.
+    """mapInArrow stage: per-(partition-batch, cluster) scaled-int sums.
     ``floor`` (not round/rint) mirrors DuckDB ``floor`` — both engines
-    floor the SAME IEEE float64 product, so the int64 operands agree."""
+    floor the SAME IEEE float64 product, so the int64 operands agree.
+    The (N, D) matrix reshapes from the ListArray flat buffer (same
+    pattern as operators/knn.py; int64 sums are order-free so the
+    emitted partials are unchanged)."""
+    import pyarrow as pa
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            names = rb.schema.names
+            vcol = rb.column(names.index(vec_col))
+            if vcol.null_count or vcol.values.null_count:
+                raise ValueError(f"NULL {vec_col} in corpus")
+            offs = np.asarray(vcol.offsets)
+            lens = np.diff(offs)
+            d = int(lens[0])
+            if not (lens == d).all():
+                raise ValueError(
+                    "embedding dimension mismatch: batch dims="
+                    f"{sorted(set(lens.tolist()))}"
+                )
+            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
+            mat = flat.astype(np.float64).reshape(n, d)
             scaled = np.floor(mat * SCALE).astype(np.int64)
-            cl = pdf["cluster_id"].to_numpy()
+            cl = np.asarray(rb.column(names.index("cluster_id")))
             cids, ssum, cnt = [], [], []
             for cid in np.unique(cl):
                 m = scaled[cl == cid]
                 cids.append(int(cid))
-                ssum.append(m.sum(axis=0, dtype=np.int64).tolist())
+                ssum.append(m.sum(axis=0, dtype=np.int64))
                 cnt.append(m.shape[0])
-            yield pd.DataFrame(
-                {"cluster_id": cids, "ssum": ssum, "cnt": cnt}
+            k = len(cids)
+            sum_offsets = pa.array(np.arange(0, (k + 1) * d, d, dtype=np.int32))
+            sum_arr = pa.ListArray.from_arrays(
+                sum_offsets, pa.array(np.concatenate(ssum))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(cids, dtype=np.int64)),
+                    sum_arr,
+                    pa.array(np.asarray(cnt, dtype=np.int64)),
+                ],
+                names=["cluster_id", "ssum", "cnt"],
             )
 
     return part
@@ -90,7 +115,7 @@ def lloyd_iterations(
     cmat = np.array(cmat, dtype=np.float64, copy=True)
     for _ in range(iters):
         assigned = ivf_assign(corpus, cids, cmat, id_col=id_col, vec_col=vec_col)
-        partials = assigned.select("cluster_id", vec_col).mapInPandas(
+        partials = assigned.select("cluster_id", vec_col).mapInArrow(
             _partial_sums(vec_col),
             schema="cluster_id long, ssum array<long>, cnt long",
         )

@@ -19,7 +19,7 @@ without changing the search path.
 
 Scale shape:
 
-* encode: one embarrassingly-parallel ``mapInPandas`` pass, no shuffle;
+* encode: one embarrassingly-parallel ``mapInArrow`` pass, no shuffle;
   at rest the codes table is (id, codes array<int>) — m ints per row;
 * search stage 1 scans ONLY (id, codes): ADC distance = m literal-array
   lookups summed JVM-side (whole-stage codegen over ``element_at``),
@@ -35,7 +35,6 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -85,38 +84,67 @@ def pq_encode(
     ``keep_cols`` passes extra columns through unchanged (e.g. the IVF
     ``cluster_id``, so a corpus-wide codes artifact stays prunable by
     inverted list — at rest the codes table is written partitioned by
-    it, co-located with the assignment)."""
+    it, co-located with the assignment).
+
+    ``mapInArrow`` ingestion (same flat-buffer pattern as
+    ``operators/knn.py``): the (N, D) matrix reshapes from the
+    ListArray's values buffer, pass-through columns re-emit the input
+    Arrow arrays untouched, and the codes list column is built from the
+    flat (N*m) int32 matrix with arithmetic offsets — no per-row Python
+    objects anywhere in the corpus-wide encode pass."""
+    import pyarrow as pa
+
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
     m, _kk, dsub = codebooks.shape
+    dim = m * dsub
     schema = (
         f"{id_col} {corpus.schema[id_col].dataType.simpleString()}, codes array<int>"
     )
     for c in keep_cols:
         schema += f", {c} {corpus.schema[c].dataType.simpleString()}"
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cb = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            mat = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            codes = np.empty((len(mat), m), dtype=np.int32)
+            names = rb.schema.names
+            vcol = rb.column(names.index(vec_col))
+            if vcol.null_count or vcol.values.null_count:
+                raise ValueError(f"NULL {vec_col} in corpus: cannot encode")
+            offs = np.asarray(vcol.offsets)
+            lens = np.diff(offs)
+            if not (lens == dim).all():
+                raise ValueError(
+                    f"embedding dimension mismatch: codebook dim={dim}, "
+                    f"batch dims={sorted(set(lens.tolist()))}"
+                )
+            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
+            mat = flat.astype(np.float64).reshape(n, dim)
+            codes = np.empty((n, m), dtype=np.int32)
             for j in range(m):
                 sub = mat[:, j * dsub : (j + 1) * dsub]
-                d = np.zeros((len(mat), cb.shape[1]))
+                d = np.zeros((n, cb.shape[1]))
                 for i in range(dsub):  # fixed order == SQL left fold
                     diff = sub[:, i, None] - cb[j][None, :, i]
                     d += diff * diff
                 codes[:, j] = np.argmin(d, axis=1)
-            out = {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
-            for c in keep_cols:
-                out[c] = pdf[c].to_numpy()
-            yield pd.DataFrame(out)
+            code_offsets = pa.array(
+                np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            )
+            code_arr = pa.ListArray.from_arrays(
+                code_offsets, pa.array(codes.reshape(-1))
+            )
+            cols = [rb.column(names.index(id_col)), code_arr] + [
+                rb.column(names.index(c)) for c in keep_cols
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[id_col, "codes", *keep_cols]
+            )
 
-    return corpus.select(id_col, vec_col, *keep_cols).mapInPandas(part, schema)
+    return corpus.select(id_col, vec_col, *keep_cols).mapInArrow(part, schema)
 
 
 def pq_search(

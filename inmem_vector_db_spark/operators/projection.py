@@ -7,7 +7,7 @@ smaller k-dim space with a deterministic md5-derived integer plane
 matrix, then run exact kNN in the projected space.  At 100 TB this is
 the classic read-volume lever: a 64->16 projection cuts the bytes every
 downstream distance scan touches 4x, and because the projection is a
-linear map computed row-local in one Arrow-batched ``mapInPandas``
+linear map computed row-local in one Arrow-batched ``mapInArrow``
 pass, it costs one narrow stage with NO shuffle — the projected table
 can be written once (same artifact pattern as the IVF/LSH indexes) and
 every downstream consumer scans the narrow form.
@@ -35,7 +35,6 @@ import hashlib
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,24 +72,49 @@ def project_embeddings_int(
     as ``v array<bigint>`` — consumers that need both (e.g. the
     distortion eval comparing projected vs full-space distances) get
     them from the SAME pass instead of a corpus self-join."""
+    import pyarrow as pa
+
     P = jl_plane_ints(out_dim, in_dim)
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def _list_arr(mat: np.ndarray) -> pa.ListArray:
+        # vectorized (N, D) int64 matrix -> arrow list<int64>: one flat
+        # values buffer + an arithmetic offsets vector (no per-row
+        # Python list materialization)
+        n, d = mat.shape
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1)))
+
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            M = np.stack(pdf[col].to_numpy()).astype(np.float64)
+            names = rb.schema.names
+            vcol = rb.column(names.index(col))
+            if vcol.null_count or vcol.values.null_count:
+                raise ValueError(f"NULL {col} in corpus: cannot project")
+            offs = np.asarray(vcol.offsets)
+            lens = np.diff(offs)
+            if not (lens == in_dim).all():
+                raise ValueError(
+                    f"embedding dimension mismatch: expected {in_dim}, "
+                    f"batch dims={sorted(set(lens.tolist()))}"
+                )
+            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
+            M = flat.astype(np.float64).reshape(n, in_dim)
             Mi = np.floor(M * scale).astype(np.int64)
             proj = Mi @ P.T
-            out = {id_col: pdf[id_col].to_numpy(), "proj": list(proj)}
+            cols = [rb.column(names.index(id_col)), _list_arr(proj)]
+            names_out = [id_col, "proj"]
             if keep_quantized:
-                out["v"] = list(Mi)
-            yield pd.DataFrame(out)
+                cols.append(_list_arr(Mi))
+                names_out.append("v")
+            yield pa.RecordBatch.from_arrays(cols, names=names_out)
 
     schema = f"{id_col} bigint, proj array<bigint>"
     if keep_quantized:
         schema += ", v array<bigint>"
-    return df.select(id_col, col).mapInPandas(part, schema=schema)
+    return df.select(id_col, col).mapInArrow(part, schema=schema)
 
 
 def projected_topk(
@@ -107,15 +131,29 @@ def projected_topk(
     path's TakeOrderedAndProject), stage 2 ranks the bounded survivor
     set; the full corpus is never shuffled.  ``query_proj`` is a small
     bounded dict (the Q collected query rows), broadcast via closure."""
+    import pyarrow as pa
+
     qids = np.array(sorted(query_proj), dtype=np.int64)
     Q = np.stack([query_proj[q] for q in qids]).astype(np.int64)
+    qdim = Q.shape[1]
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            Mp = np.stack(pdf["proj"].to_numpy()).astype(np.int64)
-            ids = pdf[id_col].to_numpy()
+            names = rb.schema.names
+            pcol = rb.column(names.index("proj"))
+            offs = np.asarray(pcol.offsets)
+            lens = np.diff(offs)
+            if not (lens == qdim).all():
+                raise ValueError(
+                    f"projected dimension mismatch: query dim={qdim}, "
+                    f"batch dims={sorted(set(lens.tolist()))}"
+                )
+            flat = np.asarray(pcol.values)[offs[0]: offs[-1]]
+            Mp = flat.astype(np.int64).reshape(n, qdim)
+            ids = np.asarray(rb.column(names.index(id_col)))
             out_q, out_v, out_d = [], [], []
             for qi, qid in enumerate(qids):
                 diff = Mp - Q[qi]
@@ -126,7 +164,7 @@ def projected_topk(
                 out_q.extend([qid] * take)
                 out_v.extend(ids[order])
                 out_d.extend(d2[order])
-            yield pd.DataFrame(
+            yield pa.record_batch(
                 {
                     "query_id": np.asarray(out_q, dtype=np.int64),
                     id_col: np.asarray(out_v, dtype=np.int64),
@@ -134,7 +172,7 @@ def projected_topk(
                 }
             )
 
-    survivors = proj.mapInPandas(
+    survivors = proj.mapInArrow(
         part, schema=f"query_id bigint, {id_col} bigint, d2 bigint"
     )
     w = Window.partitionBy("query_id").orderBy("d2", id_col)

@@ -8,7 +8,7 @@ problem. The scalable shape — the same one MLlib's RowMatrix
 ``computeGramianMatrix`` uses — is a per-partition GEMM followed by a
 matrix-sum reduce:
 
-  mapInPandas: each Arrow batch contributes X_b^T X_b (one BLAS call,
+  mapInArrow: each Arrow batch contributes X_b^T X_b (one BLAS call,
   float64) accumulated per partition -> upper-triangle (i, j, partial)
   cells -> groupBy(i, j).sum — the shuffle moves n_partitions * d(d+1)/2
   small rows, never the vectors themselves.
@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 _CELL_SCHEMA = "i INT, j INT, g DOUBLE"
@@ -32,17 +31,32 @@ def gramian(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Upper-triangle Gramian cells ``(i, j, g)`` (0-based, i <= j),
     g = sum over rows of x_i * x_j in float64."""
 
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: np.ndarray | None = None
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            vcol = rb.column(rb.schema.names.index(vec_col))
+            if vcol.null_count or vcol.values.null_count:
+                raise ValueError(f"NULL {vec_col} in corpus")
+            offs = np.asarray(vcol.offsets)
+            lens = np.diff(offs)
+            d = int(lens[0])
+            if not (lens == d).all():
+                raise ValueError(
+                    "embedding dimension mismatch: batch dims="
+                    f"{sorted(set(lens.tolist()))}"
+                )
+            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
+            x = flat.astype(np.float64).reshape(n, d)
             g = x.T @ x
             acc = g if acc is None else acc + g
         if acc is not None:
             iu, ju = np.triu_indices(acc.shape[0])
-            yield pd.DataFrame(
+            yield pa.record_batch(
                 {
                     "i": iu.astype("int32"),
                     "j": ju.astype("int32"),
@@ -52,7 +66,7 @@ def gramian(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     return (
         df.select(vec_col)
-        .mapInPandas(part, _CELL_SCHEMA)
+        .mapInArrow(part, _CELL_SCHEMA)
         .groupBy("i", "j")
         .agg(F.sum("g").alias("g"))
     )

@@ -323,7 +323,7 @@ def test_ivf_prefilter_plan_filters_before_distance(spark, sf_dir):
 
 def test_projected_topk_shuffles_survivors_not_corpus(spark, sf_dir):
     """The projected-space search's window rank must consume the
-    map-side-pruned survivor stream (MapInPandas BELOW the Exchange),
+    map-side-pruned survivor stream (MapInArrow BELOW the Exchange),
     never the full projected corpus: the Exchange input is bounded at
     batches*Q*k rows."""
     import numpy as np
@@ -341,13 +341,13 @@ def test_projected_topk_shuffles_survivors_not_corpus(spark, sf_dir):
         for r in proj.filter(F.col("vec_id").isin([2, 7])).collect()
     }
     plan = _plan(projected_topk(proj, qp, k=5))
-    # exactly the survivor-pruning MapInPandas stages feed the Exchange;
+    # exactly the survivor-pruning MapInArrow stages feed the Exchange;
     # a plan that ranks the raw projected table would show Window/Sort
-    # consuming a MapInPandas-free Exchange over the corpus scan
-    assert "MapInPandas" in plan and "Exchange" in plan
+    # consuming a python-stage-free Exchange over the corpus scan
+    assert "MapInArrow" in plan and "Exchange" in plan
     body = plan[plan.index("Exchange"):]
-    assert "MapInPandas" in body, (
-        "window Exchange must sit ABOVE the pruning MapInPandas stage:\n"
+    assert "MapInArrow" in body, (
+        "window Exchange must sit ABOVE the pruning MapInArrow stage:\n"
         + plan
     )
 
