@@ -15,8 +15,8 @@ Reference semantics (``app/core/indexers/lsh.py``):
 
 Spark-first design:
 
-* **Index build** = one embarrassingly-parallel projection: a pandas UDF
-  computes all L signatures per vector with a single numpy matmul
+* **Index build** = one embarrassingly-parallel projection: an Arrow
+  stage computes all L signatures per vector with a single numpy matmul
   against the broadcast (L*k, dim) plane matrix, then ``posexplode``
   yields the long-form index ``(id, table_idx, sig)``.  At cluster scale
   this is a written table partitioned by ``(table_idx, sig)`` — the
@@ -35,7 +35,6 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -116,30 +115,57 @@ class RandomHyperplaneLSH:
     def with_signatures(
         self, df: DataFrame, vec_col: str = "embedding", sig_col: str = "sigs"
     ) -> DataFrame:
-        """Append an array<string> column of the L table signatures."""
+        """Append an array<string> column of the L table signatures.
+
+        ``mapInArrow``: the (N, dim) matrix reshapes from the ListArray
+        flat buffer, every input column re-emits its Arrow array
+        untouched (the old pandas path copied the whole batch per
+        yield), and the k-bit signature strings pack VECTORIZED — the
+        contiguous (N*L, k) '0'/'1' char matrix viewed as U{k} is
+        exactly the per-row ``"".join`` without the Python loop."""
         planes = self._planes
         L, k = self.num_tables, self.hash_size
-        cols = df.columns
+        dim = planes.shape[1]
+        import pyarrow as pa
 
-        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if pdf.empty:
+        def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for rb in batches:
+                n = rb.num_rows
+                if n == 0:
                     continue
-                mat = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
+                names = rb.schema.names
+                vcol = rb.column(names.index(vec_col))
+                if vcol.null_count or vcol.values.null_count:
+                    raise ValueError(f"NULL {vec_col}: cannot sign")
+                offs = np.asarray(vcol.offsets)
+                lens = np.diff(offs)
+                if not (lens == dim).all():
+                    raise ValueError(
+                        f"embedding dimension mismatch: planes dim={dim}, "
+                        f"batch dims={sorted(set(lens.tolist()))}"
+                    )
+                flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
+                mat = flat.astype(np.float64).reshape(n, dim)
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 norms[norms == 0.0] = 1.0
                 bits = ((mat / norms) @ planes.T) >= 0.0
-                # vectorized bit-string packing: bits -> '0'/'1' chars
+                # bits -> '0'/'1' chars -> one U{k} string per table
                 chars = np.where(bits, "1", "0")
-                sigs = [
-                    ["".join(row[t * k : (t + 1) * k]) for t in range(L)]
-                    for row in chars
-                ]
-                pdf = pdf.copy()
-                pdf[sig_col] = sigs
-                yield pdf
+                sig_flat = (
+                    np.ascontiguousarray(chars.reshape(n * L, k))
+                    .view(f"U{k}")
+                    .ravel()
+                )
+                sig_offsets = pa.array(
+                    np.arange(0, (n + 1) * L, L, dtype=np.int32)
+                )
+                sig_arr = pa.ListArray.from_arrays(
+                    sig_offsets, pa.array(sig_flat, type=pa.string())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(i) for i in range(rb.num_columns)] + [sig_arr],
+                    names=list(names) + [sig_col],
+                )
 
         # programmatic schema (copy + add) — simpleString surgery breaks
         # on nested struct/map columns
@@ -148,7 +174,7 @@ class RandomHyperplaneLSH:
         schema = StructType(list(df.schema.fields)).add(
             sig_col, ArrayType(StringType())
         )
-        return df.mapInPandas(part, schema=schema)
+        return df.mapInArrow(part, schema=schema)
 
     def build_index(
         self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -232,7 +258,7 @@ class RandomHyperplaneLSH:
         # tables via distinct — only (id, qid) pairs move.
         # localCheckpoint: both the fallback-count branch and the final
         # re-rank consume it, and without materialization each would
-        # re-run the signature build (the expensive mapInPandas over the
+        # re-run the signature build (the expensive mapInArrow over the
         # corpus) from scratch.  Unlike persist(), checkpoint blocks are
         # released when the DataFrame is garbage-collected, so repeated
         # searches in a long-lived session don't accumulate cached
