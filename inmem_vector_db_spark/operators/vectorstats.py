@@ -27,14 +27,23 @@ from pyspark.sql import DataFrame, functions as F
 _CELL_SCHEMA = "i INT, j INT, g DOUBLE"
 
 
-def gramian(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def gramian(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
     """Upper-triangle Gramian cells ``(i, j, g)`` (0-based, i <= j),
-    g = sum over rows of x_i * x_j in float64."""
+    g = sum over rows of x_i * x_j in float64.
+
+    ``dim``: pass the expected dimension to make the ragged-corpus
+    guard airtight — without it, each partition enforces internal
+    consistency (its first row sets d), but two partitions of
+    DIFFERENT uniform dims would each emit valid cells and the
+    groupBy would silently sum mismatched triangles."""
 
     import pyarrow as pa
 
     def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc: np.ndarray | None = None
+        d = dim
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -44,11 +53,12 @@ def gramian(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 raise ValueError(f"NULL {vec_col} in corpus")
             offs = np.asarray(vcol.offsets)
             lens = np.diff(offs)
-            d = int(lens[0])
+            if d is None:
+                d = int(lens[0])
             if not (lens == d).all():
                 raise ValueError(
-                    "embedding dimension mismatch: batch dims="
-                    f"{sorted(set(lens.tolist()))}"
+                    f"embedding dimension mismatch: expected {d}, "
+                    f"batch dims={sorted(set(lens.tolist()))}"
                 )
             flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
             x = flat.astype(np.float64).reshape(n, d)

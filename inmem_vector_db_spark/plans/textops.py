@@ -1331,7 +1331,7 @@ def embedding_gramian_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inmem_vector_db_spark.operators.vectorstats import gramian
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return gramian(emb, "embedding").select(
+    return gramian(emb, "embedding", dim=64).select(
         "i", "j", F.round("g", 6).alias("g")
     )
 
@@ -1369,7 +1369,7 @@ def embedding_pca_var_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = [(r.i, r.j, r.g) for r in gramian(emb, "embedding").collect()]
+    cells = [(r.i, r.j, r.g) for r in gramian(emb, "embedding", dim=64).collect()]
     v = power_iteration(cells, _PCA_D, _PCA_ITERS)
     return (
         emb.select("label", project(emb, v).alias("p"))
