@@ -54,6 +54,32 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERY_VEC_CACHE: dict[tuple, list[float]] = {}
 
 
+def query_vec_ids() -> list[int]:
+    """Every vec_id this module can request from ``_query_vec``,
+    derived STRUCTURALLY (AST walk over this module's source, catching
+    wrapped and keyword-arg call sites a text regex would miss) plus
+    ``_RECALL_QIDS`` for the loop sites whose id is a variable.  bench's
+    warmup primes exactly this set, so every serve row starts from the
+    same steady state — a new entry's vec_id cannot silently fall back
+    out of the policy (advisor r8).  A future loop over a NEW variable
+    id tuple must fold its ids into ``_RECALL_QIDS`` or this list."""
+    import ast
+    import inspect
+    import sys
+
+    tree = ast.parse(inspect.getsource(sys.modules[__name__]))
+    vids = set(_RECALL_QIDS)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            fn = node.func
+            name = fn.id if isinstance(fn, ast.Name) else getattr(fn, "attr", "")
+            if name == "_query_vec":
+                for a in list(node.args) + [kw.value for kw in node.keywords]:
+                    if isinstance(a, ast.Constant) and isinstance(a.value, int):
+                        vids.add(a.value)
+    return sorted(vids)
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     key = (spark.sparkContext.applicationId, sf_dir, vec_id)
     got = _QUERY_VEC_CACHE.get(key)

@@ -61,19 +61,11 @@ def main() -> None:
         # starts from the same steady state under the same policy.
         # EVERY vec_id the entry module uses is primed (advisor r8: the
         # old (0, 1) list left knn_quantized/ann_ivfpq/rebuild-search
-        # paying a first-touch fetch inside their timed rows), collected
-        # mechanically from the entry source so a new entry's vec_id
-        # can't silently fall back out of the steady-state policy.
-        import inspect
-
-        entry_src = inspect.getsource(entrymod)
-        vids = {
-            int(g)
-            for g in re.findall(
-                r"_query_vec\(spark,\s*sf_dir,\s*(\d+)\)", entry_src
-            )
-        } | set(entrymod._RECALL_QIDS)
-        for vid in sorted(vids):
+        # paying a first-touch fetch inside their timed rows).  The set
+        # is derived structurally (AST walk in query_vec_ids — immune to
+        # line wrapping and keyword args, unlike a text regex), so a new
+        # entry's vec_id can't silently fall back out of the policy.
+        for vid in entrymod.query_vec_ids():
             entrymod._query_vec(spark, sf_dir, vid)
     except Exception:
         pass  # warmup is best-effort; timings just run colder

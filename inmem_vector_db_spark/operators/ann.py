@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from inmem_vector_db_spark.operators.arrowmat import flat_matrix
 from inmem_vector_db_spark.operators.knn import knn
 
 
@@ -116,25 +117,10 @@ def ivf_assign(
         cids_, cmat_ = bc.value
         cid_arr = np.asarray(cids_)
         for rb in batches:
-            n = rb.num_rows
-            if n == 0:
+            if rb.num_rows == 0:
                 continue
             names = rb.schema.names
-            vcol = rb.column(names.index(vec_col))
-            if vcol.null_count or vcol.values.null_count:
-                raise ValueError(
-                    f"NULL {vec_col} in corpus: cannot assign a cluster"
-                )
-            offs = np.asarray(vcol.offsets)
-            lens = np.diff(offs)
-            if not (lens == cmat_.shape[1]).all():
-                raise ValueError(
-                    f"embedding dimension mismatch: centroid dim="
-                    f"{cmat_.shape[1]}, corpus batch dims="
-                    f"{sorted(set(lens.tolist()))} over {n} rows"
-                )
-            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
-            mat = flat.astype(np.float64).reshape(n, cmat_.shape[1])
+            mat = flat_matrix(rb, vec_col, expected_dim=cmat_.shape[1])
             d2 = (
                 (mat * mat).sum(1)[:, None]
                 + (cmat_ * cmat_).sum(1)[None, :]

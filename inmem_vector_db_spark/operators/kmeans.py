@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.operators.ann import ivf_assign, select_centroids
+from inmem_vector_db_spark.operators.arrowmat import flat_matrix, int_list_array
 
 SCALE = 1_000_000  # component quantization for exact integer sums
 
@@ -55,23 +56,10 @@ def _partial_sums(vec_col: str):
 
     def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            n = rb.num_rows
-            if n == 0:
+            if rb.num_rows == 0:
                 continue
             names = rb.schema.names
-            vcol = rb.column(names.index(vec_col))
-            if vcol.null_count or vcol.values.null_count:
-                raise ValueError(f"NULL {vec_col} in corpus")
-            offs = np.asarray(vcol.offsets)
-            lens = np.diff(offs)
-            d = int(lens[0])
-            if not (lens == d).all():
-                raise ValueError(
-                    "embedding dimension mismatch: batch dims="
-                    f"{sorted(set(lens.tolist()))}"
-                )
-            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
-            mat = flat.astype(np.float64).reshape(n, d)
+            mat = flat_matrix(rb, vec_col)
             scaled = np.floor(mat * SCALE).astype(np.int64)
             cl = np.asarray(rb.column(names.index("cluster_id")))
             cids, ssum, cnt = [], [], []
@@ -80,11 +68,7 @@ def _partial_sums(vec_col: str):
                 cids.append(int(cid))
                 ssum.append(m.sum(axis=0, dtype=np.int64))
                 cnt.append(m.shape[0])
-            k = len(cids)
-            sum_offsets = pa.array(np.arange(0, (k + 1) * d, d, dtype=np.int32))
-            sum_arr = pa.ListArray.from_arrays(
-                sum_offsets, pa.array(np.concatenate(ssum))
-            )
+            sum_arr = int_list_array(np.stack(ssum))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.asarray(cids, dtype=np.int64)),

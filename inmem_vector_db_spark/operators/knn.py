@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.functions.distance import METRICS, distance
+from inmem_vector_db_spark.operators.arrowmat import flat_matrix
 
 
 def _query_lit(query_vec: Sequence[float]):
@@ -183,32 +184,14 @@ def knn_join_vectorized(
     def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         qids_, qmat_ = bc.value
         for rb in batches:
-            n = rb.num_rows
-            if n == 0:
+            if rb.num_rows == 0:
                 continue
             names = rb.schema.names
-            vcol = rb.column(names.index(vec_col))
-            if vcol.null_count or vcol.values.null_count:
-                # same failure contract as _dim_guard's NULL branch
-                raise ValueError(
-                    "embedding dimension mismatch: NULL embedding in corpus"
-                )
             # (N, D) matrix from the ListArray's FLAT buffer: one slice +
             # reshape instead of materializing N per-row ndarray cells
-            # (the per-row stack was the knn_quantized decade bottleneck;
-            # same Arrow layout, same fix — see operators/quantize.py)
-            offs = np.asarray(vcol.offsets)
-            lens = np.diff(offs)
-            if not (lens == qmat_.shape[1]).all():
-                # same failure contract as the expression path's
-                # _dim_guard: loud error, not a numpy broadcast surprise
-                raise ValueError(
-                    f"embedding dimension mismatch: query dim={qmat_.shape[1]}, "
-                    f"corpus batch dims={sorted(set(lens.tolist()))} "
-                    f"over {n} rows"
-                )
-            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
-            vmat = flat.astype(np.float64).reshape(n, qmat_.shape[1])
+            # (the per-row stack was the knn_quantized decade bottleneck).
+            # NULL/ragged corpora raise the _dim_guard failure contract.
+            vmat = flat_matrix(rb, vec_col, expected_dim=qmat_.shape[1])
             if met == "euclidean":
                 # |q-v|^2 = |q|^2 + |v|^2 - 2 q.v   (BLAS-backed)
                 d2 = (

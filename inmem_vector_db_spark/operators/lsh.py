@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.functions.distance import distance
+from inmem_vector_db_spark.operators.arrowmat import flat_matrix
 from inmem_vector_db_spark.operators.knn import knn_join_vectorized
 
 
@@ -134,18 +135,7 @@ class RandomHyperplaneLSH:
                 if n == 0:
                     continue
                 names = rb.schema.names
-                vcol = rb.column(names.index(vec_col))
-                if vcol.null_count or vcol.values.null_count:
-                    raise ValueError(f"NULL {vec_col}: cannot sign")
-                offs = np.asarray(vcol.offsets)
-                lens = np.diff(offs)
-                if not (lens == dim).all():
-                    raise ValueError(
-                        f"embedding dimension mismatch: planes dim={dim}, "
-                        f"batch dims={sorted(set(lens.tolist()))}"
-                    )
-                flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
-                mat = flat.astype(np.float64).reshape(n, dim)
+                mat = flat_matrix(rb, vec_col, expected_dim=dim)
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 norms[norms == 0.0] = 1.0
                 bits = ((mat / norms) @ planes.T) >= 0.0

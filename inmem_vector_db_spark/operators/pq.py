@@ -38,6 +38,10 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from inmem_vector_db_spark.operators.arrowmat import (
+    flat_matrix,
+    int_list_array,
+)
 from inmem_vector_db_spark.operators.knn import knn
 
 
@@ -111,18 +115,7 @@ def pq_encode(
             if n == 0:
                 continue
             names = rb.schema.names
-            vcol = rb.column(names.index(vec_col))
-            if vcol.null_count or vcol.values.null_count:
-                raise ValueError(f"NULL {vec_col} in corpus: cannot encode")
-            offs = np.asarray(vcol.offsets)
-            lens = np.diff(offs)
-            if not (lens == dim).all():
-                raise ValueError(
-                    f"embedding dimension mismatch: codebook dim={dim}, "
-                    f"batch dims={sorted(set(lens.tolist()))}"
-                )
-            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
-            mat = flat.astype(np.float64).reshape(n, dim)
+            mat = flat_matrix(rb, vec_col, expected_dim=dim)
             codes = np.empty((n, m), dtype=np.int32)
             for j in range(m):
                 sub = mat[:, j * dsub : (j + 1) * dsub]
@@ -131,12 +124,7 @@ def pq_encode(
                     diff = sub[:, i, None] - cb[j][None, :, i]
                     d += diff * diff
                 codes[:, j] = np.argmin(d, axis=1)
-            code_offsets = pa.array(
-                np.arange(0, (n + 1) * m, m, dtype=np.int32)
-            )
-            code_arr = pa.ListArray.from_arrays(
-                code_offsets, pa.array(codes.reshape(-1))
-            )
+            code_arr = int_list_array(codes)
             cols = [rb.column(names.index(id_col)), code_arr] + [
                 rb.column(names.index(c)) for c in keep_cols
             ]

@@ -38,6 +38,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from inmem_vector_db_spark.operators.arrowmat import flat_matrix, int_list_array
+
 
 def jl_plane_ints(out_dim: int, in_dim: int, salt: str = "rpplane") -> np.ndarray:
     """(out_dim x in_dim) int64 matrix, entry (j, d) uniform on
@@ -76,38 +78,18 @@ def project_embeddings_int(
 
     P = jl_plane_ints(out_dim, in_dim)
 
-    def _list_arr(mat: np.ndarray) -> pa.ListArray:
-        # vectorized (N, D) int64 matrix -> arrow list<int64>: one flat
-        # values buffer + an arithmetic offsets vector (no per-row
-        # Python list materialization)
-        n, d = mat.shape
-        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
-        return pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1)))
-
     def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            n = rb.num_rows
-            if n == 0:
+            if rb.num_rows == 0:
                 continue
             names = rb.schema.names
-            vcol = rb.column(names.index(col))
-            if vcol.null_count or vcol.values.null_count:
-                raise ValueError(f"NULL {col} in corpus: cannot project")
-            offs = np.asarray(vcol.offsets)
-            lens = np.diff(offs)
-            if not (lens == in_dim).all():
-                raise ValueError(
-                    f"embedding dimension mismatch: expected {in_dim}, "
-                    f"batch dims={sorted(set(lens.tolist()))}"
-                )
-            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
-            M = flat.astype(np.float64).reshape(n, in_dim)
+            M = flat_matrix(rb, col, expected_dim=in_dim)
             Mi = np.floor(M * scale).astype(np.int64)
             proj = Mi @ P.T
-            cols = [rb.column(names.index(id_col)), _list_arr(proj)]
+            cols = [rb.column(names.index(id_col)), int_list_array(proj)]
             names_out = [id_col, "proj"]
             if keep_quantized:
-                cols.append(_list_arr(Mi))
+                cols.append(int_list_array(Mi))
                 names_out.append("v")
             yield pa.RecordBatch.from_arrays(cols, names=names_out)
 
@@ -143,16 +125,10 @@ def projected_topk(
             if n == 0:
                 continue
             names = rb.schema.names
-            pcol = rb.column(names.index("proj"))
-            offs = np.asarray(pcol.offsets)
-            lens = np.diff(offs)
-            if not (lens == qdim).all():
-                raise ValueError(
-                    f"projected dimension mismatch: query dim={qdim}, "
-                    f"batch dims={sorted(set(lens.tolist()))}"
-                )
-            flat = np.asarray(pcol.values)[offs[0]: offs[-1]]
-            Mp = flat.astype(np.int64).reshape(n, qdim)
+            Mp = flat_matrix(
+                rb, "proj", expected_dim=qdim, dtype=np.int64,
+                what="projected",
+            )
             ids = np.asarray(rb.column(names.index(id_col)))
             out_q, out_v, out_d = [], [], []
             for qi, qid in enumerate(qids):

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.functions.distance import METRICS
+from inmem_vector_db_spark.operators.arrowmat import flat_matrix
 from inmem_vector_db_spark.operators.knn import knn, knn_join_vectorized
 
 
@@ -203,27 +204,13 @@ def knn_int8(
     def part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         qids_, qmat_ = bc.value
         for rb in batches:
-            n = rb.num_rows
-            if n == 0:
+            if rb.num_rows == 0:
                 continue
             names = rb.schema.names
-            qcol = rb.column(names.index(q_col))
-            if qcol.null_count or qcol.values.null_count:
-                raise ValueError(f"NULL {q_col} in quantized corpus")
             # ListArray layout: offsets index the shared flat values
-            # buffer; a rectangular batch has constant row length, so
-            # the (N, D) matrix is one zero-copy slice + reshape
-            offs = np.asarray(qcol.offsets)
-            lens = np.diff(offs)
-            d = int(lens[0]) if n else 0
-            if not (lens == qmat_.shape[1]).all():
-                raise ValueError(
-                    f"embedding dimension mismatch: query dim="
-                    f"{qmat_.shape[1]}, corpus batch dims="
-                    f"{sorted(set(lens.tolist()))} over {n} rows"
-                )
-            flat = np.asarray(qcol.values)[offs[0]: offs[-1]]
-            codes = flat.astype(np.float64).reshape(n, d)  # (N, D)
+            # buffer — the (N, D) matrix is one slice + reshape (the
+            # int8 -> float64 conversion is the only copy)
+            codes = flat_matrix(rb, q_col, expected_dim=qmat_.shape[1])
             scales = np.asarray(
                 rb.column(names.index(scale_col))
             ).astype(np.float64)

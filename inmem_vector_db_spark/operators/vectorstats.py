@@ -24,6 +24,8 @@ from typing import Iterator
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from inmem_vector_db_spark.operators.arrowmat import flat_matrix
+
 _CELL_SCHEMA = "i INT, j INT, g DOUBLE"
 
 
@@ -48,20 +50,8 @@ def gramian(
             n = rb.num_rows
             if n == 0:
                 continue
-            vcol = rb.column(rb.schema.names.index(vec_col))
-            if vcol.null_count or vcol.values.null_count:
-                raise ValueError(f"NULL {vec_col} in corpus")
-            offs = np.asarray(vcol.offsets)
-            lens = np.diff(offs)
-            if d is None:
-                d = int(lens[0])
-            if not (lens == d).all():
-                raise ValueError(
-                    f"embedding dimension mismatch: expected {d}, "
-                    f"batch dims={sorted(set(lens.tolist()))}"
-                )
-            flat = np.asarray(vcol.values)[offs[0]: offs[-1]]
-            x = flat.astype(np.float64).reshape(n, d)
+            x = flat_matrix(rb, vec_col, expected_dim=d)
+            d = x.shape[1]
             g = x.T @ x
             acc = g if acc is None else acc + g
         if acc is not None:

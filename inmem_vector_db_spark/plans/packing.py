@@ -358,15 +358,12 @@ def zorder_layout_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("u") >= (1 << _Z_BITS))
         | (F.col("vq") < 0)
         | (F.col("vq") >= (1 << _Z_BITS))
-        # event_id is the ARRIVAL layout's primary sort key: the exact-
-        # ntile bucket id (key*B div (max+1)) assumes non-negative keys
-        # — a negative event_id would go negative/non-monotone and
-        # silently corrupt the rank where the old global ntile would
-        # still have ordered correctly (advisor r8)
-        | (F.col("event_id") < 0)
     )
     z = ev.withColumn(
         "z",
+        # the two guards carry DISTINCT messages: widening _Z_BITS fixes
+        # a z-dimension overflow but would do nothing for a negative
+        # rank key, and a misdirected operator would chase the wrong fix
         F.when(
             oob,
             F.raise_error(
@@ -375,7 +372,23 @@ def zorder_layout_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "widen _Z_BITS for this corpus"
                 )
             ),
-        ).otherwise(F.expr(_Z_EXPR)),
+        )
+        .when(
+            # event_id is the ARRIVAL layout's primary sort key: the
+            # exact-ntile bucket id (key*B div (max+1)) assumes
+            # non-negative keys — a negative event_id would go
+            # negative/non-monotone and silently corrupt the rank where
+            # the old global ntile would still have ordered correctly
+            # (advisor r8)
+            F.col("event_id") < 0,
+            F.raise_error(
+                F.lit(
+                    "negative event_id — the arrival layout's exact-"
+                    "ntile bucketing requires a non-negative rank key"
+                )
+            ),
+        )
+        .otherwise(F.expr(_Z_EXPR)),
     )
     box = (
         (F.col("u_min") <= F.lit(_Z_BOX["u_hi"]))
