@@ -22,6 +22,17 @@ def test_queries_lead_with_the_window_in_order():
     assert list(qs)[:50] == entrymod._DRIVER_WINDOW
 
 
+def test_window_is_sorted_by_exec_order_position():
+    """The round-10 rotation's ONLY ordering invariant (r9 ADVICE: the
+    old 'registration order within each cohort' comment claimed a
+    property the list didn't maintain): the window is sorted by
+    exec_order() position outright, which preserves every
+    builder-before-consumer coupling the registry encodes."""
+    pos = {n: i for i, n in enumerate(entrymod.exec_order())}
+    idx = [pos[n] for n in entrymod._DRIVER_WINDOW]
+    assert idx == sorted(idx)
+
+
 def test_every_windowed_entry_has_an_oracle():
     # a windowed rows-only entry would silently downgrade a hard-signal
     # slot to a weak check; the single deliberate exception
