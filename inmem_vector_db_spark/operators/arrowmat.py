@@ -38,11 +38,21 @@ def flat_matrix(
     or dimension mismatch; never reshapes garbage.
     """
     col = rb.column(rb.schema.names.index(col_name))
-    if col.null_count or col.values.null_count:
+    offs = np.asarray(col.offsets)
+    # element nulls are counted within the batch's logical window:
+    # ``col.values`` is the UNSLICED child array, so a whole-array
+    # null_count would flag nulls lying outside a sliced batch's
+    # offsets range (advisor r9); ``col.null_count`` itself is
+    # slice-aware
+    elem_nulls = (
+        col.values.slice(int(offs[0]), int(offs[-1] - offs[0])).null_count
+        if len(offs)
+        else 0
+    )
+    if col.null_count or elem_nulls:
         raise ValueError(
             f"{what} dimension mismatch: NULL {col_name} in batch"
         )
-    offs = np.asarray(col.offsets)
     lens = np.diff(offs)
     d = expected_dim
     if d is None:

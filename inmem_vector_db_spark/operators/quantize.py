@@ -193,11 +193,18 @@ def knn_int8(
         raise ValueError(f"unknown metric {metric!r}")
     if not queries:
         raise ValueError("queries is empty")
+    from pyspark.sql.pandas.types import to_arrow_type
+
     qids = [int(qid) for qid, _ in queries]
     qmat = np.asarray([list(v) for _, v in queries], dtype=np.float64)
     spark = corpus_q.sparkSession
     bc = spark.sparkContext.broadcast((qids, qmat))
     idt = corpus_q.schema[id_col].dataType.simpleString()
+    # explicit Arrow output types, same as knn.knn_join_vectorized: a
+    # numpy-inferred RecordBatch would mismatch the declared schema for
+    # id types numpy round-trips differently (int32-typed ids, dates,
+    # decimals) and fail at runtime (advisor r9)
+    id_t = to_arrow_type(corpus_q.schema[id_col].dataType)
     out_schema = f"query_id long, {id_col} {idt}, dist double"
     met, kk = metric, k
 
@@ -239,12 +246,13 @@ def knn_int8(
                 # (dist, id) lexsort: map-side cut keeps lowest ids on
                 # ties (same contract as knn_join_vectorized)
                 idx = np.lexsort((ids, dmat[qi]))[:take]
-                yield pa.record_batch(
-                    {
-                        "query_id": np.full(take, qid, dtype=np.int64),
-                        id_col: ids[idx],
-                        "dist": dmat[qi, idx],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([qid] * take, type=pa.int64()),
+                        pa.array(ids[idx], type=id_t),
+                        pa.array(dmat[qi, idx], type=pa.float64()),
+                    ],
+                    names=["query_id", id_col, "dist"],
                 )
 
     partial = corpus_q.select(id_col, q_col, scale_col).mapInArrow(

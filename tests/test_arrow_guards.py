@@ -140,3 +140,33 @@ def test_lsh_signature_values_survive_rewrite(spark):
     want = lsh.signatures_np(mat)
     for i, (_vid, _v) in enumerate(rows):
         assert got[i] == want[i]
+
+
+def test_flat_matrix_is_slice_aware():
+    """A sliced RecordBatch whose NULL elements lie OUTSIDE the slice
+    must reshape fine (the old check read the UNSLICED ListArray child
+    and raised spuriously — advisor r9); NULLs INSIDE the slice still
+    raise, and the slice reshapes the right rows."""
+    import pyarrow as pa
+
+    from inmem_vector_db_spark.operators.arrowmat import flat_matrix
+
+    arr = pa.array(
+        [[None, 1.0], [2.0, 3.0], [4.0, 5.0]], type=pa.list_(pa.float64())
+    )
+    rb = pa.RecordBatch.from_arrays([arr], names=["embedding"])
+    # whole batch: the null element is in range -> raise
+    with pytest.raises(ValueError, match="NULL"):
+        flat_matrix(rb, "embedding", expected_dim=2)
+    # slice past the null row: must NOT raise, and values are the
+    # sliced rows (offsets index the unsliced child correctly)
+    got = flat_matrix(rb.slice(1), "embedding", expected_dim=2)
+    assert got.tolist() == [[2.0, 3.0], [4.0, 5.0]]
+    # slice that still covers the null element -> raise
+    with pytest.raises(ValueError, match="NULL"):
+        flat_matrix(rb.slice(0, 2), "embedding", expected_dim=2)
+    # zero-row slice: no raise, (0, d) shape
+    assert flat_matrix(rb.slice(3), "embedding", expected_dim=2).shape == (
+        0,
+        2,
+    )

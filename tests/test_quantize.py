@@ -161,3 +161,21 @@ def test_rerank_multi_empty_corpus(spark):
     )
     out = knn_quantized_rerank_multi(empty, [(0, [0.0, 0.0])], k=3)
     assert out.count() == 0
+
+
+def test_knn_int8_nondefault_id_type(spark):
+    """Output RecordBatches carry EXPLICIT Arrow types (advisor r9): an
+    id column whose Arrow type numpy inference would not round-trip
+    (int32-typed 'int') must come back typed per the declared schema,
+    not fail with an Arrow schema mismatch."""
+    rows = [(i, [float(i), float(9 - i)]) for i in range(10)]
+    df = with_quantized(
+        spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    )
+    got = knn_int8(df, [(0, [0.0, 9.0])], k=3, metric="euclidean")
+    assert dict(got.dtypes)["vec_id"] == "int"
+    assert [r["vec_id"] for r in got.orderBy("dist", "vec_id").collect()] == [
+        0,
+        1,
+        2,
+    ]

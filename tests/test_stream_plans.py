@@ -20,6 +20,29 @@ import sys
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_zero_query_stream_entry_raises():
+    """Regression pin for the advisor-r8 fix (judge r9 item #4): an
+    entry the audit believes is streaming but that starts zero
+    streaming queries must raise loudly, not vacuously pass and pin
+    {"queries": []}.  _require_started is the extracted raise; the
+    structural assert keeps collect() actually routed through it."""
+    import importlib.util
+    import inspect
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_plan_audit",
+        os.path.join(REPO_ROOT, "tools", "stream_plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no streaming query started"):
+        mod._require_started("some_entry", [])
+    mod._require_started("some_entry", ["qid-1"])  # non-empty: no raise
+    assert "_require_started(" in inspect.getsource(mod.collect)
+
+
 def test_streaming_plans_match_recorded_baseline():
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO_ROOT, "tools", "stream_plan_audit.py"),
