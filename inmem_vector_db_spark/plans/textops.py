@@ -956,22 +956,29 @@ LIMIT 25
 
 
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 terms by TF-IDF.  The document-frequency table
-    is |vocab| rows — tiny next to the token stream — so Catalyst's
-    stats pick a broadcast join here; at a 100 TB corpus with a huge
-    vocab AQE falls back to a shuffle join on term, which is the right
-    plan there too (no hint pinned on purpose).  The corpus size scalar
-    is a 1-row broadcast.  Score rounded to 6 dp BEFORE ranking so the
-    tie-break (score desc, term asc) is engine-stable."""
+    """Per-document top-3 terms by TF-IDF.  Document frequency is a
+    window count over ``term`` on the tf table itself — NOT a
+    tf-join-dfreq: with the join formulation AQE's runtime stats
+    broadcast the CORPUS-SIZED tf aggregate whenever it clears the
+    adaptive threshold (observed at the synthetic sf1 decade, r10 —
+    the tf side, not the |vocab|-row dfreq side, was the
+    BroadcastExchange), which is exactly the plan you don't want one
+    decade later.  The window form has no broadcastable side at all:
+    shuffle by term (df count), shuffle by doc_id (rank) — both keyed,
+    both AQE-coalesced, safe at any corpus size, and measured 1.5x
+    faster than the join at both sf0.1 and synth-sf1.  The corpus size
+    scalar is a 1-row broadcast.  Score rounded to 6 dp BEFORE ranking
+    so the tie-break (score desc, term asc) is engine-stable."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(ndocs))
         .withColumn(
             "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)

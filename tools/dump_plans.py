@@ -116,9 +116,11 @@ HEADLINERS = {
     "decontam_overlap": "eval-set shingles distinct-ed then broadcast; "
     "corpus side is semi-joined and aggregated once — contamination "
     "check without shuffling the corpus by shingle.",
-    "tfidf_top_terms": "document-frequency table joined without a forced "
-    "hint (stats pick broadcast here, shuffle-on-term at huge vocab); "
-    "top-3 per doc is a window over the scored rows.",
+    "tfidf_top_terms": "document frequency is a window count over term "
+    "on the tf table — no join, so there is no broadcastable side (the "
+    "old tf-join-dfreq form let AQE broadcast the CORPUS-SIZED tf "
+    "aggregate at mid scale, r10); two keyed shuffles (term, doc_id), "
+    "safe at any corpus size; top-3 per doc is a window over scored rows.",
     "knn_pq": "PQ stage 1 is a TakeOrderedAndProject over the m-int codes "
     "projection — ADC distance is 4 literal-LUT element_at lookups in "
     "whole-stage codegen, no join, no Exchange; stage 2 exact re-rank "
