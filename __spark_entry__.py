@@ -4260,11 +4260,10 @@ _BUILD_ENTRIES = {
     # the same falsified-min-of-2 class as the artifact builders
     "dedup_simhash_fast",
     "dedup_simhash_fast_check",
-    # boilerplate_profile persists its exploded shingle stream (three
-    # consuming branches) and never unpersists — identical re-invocation
-    # is a CacheManager plan-equality hit (surfaced by the round-8
-    # one-level callee scan in test_entry_contract.py)
-    "boilerplate_ngrams",
+    # (boilerplate_ngrams left this set in r10: the window-count rewrite
+    # of boilerplate_profile consumes its shingle stream once, so the
+    # three-branch persist — the reason it was re-run-hazardous — is
+    # gone and min-of-2 re-timing is fair again)
     # first exec_order touchers of the _STAGED_EVENTS session memo:
     # their first call pays the one-time events staging write (one per
     # distinct (sf_dir, type-filter) key — events_hourly_stream stages

@@ -163,12 +163,16 @@ def boilerplate_profile(
     docs_with_boiler, avg_boiler_ratio, total_boiler)``.
 
     A shingle is boilerplate when it occurs in ≥ ``min_df`` DISTINCT
-    documents.  Document frequency is one groupBy over exploded
-    per-doc-distinct shingles (partial-agg; the dedup-first
-    ``array_distinct`` keeps within-doc repeats from inflating df).
-    Docs are scored with a LEFT SEMI join against the boilerplate set —
-    high-df shingles are rare by definition, so that side stays small
-    at any corpus size.
+    documents.  Document frequency is a WINDOW count over the shingle
+    key on the exploded per-doc-distinct stream (rows are per-doc
+    distinct thanks to the dedup-first ``array_distinct``, so count(*)
+    per shingle == distinct-doc count) — not a df-census semi-joined
+    back.  The old three-branch join form needed a persist (each branch
+    re-ran the shingle string-building) and let AQE pick broadcast
+    sides from corpus-derived aggregates at mid scale (the
+    tfidf_top_terms hazard class, r10); the window form consumes the
+    stream ONCE — shuffle by shingle (df), one per-doc aggregate, one
+    per-source rollup — with no persist and no joinable side at all.
     """
     if sig_index is not None:  # shared artifact: shset is the n=3 set
         d = sig_index.select("doc_id", "source", "shset").where(
@@ -180,29 +184,16 @@ def boilerplate_profile(
             "source",
             F.array_distinct(word_shingles(F.col("text"), n)).alias("shset"),
         ).where(F.size("shset") > 0)
-    # persist: three branches (df census, boiler scoring, per-doc sizes)
-    # consume the exploded shingle stream — without it the shingle
-    # string-building (the dominant cost) re-runs per branch (measured
-    # 3x at sf0.1).  At 100 TB this is the materialized shingle table a
-    # real pipeline writes once and reuses; caller owns the cache
-    # lifetime (same policy as the dedup signature tables).
-    exp = d.select("doc_id", "source", F.explode("shset").alias("shingle")).persist()
-    boiler = (
-        exp.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))  # rows are per-doc distinct
-        .where(F.col("df") >= min_df)
-        .select("shingle")
-    )
-    n_boiler = (
-        exp.join(boiler, "shingle", "leftsemi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
+    exp = d.select("doc_id", "source", F.explode("shset").alias("shingle"))
     per_doc = (
-        exp.groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-        .join(n_boiler, "doc_id", "left")
-        .na.fill({"n_boiler": 0})
+        exp.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_boiler"),
+        )
     )
     return (
         per_doc.groupBy("source")

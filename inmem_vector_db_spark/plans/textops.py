@@ -1070,26 +1070,29 @@ def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of its distinct 5-word spans that also occur in at least
     one OTHER document.  Spans come from the shared signature
     artifact's cross-doc shingle census (``shset5``) — no re-tokenize,
-    no re-hash; the span-frequency table shuffles once on the span key
-    and the semi-join back reuses that partitioning.  At 100 TB this is
-    the standard two-pass shape: span -> df count, then per-doc
-    aggregate; state is bounded by distinct spans, never pairs."""
+    no re-hash.  Span frequency is a WINDOW count over the span key,
+    not a df-table semi-joined back: the join form let AQE broadcast
+    span-keyed aggregates at mid scale (the tfidf_top_terms hazard
+    class, r10), and the window form folds the old totals-left-join-dup
+    pair into ONE per-doc aggregate.  (doc, span) rows are per-doc
+    DISTINCT (``shset5`` is a set), so count(*) per span ==
+    distinct-doc count.  At 100 TB this is the standard two-pass
+    shape: span df, then per-doc aggregate; state is bounded by
+    distinct spans, never pairs."""
+    from pyspark.sql import Window
+
     sh = corpus_signature_index(spark, sf_dir).select(
         "doc_id", F.explode("shset5").alias("sh")
     )
-    dfc = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
-    dup = (
-        sh.join(dfc.filter(F.col("df") >= 2).select("sh"), "sh", "left_semi")
+    nd = F.sum((F.col("df") >= 2).cast("long"))
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    nd = F.coalesce("n_dup", F.lit(0))
-    return totals.join(dup, "doc_id", "left").select(
-        "doc_id",
-        "n_spans",
-        nd.alias("n_dup_spans"),
-        F.round(nd / F.col("n_spans"), 6).alias("dup_fraction"),
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            nd.alias("n_dup_spans"),
+            F.round(nd / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
     )
 
 
@@ -2923,20 +2926,27 @@ def crossdoc_shingle_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from corpus-duplicated substrings even when no full-text
     dup exists.
 
-    Shape for scale: distinct (shingle, doc) pairs -> per-shingle doc
-    count (partial-aggregable wordcount) -> semi-annotate each doc's
-    shingles with shared/not -> one per-doc aggregate.  Both shuffles
-    key on the shingle/doc hash — no all-pairs comparison anywhere
-    (the same candidates-only posture as the MinHash path).  The 5-gram
-    shingle sets come from the shared signature artifact
+    Shape for scale: the per-shingle doc count is a WINDOW count over
+    the exploded (doc, shingle) stream, not a counts-table self-join —
+    the join form let AQE broadcast the corpus-vocabulary-sized counts
+    aggregate at mid scale (the tfidf_top_terms hazard class, r10);
+    the window form has no broadcastable side: two keyed shuffles
+    (shingle, then doc_id), no all-pairs comparison anywhere (the same
+    candidates-only posture as the MinHash path).  (doc, shingle) rows
+    are per-doc DISTINCT by construction (``shset5`` is a set), so
+    count(*) per shingle == distinct-doc count.  The 5-gram shingle
+    sets come from the shared signature artifact
     (``operators.signatures``), so the corpus is tokenized once per
     session across the whole dedup family."""
+    from pyspark.sql import Window
+
     sh = corpus_signature_index(spark, sf_dir).select(
         "doc_id", F.explode("shset5").alias("sh")
     )
-    counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        sh.join(counts, "sh")
+        sh.withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

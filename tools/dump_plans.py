@@ -129,9 +129,10 @@ HEADLINERS = {
     "per-bucket totals (partial agg), cumsum over the tiny bucket table, "
     "broadcast join back, per-bucket window (<=128 rows/partition) — no "
     "global ORDER BY window, so no single-task funnel at any corpus size.",
-    "boilerplate_ngrams": "df census is one partial-aggregable groupBy on "
-    "the shingle; docs re-scored by a semi join against the (small by "
-    "definition) high-df set — candidates-then-verify, no all-pairs.",
+    "boilerplate_ngrams": "shingle df is a window count over the shingle "
+    "key on the per-doc-distinct stream, consumed ONCE (the old "
+    "three-branch join form needed a persist); no joinable side, no "
+    "all-pairs — shuffle by shingle, one per-doc agg, one source rollup.",
     "training_shards": "md5-derived shard key evaluated in whole-stage "
     "codegen; one partial-agg shuffle over n_shards keys — the balance QA "
     "for a partitioned training-data write, reproducible across engines.",
@@ -190,10 +191,10 @@ HEADLINERS = {
     "on the exploded token stream BEFORE any aggregate, so only the two "
     "query terms' postings shuffle — the same early-pruning posture as "
     "bm25_search.",
-    "crossdoc_shingle_dup": "distinct (shingle, doc) pairs -> "
-    "per-shingle doc count -> per-doc shared fraction: two "
-    "partial-aggregable shuffles keyed on the shingle hash, no "
-    "all-pairs comparison anywhere.",
+    "crossdoc_shingle_dup": "per-shingle doc count is a window count "
+    "over the exploded distinct (shingle, doc) stream — no counts "
+    "self-join for AQE to mis-broadcast (r10); two keyed shuffles "
+    "(shingle, doc_id), no all-pairs comparison anywhere.",
     "multitouch_attribution": "purchase-click pairing rides the "
     "bucketed range_join (hash equi-join + residual filter, no "
     "nested-loop); credit split is a window over pairs keyed by "
@@ -256,10 +257,10 @@ HEADLINERS = {
     "mapInPandas pass computes all m sub-codes per vector against the "
     "broadcast codebooks; knn_pq / ann_ivfpq then pay only ADC lookup "
     "+ exact re-rank over the shared codes artifact.",
-    "duplicated_spans": "substring-duplication census (r5): spans come "
-    "from the shared signature artifact; the span-frequency aggregate "
-    "shuffles once on the span key and the per-doc semi-join reuses "
-    "that partitioning — state bounded by distinct spans, never pairs.",
+    "duplicated_spans": "substring-duplication census (r5, window form "
+    "r10): span df is a window count on the span key; one per-doc "
+    "aggregate replaces the old totals-left-join-dup pair — state "
+    "bounded by distinct spans, never pairs.",
     "lsh_index_append_search": "incremental LSH maintenance (r5): the "
     "probe joins the written base+append artifact; the append itself "
     "touched one new file per table partition, nothing rewritten.",
