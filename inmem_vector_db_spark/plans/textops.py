@@ -1938,13 +1938,21 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean negative log2 bigram probability under the corpus
     bigram LM: P(w2|w1) = (c(w1 w2)+a) / (c(w1)+a*V), a=0.5.
 
-    Shape for scale: train = two partial-aggregable groupBys (unigram +
-    bigram counts, each vocabulary-sized, far smaller than the corpus);
-    score = two hash joins of the exploded bigram stream against those
-    count tables, then a per-doc avg.  Vocabulary size folds to a
-    literal driver-side (one cheap count job) so the smoothing
-    denominator stays inside whole-stage codegen.  Docs with < 2 tokens
-    have no bigrams and are absent by definition."""
+    Shape for scale: the bigram count c(w1 w2) is a WINDOW count over
+    the exploded bigram stream's own key — not a bigram-count table
+    joined back, which let AQE broadcast a corpus-vocabulary-sized side
+    at mid scale (the tfidf_top_terms hazard class, r10).  The ONE
+    remaining join is against the unigram table — that table IS the
+    trained model (c(w1) counts every token position, which no window
+    over the bigram stream can reproduce: the final token of each doc
+    has no outgoing bigram), it is the smallest possible side
+    (vocab-bounded, Heaps-sublinear in the corpus), and AQE broadcasts
+    it while it fits / shuffle-joins on w1 beyond that.  Vocabulary
+    size folds to a literal driver-side (one cheap count job) so the
+    smoothing denominator stays inside whole-stage codegen.  Docs with
+    < 2 tokens have no bigrams and are absent by definition."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     bg = docs.select("doc_id", F.explode(word_shingles("text", 2)).alias("g"))
     uni = (
@@ -1953,9 +1961,8 @@ def bigram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cu"))
     )
     vocab = float(uni.count())
-    bgc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
-        bg.join(bgc, "g")
+        bg.withColumn("cb", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .withColumn("w1", F.split(F.col("g"), " ")[0])
         .join(uni.withColumnsRenamed({"w": "w1"}), "w1")
         .withColumn(

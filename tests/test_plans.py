@@ -443,9 +443,10 @@ def test_persist_exonerations_are_empirically_cache_neutral(spark, sf_dir):
     around the operator's internal persist branch.  Source-reading can
     rot; verify EMPIRICALLY: with the shared signature memo primed,
     executing each exonerated entry must register ZERO new CacheManager
-    entries.  Positive control: boilerplate_ngrams (the real leak the
-    round-8 callee scan surfaced, now bench-excluded) DOES register
-    one — proving the probe can see what the table exonerates."""
+    entries.  Positive control: a direct .persist() DOES register one —
+    proving the probe can see what the table exonerates.  (The old
+    control was boilerplate_ngrams' three-branch persist, removed by
+    the r10 window-count rewrite.)"""
     import importlib.util
     import os
 
@@ -474,5 +475,7 @@ def test_persist_exonerations_are_empirically_cache_neutral(spark, sf_dir):
         )
 
     before = cm.cachedData().size()
-    qs["boilerplate_ngrams"](spark, sf_dir).collect()
+    control = spark.range(3).persist()
+    control.count()
     assert cm.cachedData().size() == before + 1  # control: probe works
+    control.unpersist()

@@ -1,0 +1,150 @@
+"""Mid-scale AQE broadcast audit (round 10).
+
+Hunts one hazard class: a query that derives an aggregate FROM a big
+table and joins it back lets AQE's runtime stats broadcast a
+CORPUS-SIZED side whenever it clears the adaptive threshold — legal
+and locally cheap at small SF, a cliff one decade later (observed on
+tfidf_top_terms at the synthetic sf1 decade: the BroadcastExchange
+wrapped the full (doc_id, term, tf) aggregate, not the small dfreq
+side).  The fix class is a WINDOW count over the key instead of a
+joined-back aggregate (applied r10 to tfidf_top_terms,
+crossdoc_shingle_dup, duplicated_spans, boilerplate_profile).
+
+This tool re-runs each entry against a synthetic-decade dir, reads the
+FINAL (post-AQE) plan, and flags every HashedRelationBroadcastMode
+exchange whose subtree scans a corpus table or an exploded stream.
+Flags are triaged against _BENIGN — broadcasts whose build side is
+bounded by a FIXED domain (group types, hour spine, salt fan-out,
+query/eval sets, TPC-H dims) or that a genuine two-table join's AQE
+fallback handles — each with the reason on record.  A flag outside
+the allowlist exits 1: either fix it (window form) or write down why
+it is bounded.
+
+Usage:
+    python tools/scale_probe_decade.py --build-only   # stage synth docs (implicit on first probe)
+    python tools/broadcast_audit.py                   # audit both synth dirs
+
+Runtime ~3 min per family at synth sf1 (entries execute once).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from inmem_vector_db_spark.session import get_spark  # noqa: E402
+
+# (entry, reason) — broadcasts that are correct at any scale
+_BENIGN = {
+    # eval side models a FIXED external benchmark set; the broadcast
+    # semi-join IS the production decontamination plan (docstring)
+    "decontam_overlap": "eval shingle set stands in for a fixed benchmark",
+    # per-group stats joined back: build side bounded by |event types| /
+    # |groups|, a fixed domain that does not grow with the corpus
+    "mad_outliers": "group-stat table bounded by |event_type|",
+    "winsorized_stats": "group percentile table bounded by |event_type|",
+    "events_gapfill": "dense hour spine, tiny by construction",
+    # the broadcast side IS the trained model: the unigram count table
+    # (w, cu) — c(w) counts every token position, which no window over
+    # the bigram stream can reproduce (final tokens have no outgoing
+    # bigram); vocab-bounded (Heaps-sublinear), AQE shuffle-joins on w1
+    # beyond the threshold.  The bigram-count side of this entry WAS
+    # the hazard class and is a window count since r10.
+    "bigram_lm_score": "unigram LM table = the model, vocab-bounded",
+    # genuine two-table joins: AQE broadcasts the filtered/projected
+    # side while it fits and falls back to SMJ when it doesn't — the
+    # adaptive behavior working as designed, no self-derived aggregate
+    "q12_ship_latency": "filtered lineitem side; AQE falls back at scale",
+    "degree_distribution": "orders projection side; AQE falls back",
+    "multitouch_attribution": "purchase-side of the bucketed range join",
+    "salted_join_revenue": "salted dim side, bounded by |dim| x salt",
+}
+
+DOCS_ENTRIES = [
+    "token_entropy", "bm25_search", "hybrid_search", "boilerplate_ngrams",
+    "bigram_lm_score", "decontam_overlap", "posting_lists", "top_ngrams",
+    "tfidf_top_terms", "duplicated_spans", "crossdoc_shingle_dup",
+    "text_quality", "repetition_filters", "token_counts", "lang_id_counts",
+]
+REL_ENTRIES = [
+    "market_basket_lift", "retention_cohorts", "salted_event_stats",
+    "q12_ship_latency", "ks_drift_by_type", "survival_time_to_purchase",
+    "bootstrap_ci_order_value", "benford_audit", "cusum_changepoint",
+    "mad_outliers", "winsorized_stats", "numeric_corr",
+    "q1_pricing_summary", "events_sliding_windows", "user_sessions",
+    "events_anomaly_zscore", "events_gapfill", "purchase_attribution_asof",
+    "click_purchase_pairs", "multitouch_attribution", "salted_join_revenue",
+    "degree_distribution",
+]
+_BIG_MARKS = (
+    "documents.parquet", "documents]", "lineitem", "orders", "events",
+    "Generate explode",
+)
+
+
+def corpus_broadcasts(plan: str) -> list[str]:
+    """HashedRelation BroadcastExchange lines whose subtree reaches a
+    corpus table scan or an exploded stream (IdentityBroadcastMode —
+    the 1-row scalar cross joins — is never flagged)."""
+    lines = plan.splitlines()
+    flags = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line or "HashedRelation" not in line:
+            continue
+        depth = len(line) - len(line.lstrip())
+        sub = []
+        for m in lines[i + 1:]:
+            if (len(m) - len(m.lstrip())) <= depth and m.strip():
+                break
+            sub.append(m)
+        subtxt = "\n".join(sub)
+        if any(t in subtxt for t in _BIG_MARKS):
+            flags.append(line.strip()[:100])
+    return flags
+
+
+def main() -> int:
+    spark = get_spark("broadcast_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    failures = 0
+    for sf_dir, names in (
+        ("/tmp/spark_graft_sf1_synth", DOCS_ENTRIES),
+        ("/tmp/spark_graft_sf1_rel", REL_ENTRIES),
+    ):
+        if not os.path.isdir(sf_dir):
+            print(f"SKIP {sf_dir}: run the matching scale_probe_decade"
+                  f" tool once to stage it", file=sys.stderr)
+            continue
+        for name in names:
+            fn = qs.get(name)
+            if fn is None:
+                print(f"  {name}: MISSING entry"); failures += 1
+                continue
+            try:
+                df = fn(spark, sf_dir)
+                df.collect()  # AQE finalizes the plan during execution
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            except Exception as exc:
+                print(f"  {name}: ERR {str(exc)[:90]}"); failures += 1
+                continue
+            flags = corpus_broadcasts(plan)
+            if not flags:
+                print(f"  {name}: ok")
+            elif name in _BENIGN:
+                print(f"  {name}: benign ({_BENIGN[name]})")
+            else:
+                failures += 1
+                print(f"  {name}: FLAG — corpus-derived broadcast side")
+                for f in flags:
+                    print(f"      {f}")
+    print(f"FAILURES: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
