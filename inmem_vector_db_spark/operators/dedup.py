@@ -797,7 +797,15 @@ def semantic_dedup_pairs(
 
     cids, cmat = select_centroids(df, stride=stride, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(df, cids, cmat, id_col=id_col, vec_col=vec_col)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # shuffle_hash pin on the self-join: without it, AQE broadcasts one
+    # WHOLE cluster-assigned corpus side — embedding vectors included —
+    # whenever it fits the 64 MB adaptive threshold (observed at the
+    # synthetic 10x decade, r10 broadcast audit).  A self-join on
+    # cluster_id never benefits from a corpus broadcast: the shuffle
+    # co-partitions both sides with one keyed exchange each, hash (not
+    # sort-merge) because per-cluster group size is ~stride by
+    # construction, so build sides are tiny and skew-proof.
+    a, b = assigned.alias("a"), assigned.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,

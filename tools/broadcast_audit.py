@@ -62,6 +62,10 @@ _BENIGN = {
     "degree_distribution": "orders projection side; AQE falls back",
     "multitouch_attribution": "purchase-side of the bucketed range join",
     "salted_join_revenue": "salted dim side, bounded by |dim| x salt",
+    # vector family: broadcast sides bounded by the query/label domain
+    "contrastive_pair_mining": "per-anchor top-k result, |Q| x k rows",
+    "label_centroids": "per-label aggregate, bounded by |labels|",
+    "retrieval_eval_metrics": "exact top-k of a 4-query eval set",
 }
 
 DOCS_ENTRIES = [
@@ -80,9 +84,47 @@ REL_ENTRIES = [
     "click_purchase_pairs", "multitouch_attribution", "salted_join_revenue",
     "degree_distribution",
 ]
+# vector family, audited against a 10x id-shifted embeddings synth that
+# this tool stages itself.  CAVEAT: the synth's 10 copies carry
+# IDENTICAL vectors, so pair-generating entries' ROW COUNTS and
+# timings there measure an artifact (every vector gains 10 twins) —
+# only the PLAN SHAPE is the audit signal, which is data-independent.
+VEC_ENTRIES = [
+    "knn_cosine", "knn_multi_cosine", "embedding_near_dup",
+    "semantic_dedup", "knn_label_vote", "mmr_diversify",
+    "embedding_pca_var", "contrastive_pair_mining", "label_centroids",
+    "retrieval_eval_metrics",
+]
+VEC_SYNTH = "/tmp/spark_graft_sf1_vec"
+
+
+def _stage_vec_synth(spark) -> None:
+    """10x embeddings (vec_id key-shifted per copy), other tables
+    passed through at sf0.1 so load_table resolves."""
+    import shutil
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    reduce(
+        DataFrame.union,
+        [
+            src.withColumn("vec_id", F.col("vec_id") + F.lit(i * 100_000_000))
+            for i in range(10)
+        ],
+    ).write.mode("overwrite").parquet(f"{VEC_SYNTH}/embeddings.parquet")
+    for t in (
+        "region", "nation", "supplier", "part", "customer",
+        "orders", "lineitem", "events", "documents",
+    ):
+        s, d = f"/root/testdata/sf0.1/{t}.parquet", f"{VEC_SYNTH}/{t}.parquet"
+        if not os.path.exists(d):
+            (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, d)
 _BIG_MARKS = (
     "documents.parquet", "documents]", "lineitem", "orders", "events",
-    "Generate explode",
+    "Generate explode", "embeddings", "MapInArrow",
 )
 
 
@@ -112,9 +154,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     failures = 0
+    if not os.path.isdir(f"{VEC_SYNTH}/embeddings.parquet"):
+        _stage_vec_synth(spark)
     for sf_dir, names in (
         ("/tmp/spark_graft_sf1_synth", DOCS_ENTRIES),
         ("/tmp/spark_graft_sf1_rel", REL_ENTRIES),
+        (VEC_SYNTH, VEC_ENTRIES),
     ):
         if not os.path.isdir(sf_dir):
             print(f"SKIP {sf_dir}: run the matching scale_probe_decade"

@@ -161,10 +161,11 @@ HEADLINERS = {
     "greedy MMR loop is one applyInPandas task per query over the capped "
     "candidate list — parallel across queries, quadratic only in the "
     "candidate cap.",
-    "semantic_dedup": "SemDeDup shape: mapInPandas centroid assignment "
-    "(broadcast centroid matrix, zero shuffle), then ONE equi-join on "
-    "cluster_id — the quadratic term is bounded per cluster and cluster "
-    "count grows with N, so per-task cost is constant at 100 TB.",
+    "semantic_dedup": "SemDeDup shape: mapInArrow centroid assignment "
+    "(broadcast centroid matrix, zero shuffle), then ONE cluster_id "
+    "self-join pinned to ShuffledHashJoin (r10: AQE otherwise "
+    "broadcast a whole vector-carrying corpus side under 64 MB) — "
+    "quadratic term bounded per cluster, per-task cost constant at 100 TB.",
     "repetition_filters": "ZERO shuffles: all grams are row-local, so "
     "max-bigram-count is a per-row sorted-array run-length fold and the "
     "dup-trigram rate is array_distinct — a map-only plan (the explode + "
