@@ -4159,59 +4159,69 @@ GROUP BY 1
 # build lazily on their first in-window consumer call, which is
 # correct for the driver's pass/fail run — bench attribution is
 # unaffected because bench executes in exec_order(), not window order.
+# Round-11 rotation (staleness maintenance; judge r10 item #4): the
+# full r6-vintage cohort recomputed mechanically from
+# CORRECTNESS_r01..r10 (latest round each entry appears in) -- all 49
+# entries last checked in round 6 -- plus tfidf_top_terms for the
+# spare slot (the archetype of this round's de-skew rewrite: census +
+# shuffle_hash-pinned join-back replacing the r10 partition-only
+# window; the other de-skewed entries are covered by duplicated_spans
+# and bigram_lm_score, both in the r6 cohort, and by the local
+# check_oracle run for the rest).  50/50 green here puts oldest-check
+# age at <= 4 rounds (r7).  List stays sorted by exec_order() position
+# (pinned by tests/test_entry_contract.py), preserving every
+# builder-before-consumer coupling.
 _DRIVER_WINDOW = [
-    # --- r4-vintage greens (deferred from round 9's rotation) and
-    # --- r5-vintage greens, interleaved: sorted by exec_order position
-    "retrieval_eval_metrics",
-    "lsh_knn_cosine",
-    "store_crud_lifecycle",
-    "events_hourly_stream",
-    "stream_static_enrich",
-    "rest_feed_source_agg",
-    "csv_source_agg",
-    "schema_evolution_roundtrip",
-    "compaction_roundtrip",
-    "user_totals_stateful_stream",
-    "video_scene_cuts",
-    "rp_projection_index",
-    "rp_knn_recall",
-    "rp_distortion_stats",
-    "incremental_signature_stream",
-    "q1_pricing_summary",
-    "retention_cohorts",
-    "salted_event_stats",
-    "numeric_corr",
-    "winsorized_stats",
-    "mad_outliers",
-    "ks_drift_by_type",
-    "bootstrap_ci_order_value",
-    "survival_time_to_purchase",
-    "market_basket_lift",
-    "benford_audit",
-    "cusum_changepoint",
-    "dedup_minhash_pairs",
-    "embedding_pca_var",
-    "bm25_search",
-    "hybrid_search",
-    "token_counts",
-    "pii_redaction",
+    "knn_cosine",
+    "ann_query_stream",
+    "ivf_nprobe_tradeoff",
+    "pq_codebook_build",
+    "lsh_signature_index",
+    "lsh_index_append_search",
+    "lsh_index_delete_search",
+    "lsh_index_compact_stats",
+    "stream_versioned_enrich",
+    "dedup_signature_index",
+    "ann_ivfpq_recall",
+    "knn_quantized_recall",
+    "ann_ivf_index_build",
+    "ann_ivf_append_search",
+    "ann_index_stream_append",
+    "ann_ivf_delete_search",
+    "interval_join_error_sessions",
+    "centroid_similarity",
+    "chi_square_assoc",
+    "embedding_gramian",
+    "top_ngrams",
     "tfidf_top_terms",
-    "mmr_diversify",
-    "token_entropy",
-    "posting_lists",
-    "dataset_split",
-    "corpus_pipeline_full",
-    "source_drift_psi",
-    "dedup_minhash_recall",
-    "dp_noisy_lang_counts",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_ship_latency",
-    "q17_small_quantity_revenue",
-    "q22_idle_customers",
-    "boilerplate_ngrams",
-    "ridge_regression_fit",
-    "ridge_segment_residuals",
+    "duplicated_spans",
+    "bigram_lm_score",
+    "bpe_merge_pairs",
+    "embedding_norm_outliers",
+    "pmi_collocations",
+    "vocab_encode",
+    "embedding_standardize",
+    "oov_rate_by_source",
+    "dedup_minhash_precision",
+    "bpe_encode_stats",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    "order_grouping_sets",
+    "events_gapfill",
+    "ridge_fit_d4",
+    "ridge_lambda_sweep",
+    "ridge_online_stream",
+    "ridge_models_by_segment",
+    "ridge_classifier_eval",
+    "ridge_conformal_intervals",
+    "stump_split_finder",
+    "boosted_stumps",
+    "als_user_factors",
+    "ridge_crossval_mse",
+    "classifier_reliability_bins",
+    "target_encode_segments",
 ]
 
 # rows-only window slots (no DuckDB value oracle); every other windowed

@@ -90,6 +90,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
     nch = 3 if color_type == 2 else 1
     raw = zlib.decompress(idat)
     stride = width * nch
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"truncated PNG data: expected {height * (stride + 1)} "
+            f"filtered bytes, got {len(raw)}"
+        )
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(height):

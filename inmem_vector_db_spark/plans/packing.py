@@ -163,16 +163,22 @@ def boilerplate_profile(
     docs_with_boiler, avg_boiler_ratio, total_boiler)``.
 
     A shingle is boilerplate when it occurs in ≥ ``min_df`` DISTINCT
-    documents.  Document frequency is a WINDOW count over the shingle
-    key on the exploded per-doc-distinct stream (rows are per-doc
-    distinct thanks to the dedup-first ``array_distinct``, so count(*)
-    per shingle == distinct-doc count) — not a df-census semi-joined
-    back.  The old three-branch join form needed a persist (each branch
-    re-ran the shingle string-building) and let AQE pick broadcast
-    sides from corpus-derived aggregates at mid scale (the
-    tfidf_top_terms hazard class, r10); the window form consumes the
-    stream ONCE — shuffle by shingle (df), one per-doc aggregate, one
-    per-source rollup — with no persist and no joinable side at all.
+    documents (rows are per-doc distinct thanks to the dedup-first
+    ``array_distinct``, so count(*) per shingle == distinct-doc count).
+    Document frequency is a partial-aggregable ``groupBy(shingle)``
+    census with the join-back pinned ``shuffle_hash`` (the
+    tfidf_top_terms shape — full two-hazard rationale there): the old
+    THREE-branch join form needed a persist and let AQE pick broadcast
+    sides from corpus-derived aggregates at mid scale; the r10 window
+    form funneled every row of a hot shingle into one un-splittable
+    window task — and boilerplate shingles are high-df BY DEFINITION,
+    so the hot partition holds most of the corpus.  The census
+    map-side-combines hot shingles to one row per map partition, the
+    pinned join never broadcasts either side, and the probe-side
+    shuffle by shingle is a JOIN, so AQE skew-join splitting applies;
+    two branches read the exploded stream (census + probe) but both
+    come from the session-persisted signature artifact (or share the
+    scan exchange), so no standalone persist is needed.
     """
     if sig_index is not None:  # shared artifact: shset is the n=3 set
         d = sig_index.select("doc_id", "source", "shset").where(
@@ -185,10 +191,9 @@ def boilerplate_profile(
             F.array_distinct(word_shingles(F.col("text"), n)).alias("shset"),
         ).where(F.size("shset") > 0)
     exp = d.select("doc_id", "source", F.explode("shset").alias("shingle"))
+    dfc = exp.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
-        exp.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+        exp.join(dfc.hint("shuffle_hash"), "shingle")
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sh"),

@@ -263,6 +263,36 @@ def test_png_decode_roundtrip_all_filters():
     assert (_decode_png(_encode_png(rgb)) == rgb).all()
 
 
+def test_png_decode_truncated_idat_raises_cleanly():
+    """Advisor r10: a truncated IDAT must fail with a clear decode
+    error, not an opaque IndexError / silent short read.  Truncate the
+    FILTERED stream (pre-compression) so zlib still inflates fine and
+    only the length check can catch it."""
+    import re
+    import struct
+    import zlib
+
+    import pytest
+
+    from inmem_vector_db_spark.multimodal.media import _decode_png
+
+    good = _encode_png(np.arange(63, dtype=np.uint8).reshape(9, 7))
+    # rebuild with the last 5 filtered bytes dropped
+    sig, rest = good[:8], good[8:]
+    chunks = []
+    while rest:
+        (ln,) = struct.unpack(">I", rest[:4])
+        ctype, data, rest = rest[4:8], rest[8 : 8 + ln], rest[12 + ln :]
+        if ctype == b"IDAT":
+            data = zlib.compress(zlib.decompress(data)[:-5])
+        chunks.append(
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+    with pytest.raises(ValueError, match=re.escape("truncated PNG data")):
+        _decode_png(sig + b"".join(chunks))
+
+
 def test_image_features_with_real_png_kernel(spark):
     """The seam swap: image_features(decode='png') runs the identical
     mapInPandas plumbing over REAL payloads and returns real pixel

@@ -68,8 +68,11 @@ def main() -> int:
         knn(tiny_emb, qv, k=3, metric="cosine").collect()
         for vid in entrymod.query_vec_ids():
             entrymod._query_vec(spark, args.sf, vid)
-    except Exception:
-        pass
+        warmup_failed = None
+    except Exception as exc:  # a cold tree breaks the A/B premise —
+        # record it so cross-tree comparisons can be invalidated
+        warmup_failed = f"{type(exc).__name__}: {exc}"
+        print(f"WARMUP FAILED on {tree}: {warmup_failed}", file=sys.stderr)
 
     qmap = entrymod.queries()
     pos = {n: i for i, n in enumerate(entrymod.exec_order())}
@@ -85,6 +88,8 @@ def main() -> int:
             qmap[name](spark, args.sf).collect()
             warm[name] = round(time.perf_counter() - t0, 3)
     out = {"tree": tree, "sf": args.sf, "timings": timings}
+    if warmup_failed is not None:
+        out["warmup_failed"] = warmup_failed
     if args.warm:
         out["warm"] = warm
     print(json.dumps(out, separators=(",", ":")))

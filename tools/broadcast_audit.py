@@ -6,9 +6,12 @@ CORPUS-SIZED side whenever it clears the adaptive threshold — legal
 and locally cheap at small SF, a cliff one decade later (observed on
 tfidf_top_terms at the synthetic sf1 decade: the BroadcastExchange
 wrapped the full (doc_id, term, tf) aggregate, not the small dfreq
-side).  The fix class is a WINDOW count over the key instead of a
-joined-back aggregate (applied r10 to tfidf_top_terms,
-crossdoc_shingle_dup, duplicated_spans, boilerplate_profile).
+side).  The fix class is a partial-aggregable groupBy census with the
+join-back pinned ``shuffle_hash`` (r11, replacing r10's window-count
+form, which traded the broadcast for an un-splittable hot-key window
+task — see ``tools/skew_probe.py``): the pin makes the join a
+shuffled-hash join, so no broadcast side exists at ANY scale, while
+map-side combine and AQE skew-join splitting both survive.
 
 This tool re-runs each entry against a synthetic-decade dir, reads the
 FINAL (post-AQE) plan, and flags every HashedRelationBroadcastMode
@@ -16,9 +19,10 @@ exchange whose subtree scans a corpus table or an exploded stream.
 Flags are triaged against _BENIGN — broadcasts whose build side is
 bounded by a FIXED domain (group types, hour spine, salt fan-out,
 query/eval sets, TPC-H dims) or that a genuine two-table join's AQE
-fallback handles — each with the reason on record.  A flag outside
-the allowlist exits 1: either fix it (window form) or write down why
-it is bounded.
+fallback handles — each with the reason on record AND a subtree
+fingerprint every individual flag must match.  A flag outside the
+allowlist (or not matching its entry's fingerprint) exits 1: either
+fix it (census + shuffle_hash pin) or write down why it is bounded.
 
 Usage:
     python tools/scale_probe_decade.py --build-only   # stage synth docs (implicit on first probe)
@@ -38,34 +42,88 @@ sys.path.insert(0, REPO_ROOT)
 import __spark_entry__ as entrymod  # noqa: E402
 from inmem_vector_db_spark.session import get_spark  # noqa: E402
 
-# (entry, reason) — broadcasts that are correct at any scale
+# Broadcasts that are correct at any scale.  Each entry carries
+# ``expect``: regexes, at least one of which must match the flagged
+# exchange's SUBTREE text — r11 hardening (advisor r10): a bare
+# entry-name allowlist suppressed ALL flags for that entry, so a NEW
+# hazardous corpus-sized broadcast appearing next to a benign one would
+# print 'benign' and exit 0.  Now every individual flag must match its
+# recorded benign shape or the audit fails.
 _BENIGN = {
     # eval side models a FIXED external benchmark set; the broadcast
     # semi-join IS the production decontamination plan (docstring)
-    "decontam_overlap": "eval shingle set stands in for a fixed benchmark",
+    "decontam_overlap": {
+        "reason": "eval shingle set stands in for a fixed benchmark",
+        "expect": [r"keys=\[sh#\d+\], functions=\[\]"],
+    },
     # per-group stats joined back: build side bounded by |event types| /
     # |groups|, a fixed domain that does not grow with the corpus
-    "mad_outliers": "group-stat table bounded by |event_type|",
-    "winsorized_stats": "group percentile table bounded by |event_type|",
-    "events_gapfill": "dense hour spine, tiny by construction",
+    "mad_outliers": {
+        "reason": "group-stat table bounded by |event_type|",
+        "expect": [r"keys=\[event_type#\d+\]"],
+    },
+    "winsorized_stats": {
+        "reason": "group percentile table bounded by |event_type|",
+        "expect": [r"keys=\[event_type#\d+\]"],
+    },
+    "events_gapfill": {
+        "reason": "hourly per-type aggregate joined to the dense spine:"
+                  " bounded by |event_type| x |hours| (time-domain, not"
+                  " corpus-row, growth)",
+        "expect": [r"keys=\[event_type#\d+, _groupingexpression#\d+\]"],
+    },
     # the broadcast side IS the trained model: the unigram count table
-    # (w, cu) — c(w) counts every token position, which no window over
+    # (w, cu) — c(w) counts every token position, which no census over
     # the bigram stream can reproduce (final tokens have no outgoing
     # bigram); vocab-bounded (Heaps-sublinear), AQE shuffle-joins on w1
     # beyond the threshold.  The bigram-count side of this entry WAS
-    # the hazard class and is a window count since r10.
-    "bigram_lm_score": "unigram LM table = the model, vocab-bounded",
+    # the hazard class and is a pinned census join-back since r11.
+    "bigram_lm_score": {
+        "reason": "unigram LM table = the model, vocab-bounded",
+        "expect": [r"cu#\d+L"],
+    },
     # genuine two-table joins: AQE broadcasts the filtered/projected
     # side while it fits and falls back to SMJ when it doesn't — the
     # adaptive behavior working as designed, no self-derived aggregate
-    "q12_ship_latency": "filtered lineitem side; AQE falls back at scale",
-    "degree_distribution": "orders projection side; AQE falls back",
-    "multitouch_attribution": "purchase-side of the bucketed range join",
-    "salted_join_revenue": "salted dim side, bounded by |dim| x salt",
+    "q12_ship_latency": {
+        "reason": "orders projection side of a genuine two-table join;"
+                  " AQE falls back at scale",
+        "expect": [r"o_orderpriority"],
+    },
+    "degree_distribution": {
+        "reason": "orders projection side; AQE falls back",
+        "expect": [r"o_custkey"],
+    },
+    "multitouch_attribution": {
+        "reason": "filtered click side of the bucketed range join, a"
+                  " genuine two-table join; AQE falls back at scale",
+        "expect": [r"event_type#\d+ = click"],
+    },
+    "salted_join_revenue": {
+        "reason": "salted dim side, bounded by |dim| x salt",
+        "expect": [r"__salt#\d+"],
+    },
+    # flagship composite (gate-tested at suite SF, not in the decade
+    # lists): the ONLY legal broadcast is the fixed-benchmark eval
+    # shingle set; the per-doc overlap join-back is pinned
+    # shuffle_hash (r11) so a corpus-growing side must never appear
+    "corpus_pipeline_full": {
+        "reason": "eval shingle set = fixed benchmark; overlap pinned",
+        "expect": [r"keys=\[sh#\d+\], functions=\[\]"],
+    },
     # vector family: broadcast sides bounded by the query/label domain
-    "contrastive_pair_mining": "per-anchor top-k result, |Q| x k rows",
-    "label_centroids": "per-label aggregate, bounded by |labels|",
-    "retrieval_eval_metrics": "exact top-k of a 4-query eval set",
+    "contrastive_pair_mining": {
+        "reason": "per-anchor top-k result, |Q| x k rows",
+        "expect": [r"anchor_id#\d+"],
+    },
+    "label_centroids": {
+        "reason": "per-label aggregate, bounded by |labels|",
+        "expect": [r"label#\d+"],
+    },
+    "retrieval_eval_metrics": {
+        "reason": "exact top-k of a 4-query eval set",
+        "expect": [r"exact_rank#\d+"],
+    },
 }
 
 DOCS_ENTRIES = [
@@ -128,10 +186,12 @@ _BIG_MARKS = (
 )
 
 
-def corpus_broadcasts(plan: str) -> list[str]:
-    """HashedRelation BroadcastExchange lines whose subtree reaches a
-    corpus table scan or an exploded stream (IdentityBroadcastMode —
-    the 1-row scalar cross joins — is never flagged)."""
+def corpus_broadcasts(plan: str) -> list[tuple[str, str]]:
+    """(exchange line, subtree text) for every HashedRelation
+    BroadcastExchange whose subtree reaches a corpus table scan or an
+    exploded stream (IdentityBroadcastMode — the 1-row scalar cross
+    joins — is never flagged).  The subtree text is what _BENIGN
+    fingerprints match against."""
     lines = plan.splitlines()
     flags = []
     for i, line in enumerate(lines):
@@ -145,8 +205,26 @@ def corpus_broadcasts(plan: str) -> list[str]:
             sub.append(m)
         subtxt = "\n".join(sub)
         if any(t in subtxt for t in _BIG_MARKS):
-            flags.append(line.strip()[:100])
+            flags.append((line.strip()[:100], subtxt))
     return flags
+
+
+def triage(name: str, flags: list[tuple[str, str]]) -> list[str]:
+    """Return the NON-benign flag lines: a flag survives triage unless
+    the entry is allowlisted AND the flag's subtree matches one of the
+    entry's recorded benign fingerprints (advisor r10: name-only
+    allowlisting would also suppress a NEW hazardous broadcast that
+    appears next to a benign one)."""
+    import re
+
+    spec = _BENIGN.get(name)
+    if spec is None:
+        return [line for line, _ in flags]
+    return [
+        line
+        for line, subtxt in flags
+        if not any(re.search(p, subtxt) for p in spec["expect"])
+    ]
 
 
 def main() -> int:
@@ -178,14 +256,21 @@ def main() -> int:
                 print(f"  {name}: ERR {str(exc)[:90]}"); failures += 1
                 continue
             flags = corpus_broadcasts(plan)
+            if os.environ.get("BA_DUMP"):
+                for line, subtxt in flags:
+                    print(f"    DUMP {line}")
+                    for s in subtxt.splitlines()[:5]:
+                        print(f"      | {s.strip()[:120]}")
+            bad = triage(name, flags)
             if not flags:
                 print(f"  {name}: ok")
-            elif name in _BENIGN:
-                print(f"  {name}: benign ({_BENIGN[name]})")
+            elif not bad:
+                print(f"  {name}: benign ({_BENIGN[name]['reason']})")
             else:
                 failures += 1
-                print(f"  {name}: FLAG — corpus-derived broadcast side")
-                for f in flags:
+                print(f"  {name}: FLAG — corpus-derived broadcast side"
+                      f" ({len(bad)} of {len(flags)} unmatched)")
+                for f in bad:
                     print(f"      {f}")
     print(f"FAILURES: {failures}")
     return 1 if failures else 0
