@@ -29,12 +29,17 @@ from inmem_vector_db_spark.functions.text import (
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per exact md5(text) group.  One shuffle on
-    the 128-bit hash — never on the text itself."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    the 128-bit hash — never on the text itself.  ``groupBy + min_by``,
+    not a keep-first row_number window (r11): one massively-duplicated
+    document makes one hot md5 key, and a partition-only window sends
+    every copy to ONE task with no map-side combine and no AQE
+    mitigation, while min_by partial-aggregates a hot key to one row
+    per map partition (keep-lowest-id semantics identical — unique id,
+    no ties)."""
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min_by(F.struct(*df.columns), id_col).alias("__r"))
+        .select("__r.*")
     )
 
 
