@@ -1092,34 +1092,48 @@ def duplicated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of its distinct 5-word spans that also occur in at least
     one OTHER document.  Spans come from the shared signature
     artifact's cross-doc shingle census (``shset5``) — no re-tokenize,
-    no re-hash.  Span frequency is a partial-aggregable
-    ``groupBy(sh)`` census with the join-back pinned ``shuffle_hash``
-    (the tfidf_top_terms shape — full two-hazard rationale there): the
-    pre-r10 plain join let AQE broadcast span-keyed corpus aggregates
-    at mid scale, the r10 window form funneled every row of a hot span
-    into one un-splittable window task (duplicated spans are high-df
-    BY DEFINITION — the query exists to find them).  The census
-    map-side-combines hot spans, the pinned join never broadcasts, and
-    AQE skew-join splitting covers the probe-side shuffle; one per-doc
-    aggregate follows.  (doc, span) rows are per-doc DISTINCT
-    (``shset5`` is a set), so count(*) per span == distinct-doc count,
-    and the census probe re-reads ``sh`` from the session-persisted
-    signature artifact, not a re-tokenize.  At 100 TB this is the
-    standard two-pass shape: span df, then per-doc aggregate; state is
-    bounded by distinct spans, never pairs."""
-    sh = corpus_signature_index(spark, sf_dir).select(
-        "doc_id", F.explode("shset5").alias("sh")
+    no re-hash.
+
+    Shape for scale (r11, the unique-complement census): because the
+    duplication threshold is df >= 2, a doc's dup-span count is just
+    ``n_spans - n_unique_spans``, and the UNIQUE spans can be counted
+    from the census alone — ``groupBy(sh).agg(count, min(doc_id))``
+    carries the owning doc for every df == 1 span, so the exploded
+    stream is consumed ONCE and nothing corpus-sized is ever joined or
+    windowed.  This dominates both prior forms: the pre-r10 join
+    (AQE mis-broadcast of span-keyed corpus aggregates at mid scale)
+    and the r10 window count (every row of a hot span — and duplicated
+    spans are high-df BY DEFINITION — funneled into one un-splittable
+    window task).  All three aggregations partial-combine map-side
+    (count/min over sh; count over owner; size() is row-local), and
+    the one join is per-doc vs per-doc on unique doc_id, pinned
+    ``shuffle_hash`` so the corpus-growing unique-count table is never
+    broadcast.  (doc, span) rows are per-doc DISTINCT (``shset5`` is a
+    set), so count(*) per span == distinct-doc count and
+    size(shset5) == the old per-doc explode count.  State is bounded
+    by distinct spans, never pairs."""
+    sig = corpus_signature_index(spark, sf_dir).select(
+        "doc_id", "shset5"
+    ).where(F.size("shset5") > 0)
+    census = (
+        sig.select("doc_id", F.explode("shset5").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
     )
-    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    nd = F.sum((F.col("df") >= 2).cast("long"))
-    return (
-        sh.join(dfc.hint("shuffle_hash"), "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            nd.alias("n_dup_spans"),
-            F.round(nd / F.count(F.lit(1)), 6).alias("dup_fraction"),
-        )
+    uniq = (
+        census.filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    totals = sig.select(
+        "doc_id", F.size("shset5").cast("long").alias("n_spans")
+    )
+    nd = F.col("n_spans") - F.coalesce(F.col("n_uniq"), F.lit(0))
+    return totals.join(uniq.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        nd.alias("n_dup_spans"),
+        F.round(nd / F.col("n_spans"), 6).alias("dup_fraction"),
     )
 
 
@@ -2963,38 +2977,45 @@ def crossdoc_shingle_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled from corpus-duplicated substrings even when no full-text
     dup exists.
 
-    Shape for scale: the per-shingle doc count is a partial-aggregable
-    ``groupBy(sh)`` census with the join-back pinned ``shuffle_hash``
-    (the tfidf_top_terms shape — full two-hazard rationale there): the
-    pre-r10 plain join let AQE broadcast the corpus-sized (doc,
-    shingle) stream side at mid scale, the r10 window form funneled
-    every row of a hot shingle into one un-splittable window task —
-    and cross-doc-duplicated shingles are high-df by definition here.
-    The census map-side-combines hot shingles, the pinned join never
-    broadcasts, AQE skew-join splitting covers the probe-side shuffle,
-    and no all-pairs comparison exists anywhere (the same
+    Shape for scale (r11, the unique-complement census — same
+    derivation as ``duplicated_spans_q``, full rationale there):
+    because "shared" means doc count > 1, a doc's shared-shingle count
+    is ``n_shingles - n_unique``, and unique shingles are countable
+    from the census alone via ``groupBy(sh).agg(count, min(doc_id))``
+    (min(doc_id) IS the owner when the count is 1).  One explode, no
+    corpus-stream join or window anywhere, every aggregation
+    partial-combines map-side, and the one per-doc join is pinned
+    ``shuffle_hash`` on unique doc_id — skew-proof and broadcast-free
+    at any corpus size; no all-pairs comparison exists (the same
     candidates-only posture as the MinHash path).  (doc, shingle) rows
     are per-doc DISTINCT by construction (``shset5`` is a set), so
-    count(*) per shingle == distinct-doc count.  The 5-gram shingle
-    sets come from the shared signature artifact
-    (``operators.signatures``), so the corpus is tokenized once per
-    session across the whole dedup family."""
-    sh = corpus_signature_index(spark, sf_dir).select(
-        "doc_id", F.explode("shset5").alias("sh")
+    count(*) per shingle == distinct-doc count and size(shset5) == the
+    per-doc stream count.  The 5-gram shingle sets come from the
+    shared signature artifact (``operators.signatures``), so the
+    corpus is tokenized once per session across the whole dedup
+    family."""
+    sig = corpus_signature_index(spark, sf_dir).select(
+        "doc_id", "shset5"
+    ).where(F.size("shset5") > 0)
+    census = (
+        sig.select("doc_id", F.explode("shset5").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("owner"))
     )
-    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        sh.join(dfc.hint("shuffle_hash"), "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
-            F.round(
-                F.sum((F.col("n_docs") > 1).cast("long"))
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("shared_frac"),
-        )
+    uniq = (
+        census.filter(F.col("n_docs") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    totals = sig.select(
+        "doc_id", F.size("shset5").cast("long").alias("n_shingles")
+    )
+    ns = F.col("n_shingles") - F.coalesce(F.col("n_uniq"), F.lit(0))
+    return totals.join(uniq.hint("shuffle_hash"), "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        ns.alias("n_shared"),
+        F.round(ns / F.col("n_shingles").cast("double"), 6).alias("shared_frac"),
     )
 
 
