@@ -56,9 +56,21 @@ GATED = [
 
 
 def test_no_unexplained_corpus_broadcasts_at_suite_sf(spark, sf_dir):
+    """Both halves of the r10/r11 hazard class, on every pytest run:
+    no corpus-derived broadcast side (the mis-broadcast half) AND no
+    WindowExec partitioned by a corpus key (the hot-key-funnel half —
+    a revert to the r10 window-count form has no broadcast to flag, so
+    the broadcast check alone would wave it through; the plan shape is
+    scale-independent, so the suite SF sees it just as well as the
+    Zipf decade does)."""
     import __spark_entry__ as entrymod
 
     mod = _audit_mod()
+    skew = importlib.util.spec_from_file_location(
+        "skew_probe", os.path.join(REPO_ROOT, "tools", "skew_probe.py")
+    )
+    skew_mod = importlib.util.module_from_spec(skew)
+    skew.loader.exec_module(skew_mod)
     qs = entrymod.queries()
     bad = {}
     for name in GATED:
@@ -66,6 +78,11 @@ def test_no_unexplained_corpus_broadcasts_at_suite_sf(spark, sf_dir):
         df.collect()  # AQE finalizes the plan during execution
         plan = df._jdf.queryExecution().executedPlan().toString()
         survivors = mod.triage(name, mod.corpus_broadcasts(plan))
+        survivors += [
+            "hot-key window: " + ln.strip()[:80]
+            for ln in plan.splitlines()
+            if skew_mod._HOT_WINDOW_KEY.search(ln)
+        ]
         if survivors:
             bad[name] = survivors
     assert not bad, f"corpus-derived broadcast sides returned: {bad}"
