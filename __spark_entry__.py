@@ -4270,10 +4270,11 @@ _BUILD_ENTRIES = {
     # the same falsified-min-of-2 class as the artifact builders
     "dedup_simhash_fast",
     "dedup_simhash_fast_check",
-    # (boilerplate_ngrams left this set in r10: the window-count rewrite
-    # of boilerplate_profile consumes its shingle stream once, so the
-    # three-branch persist — the reason it was re-run-hazardous — is
-    # gone and min-of-2 re-timing is fair again)
+    # (boilerplate_ngrams left this set in r10 and stays out after the
+    # r11 census+pinned-join rewrite: both branches of the census read
+    # the SHARED session-persisted signature artifact — owned by
+    # dedup_signature_index — and boilerplate_profile itself persists
+    # nothing, so min-of-2 re-timing stays fair)
     # first exec_order touchers of the _STAGED_EVENTS session memo:
     # their first call pays the one-time events staging write (one per
     # distinct (sf_dir, type-filter) key — events_hourly_stream stages
