@@ -356,25 +356,28 @@ SELECT n_rows, tp, fp, fn, tn, {_METRICS_SQL} FROM dcells
 # test bucket.  Distribution-free: coverage ≥ 1−α is guaranteed by
 # exchangeability, and the query MEASURES it rather than assuming it.
 # The calibration sort is a single-partition window, so the
-# calibration set must be SMALL — a fixed-size exchangeable sample
-# calibrates a 100 TB model just as well, and the train/score passes
-# are the data-sized legs that stay distributed.  We therefore thin
-# bucket 2 by a salted md5 SUB-bucket (keep 1/16) before ranking:
-# the global row_number only ever sees the subsample.  Honest caveat:
-# the subsample is a fixed FRACTION of the corpus, not a constant row
-# count — at extreme scale, lower the keep-rate (or add more md5
-# sub-bucket bits) so the ranked set stays in one task's memory; the
-# coverage guarantee is unaffected because any exchangeable subsample
-# is a valid calibration set.
+# calibration set must be FIXED-SIZE — a constant-size exchangeable
+# sample calibrates a 100 TB model just as well, and the train/score
+# passes are the data-sized legs that stay distributed.  Bucket 2 is
+# therefore capped at exactly _CONF_CALIB_CAP rows by a salted-hash
+# total order: the _CONF_CALIB_CAP smallest md5('c'||okey) rows form
+# the sample.  On Spark `ORDER BY hash LIMIT cap` plans as
+# TakeOrderedAndProject — a distributed per-partition top-k merge,
+# never a global sort — so selection is O(cap) memory per task, and
+# the global row_number that follows only ever sees ≤ cap rows however
+# large the corpus grows (this replaces the r11 keep-1/16 sub-bucket
+# thinning, whose sample was a fixed FRACTION of the corpus and so
+# still grew linearly).  The hash depends only on okey, never on the
+# residual, so the sample is exchangeable and the ≥ 1−α coverage
+# guarantee is untouched.
 
 _CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
-# Calibration keep-rate = 1/16 of bucket 2.  The single-partition
-# row_number over the thinned calibration set still grows linearly
-# with corpus size; at extreme scale lower the keep-rate by raising
-# THIS constant only — the oracle SQL below interpolates it
-# (f-string), so Spark and DuckDB stay consistent from the one edit
-# and no hand regeneration is involved (advisor r6 note).
-_CONF_CALIB_MOD = 16
+# Fixed calibration-sample size.  The single-task rank sees at most
+# this many rows at ANY corpus scale; raise it for a tighter qhat
+# (order-statistic resolution is 1/(cap+1)) — the oracle SQL below
+# interpolates it (f-string), so Spark and DuckDB stay consistent from
+# the one edit and no hand regeneration is involved (advisor r6 note).
+_CONF_CALIB_CAP = 2048
 
 
 def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,17 +386,17 @@ def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("okey").cast("string")), 1, 15), 16, 10
     ).cast("long") % 4
     design = design.withColumn("bucket", bucket)
-    subbucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("c"), F.col("okey").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long") % _CONF_CALIB_MOD
     fit = ridge_fit(design.filter(F.col("bucket") <= 1), LAM)
-    calib = score(
-        design.filter((F.col("bucket") == 2) & (subbucket == 0)), fit, LAM
+    calib_sample = (
+        design.filter(F.col("bucket") == 2)
+        .withColumn(
+            "h", F.md5(F.concat(F.lit("c"), F.col("okey").cast("string")))
+        )
+        .orderBy("h", "okey")
+        .limit(_CONF_CALIB_CAP)
+        .drop("h")
     )
+    calib = score(calib_sample, fit, LAM)
     test = score(design.filter(F.col("bucket") == 3), fit, LAM)
 
     rn = F.row_number().over(Window.orderBy("abs_err", "okey"))
@@ -438,22 +441,31 @@ base AS (
 ),
 sums AS ({moments_sql_select("SELECT x1, x2, y FROM base WHERE bucket <= 1")}),
 {betas_sql_select(LAM)},
+calib_pool AS (
+  SELECT * FROM base WHERE bucket = 2
+  ORDER BY md5('c' || okey::VARCHAR), okey
+  LIMIT {_CONF_CALIB_CAP}
+),
 scored AS (
   SELECT bucket, okey,
          CAST(floor(abs(CAST(y AS DOUBLE)
               - (b0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))))
               AS BIGINT) AS abs_err
   FROM base CROSS JOIN betas
-  WHERE bucket >= 2
+  WHERE bucket = 3
 ),
 calib AS (
   SELECT abs_err,
          row_number() OVER (ORDER BY abs_err, okey) AS rn,
          count(*) OVER () AS n_calib
-  FROM scored
-  WHERE bucket = 2
-    AND CAST(('0x' || substr(md5('c' || okey::VARCHAR), 1, 15))::UBIGINT
-             % {_CONF_CALIB_MOD} AS BIGINT) = 0
+  FROM (
+    SELECT p.okey,
+           CAST(floor(abs(CAST(p.y AS DOUBLE)
+                - (b0 + b1 * CAST(p.x1 AS DOUBLE)
+                      + b2 * CAST(p.x2 AS DOUBLE))))
+                AS BIGINT) AS abs_err
+    FROM calib_pool p CROSS JOIN betas
+  )
 ),
 qrow AS (
   SELECT abs_err AS qhat, CAST(n_calib AS BIGINT) AS n_calib

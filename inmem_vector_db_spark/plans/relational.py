@@ -2571,7 +2571,14 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions — engine-portable like quality_quantile_filter's median),
     then mean and winsorized mean (values clipped to [p05, p95]).
     One rank window per type partition + a broadcast of the 5-row
-    threshold table back onto the stream."""
+    threshold table back onto the stream.  SKEW BOUND: the per-type
+    rank window is one task per event type — fine while types split
+    the stream, a single-task sort when one type dominates.  The
+    production form for skewed streams is ``winsorized_stats_approx``
+    below (percentile_approx thresholds, pure partial-agg groupBy, no
+    sort); agreement is pinned by tests/test_relational_extra.py::
+    test_winsorized_approx_twin_agrees.  This exact form stays as the
+    oracle-checked QA entry."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2591,6 +2598,39 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("value").alias("p05"), F.max("value").alias("p95"))
     )
     clipped = ev.join(F.broadcast(thresholds), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("p05"), 4).alias("p05"),
+        F.round(F.min("p95"), 4).alias("p95"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.avg("wv"), 6).alias("winsorized_mean"),
+    )
+
+
+def winsorized_stats_approx(ev: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """Skew-capped production twin of ``winsorized_stats``: the p05/p95
+    clip thresholds come from one ``percentile_approx`` groupBy —
+    partial aggregation merges bounded GK sketches, so an event type
+    holding 80% of a 100 TB stream costs what any groupBy key costs
+    instead of serializing into a single per-type rank-window sort task
+    the way the exact form does.  Same output schema; thresholds are
+    within ``1/accuracy`` relative rank of the exact order statistics,
+    and the clipped mean inherits that bound (clipping only moves the
+    ≤ 2/accuracy rank-mass between thresholds).  The exact windowed
+    entry stays as the oracle-checked QA form; agreement is pinned by
+    tests/test_relational_extra.py::test_winsorized_approx_twin_agrees."""
+    thr = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [0.05, 0.95], F.lit(accuracy)
+        ).alias("b")
+    ).select(
+        "event_type",
+        F.col("b")[0].alias("p05"),
+        F.col("b")[1].alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(thr), "event_type").withColumn(
         "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
     )
     return clipped.groupBy("event_type").agg(
@@ -2809,7 +2849,14 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 scaled-MADs from the median.  Both medians are explicit order
     statistics (rank windows partitioned by type — engine-portable, no
     library quantile), the deviation pass reuses the same broadcast
-    pattern as winsorized_stats."""
+    pattern as winsorized_stats.  SKEW BOUND: two rank windows per
+    event type — each one task per type, a single-task sort when one
+    type dominates the stream.  The production form for skewed streams
+    is ``mad_outliers_approx`` below (both medians via
+    percentile_approx, pure partial-agg groupBys, no sort); agreement
+    is pinned by tests/test_relational_extra.py::
+    test_mad_approx_twin_agrees.  This exact form stays as the
+    oracle-checked QA entry."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2834,6 +2881,43 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adev", F.abs(F.col("value") - F.col("med_value"))
     )
     mad = _median(dev.select("event_type", "event_id", "adev"), "adev")
+    scored = dev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("med_value"), 6).alias("median"),
+        F.round(F.min("med_adev"), 6).alias("mad"),
+        F.sum(
+            (
+                F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("med_adev")
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
+def mad_outliers_approx(ev: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """Skew-capped production twin of ``mad_outliers``: both medians
+    (value, then absolute deviation) come from ``percentile_approx``
+    groupBys — bounded-sketch partial aggregation, so a dominant event
+    type never serializes into the exact form's single-task rank-window
+    sorts.  Same output schema; each approx median is within
+    ``1/accuracy`` relative rank of the exact one, and the 3-scaled-MAD
+    outlier count inherits that bound (only rows within the threshold
+    drift can flip).  The exact windowed entry stays as the
+    oracle-checked QA form; agreement is pinned by
+    tests/test_relational_extra.py::test_mad_approx_twin_agrees."""
+    med = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias(
+            "med_value"
+        )
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile_approx("adev", F.lit(0.5), F.lit(accuracy)).alias(
+            "med_adev"
+        )
+    )
     scored = dev.join(F.broadcast(mad), "event_type")
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

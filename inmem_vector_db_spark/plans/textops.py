@@ -2232,34 +2232,48 @@ ORDER BY n DESC, pair LIMIT 20
 
 
 def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label vector-norm profile + 2-sigma outlier count.  One
-    narrow projection (norm only — 8 bytes/row leaves the scan) and one
-    partial-aggregable groupBy; the outlier pass reuses the same
-    shuffle partitioning via a window, so no second corpus scan."""
-    from pyspark.sql import Window
-
+    """Per-label vector-norm profile + 2-sigma outlier count, in the
+    CENSUS form: avg/stddev_pop/count are partial-aggregable, so pass 1
+    is a plain ``groupBy("label")`` (map-side combine — the shuffle
+    moves |labels| rows per partition, never the corpus), and pass 2
+    re-scans the narrow norm projection with the |labels|-row stats
+    table broadcast back on for the outlier predicate.  No window: the
+    previous ``Window.partitionBy("label")`` form put an entire label's
+    rows on ONE task (labels are low-cardinality; WindowExec gets no
+    AQE skew splitting), which is exactly the hot-key class the census
+    decision table forbids for partial-aggregable computations.  The
+    broadcast here is safe at any scale because the build side is the
+    per-label census — bounded by label cardinality, not corpus size.
+    Cost: the embedding column is scanned twice, but each scan is
+    embarrassingly parallel and projects norm-only (8 bytes/row leaves
+    the scan), vs. one un-splittable sort task per label at 100×."""
     from inmem_vector_db_spark.functions.distance import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     normed = emb.select("label", F.round(l2_norm("embedding"), 6).alias("nrm"))
-    w = Window.partitionBy("label")
-    flagged = normed.select(
-        "label",
-        "nrm",
-        F.avg("nrm").over(w).alias("mu"),
-        F.stddev_pop("nrm").over(w).alias("sd"),
+    stats = normed.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("nrm").alias("mu"),
+        F.stddev_pop("nrm").alias("sd"),
     )
-    return (
-        flagged.groupBy("label")
+    outliers = (
+        normed.join(F.broadcast(stats.select("label", "mu", "sd")), "label")
+        .groupBy("label")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.round(F.first("mu"), 6).alias("avg_norm"),
-            F.round(F.first("sd"), 6).alias("std_norm"),
             F.sum(
                 F.when(F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd"), 1).otherwise(0)
-            ).cast("long").alias("n_outliers"),
+            ).cast("long").alias("n_outliers")
         )
-        .select("label", "n_vectors", "avg_norm", "std_norm", "n_outliers")
+    )
+    return (
+        stats.join(outliers, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round("mu", 6).alias("avg_norm"),
+            F.round("sd", 6).alias("std_norm"),
+            "n_outliers",
+        )
     )
 
 
@@ -2534,7 +2548,14 @@ def quality_quantile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementations differ in interpolation formula at the last ulp.
     Shape for scale: one window rank per language partition (languages
     partition the corpus, so no global sort), then a broadcast of the
-    5-row medians table back onto the scored stream."""
+    5-row medians table back onto the scored stream.  SKEW BOUND: the
+    per-lang rank window holds only while no language dominates — a
+    90%-English corpus puts nearly the whole stream on ONE sort task.
+    The production form for skewed corpora is
+    ``quality_quantile_filter_approx`` below (percentile_approx
+    median, pure partial-agg groupBy, no sort); agreement is pinned by
+    tests/test_text.py::test_quality_quantile_approx_twin_agrees.
+    This exact form stays as the oracle-checked QA entry."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2564,6 +2585,38 @@ def quality_quantile_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_q",
             "n_above_median",
         )
+    )
+
+
+def quality_quantile_filter_approx(
+    docs: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """Skew-capped production twin of ``quality_quantile_filter_q``:
+    the per-language median comes from one ``percentile_approx``
+    groupBy — bounded-sketch partial aggregation, so a 90%-English
+    corpus costs what any groupBy key costs instead of serializing
+    into the exact form's single per-lang rank-window sort task.  Same
+    output schema; the approx median is within ``1/accuracy`` relative
+    rank of the exact one, so ``n_above_median`` can differ only by
+    the rows between the two thresholds.  The exact windowed entry
+    stays as the oracle-checked QA form; agreement is pinned by
+    tests/test_text.py::test_quality_quantile_approx_twin_agrees."""
+    q = docs.select("doc_id", "lang", quality_score(F.col("text")).alias("q"))
+    med = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.percentile_approx("q", F.lit(0.5), F.lit(accuracy)), 6
+        ).alias("median_q"),
+    )
+    return (
+        q.join(F.broadcast(med), "lang")
+        .groupBy("lang", "n", "median_q")
+        .agg(
+            F.sum((F.col("q") > F.col("median_q")).cast("long")).alias(
+                "n_above_median"
+            )
+        )
+        .select("lang", F.col("n").alias("n_docs"), "median_q", "n_above_median")
     )
 
 

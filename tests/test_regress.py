@@ -235,6 +235,32 @@ def test_conformal_interval_covers_at_nominal_rate(spark, sf_dir):
     assert k == math.ceil(Fraction(9, 10) * (row["n_calib"] + 1))
 
 
+def test_conformal_calibration_cap_binds_and_is_top_k(spark, sf_dir):
+    """r12 skew fix: the calibration set is a FIXED-SIZE hash-ordered
+    sample, so the single-task rank window sees at most _CONF_CALIB_CAP
+    rows at any corpus scale.  With the cap forced below bucket 2's
+    population it must bind exactly (n_calib == cap), the selection
+    must plan as TakeOrderedAndProject (distributed top-k merge, never
+    a global sort), and coverage must still hold — any exchangeable
+    subsample is a valid calibration set."""
+    from unittest import mock
+
+    import inmem_vector_db_spark.plans.regression as regmod
+
+    with mock.patch.object(regmod, "_CONF_CALIB_CAP", 64):
+        df = regmod.ridge_conformal_intervals(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject(limit=64" in plan, plan[:2000]
+        row = df.collect()[0]
+    assert row["n_calib"] == 64
+    n_test = row["n_test"]
+    assert n_test > 0
+    # 64-row calibration: order-statistic resolution is ~1/65, so give
+    # the distribution-free bound that plus the test-side wobble
+    slack = 3.0 / (n_test ** 0.5) + 1.0 / 65
+    assert row["coverage"] >= 0.9 - slack
+
+
 def _stump_best(spark, rows):
     """Run the histogram split search over an in-memory design the
     same way plans.regression.stump_split_finder does."""

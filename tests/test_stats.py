@@ -166,3 +166,110 @@ def test_market_basket_matches_python_reference(spark, tmp_path):
     assert got == {
         (10, 20): (4, round(n_ab * n / (n10 * n20), 6), round(n_ab / n10, 6))
     }, got
+
+
+# --- approx-twin agreement gates (r12: the skew-capped production
+# forms must track the exact order-statistic oracle entries) ---------
+
+
+def _rank_frac_bounds(sorted_vals, threshold):
+    """(#values < t, #values <= t) as fractions of n."""
+    import bisect
+
+    n = len(sorted_vals)
+    return (
+        bisect.bisect_left(sorted_vals, threshold) / n,
+        bisect.bisect_right(sorted_vals, threshold) / n,
+    )
+
+
+def test_winsorized_approx_twin_agrees(spark, sf_dir):
+    """winsorized_stats_approx (percentile_approx thresholds, no rank
+    window) must agree with the exact entry: identical n/mean, clip
+    thresholds within sketch rank tolerance of the exact p05/p95, and
+    a winsorized mean whose drift is bounded by the threshold drift.
+    This is what licenses swapping the approx form in when one event
+    type dominates the stream."""
+    from inmem_vector_db_spark.plans.relational import (
+        winsorized_stats,
+        winsorized_stats_approx,
+    )
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r for r in winsorized_stats(spark, sf_dir).collect()}
+    approx = {r["event_type"]: r for r in winsorized_stats_approx(ev).collect()}
+    assert set(exact) == set(approx)
+    vals = {
+        t: sorted(v["value"] for v in rows)
+        for t, rows in (
+            (t, ev.filter(F.col("event_type") == t).select("value").collect())
+            for t in exact
+        )
+    }
+    for t, ex in exact.items():
+        ap = approx[t]
+        n = ex["n_events"]
+        assert ap["n_events"] == n
+        assert ap["mean"] == ex["mean"]
+        tol = 1.0 / 10_000 + 3.0 / n  # sketch error + rank convention slip
+        for p, col in ((0.05, "p05"), (0.95, "p95")):
+            lo_f, hi_f = _rank_frac_bounds(vals[t], ap[col])
+            assert lo_f - tol <= p <= hi_f + tol, (t, col, ap[col], lo_f, hi_f)
+        # every row's clipped value moves by at most the larger
+        # threshold drift, so the mean does too
+        drift = max(abs(ap["p05"] - ex["p05"]), abs(ap["p95"] - ex["p95"]))
+        assert abs(ap["winsorized_mean"] - ex["winsorized_mean"]) <= (
+            drift + 2e-6
+        ), (t, ap, ex)
+
+
+def test_mad_approx_twin_agrees(spark, sf_dir):
+    """mad_outliers_approx (both medians via percentile_approx) must
+    agree with the exact entry: identical n, both medians within
+    sketch rank tolerance, and an outlier count internally consistent
+    with its own thresholds and within the threshold-band of the exact
+    count."""
+    from inmem_vector_db_spark.plans.relational import (
+        mad_outliers,
+        mad_outliers_approx,
+    )
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r for r in mad_outliers(spark, sf_dir).collect()}
+    approx = {r["event_type"]: r for r in mad_outliers_approx(ev).collect()}
+    assert set(exact) == set(approx)
+    rows = ev.select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for t, ex in exact.items():
+        ap = approx[t]
+        n = ex["n_events"]
+        assert ap["n_events"] == n
+        tol = 1.0 / 10_000 + 3.0 / n
+        vs = sorted(by_type[t])
+        lo_f, hi_f = _rank_frac_bounds(vs, ap["median"])
+        assert lo_f - tol <= 0.5 <= hi_f + tol, (t, "median", ap["median"])
+        advs = sorted(abs(v - ap["median"]) for v in by_type[t])
+        lo_f, hi_f = _rank_frac_bounds(advs, ap["mad"])
+        assert lo_f - tol <= 0.5 <= hi_f + tol, (t, "mad", ap["mad"])
+        # count of rows whose deviation sits between the exact and the
+        # approx outlier thresholds == the max possible count flip
+        k = 3.0 * 1.4826
+        t_ex, t_ap = k * ex["mad"], k * ap["mad"]
+        band_lo, band_hi = min(t_ex, t_ap), max(t_ex, t_ap)
+        # deviations against each form's own median
+        dev_ex = [abs(v - ex["median"]) for v in by_type[t]]
+        band = sum(1 for d in dev_ex if band_lo - 1e-9 < d <= band_hi + 1e-9)
+        med_shift = sum(
+            1
+            for v in by_type[t]
+            if abs(abs(v - ex["median"]) - abs(v - ap["median"])) > 0
+            and min(abs(v - ex["median"]), abs(v - ap["median"])) <= band_hi
+            < max(abs(v - ex["median"]), abs(v - ap["median"]))
+        )
+        assert abs(ap["n_outliers"] - ex["n_outliers"]) <= band + med_shift + 1, (
+            t, ap["n_outliers"], ex["n_outliers"], band, med_shift,
+        )

@@ -434,3 +434,43 @@ def test_group_split_has_zero_leakage_by_construction(spark, sf_dir):
             + rows["by_group"]["val_rows"]
             + rows["by_group"]["test_rows"]
         )
+
+
+def test_quality_quantile_approx_twin_agrees(spark, sf_dir):
+    """quality_quantile_filter_approx (percentile_approx median, no
+    per-lang rank window) must agree with the exact entry: identical
+    n_docs, a median within sketch rank tolerance of the exact one,
+    and an above-median count exactly consistent with its own
+    threshold.  This is what licenses swapping the approx form in when
+    one language dominates the corpus."""
+    import bisect
+
+    import inmem_vector_db_spark.plans.textops as TX
+    from inmem_vector_db_spark.functions.text import quality_score
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["lang"]: r for r in TX.quality_quantile_filter_q(spark, sf_dir).collect()
+    }
+    approx = {
+        r["lang"]: r for r in TX.quality_quantile_filter_approx(docs).collect()
+    }
+    assert set(exact) == set(approx)
+    qrows = docs.select("lang", quality_score(F.col("text")).alias("q")).collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in qrows:
+        by_lang.setdefault(r["lang"], []).append(r["q"])
+    for lang, ex in exact.items():
+        ap = approx[lang]
+        n = ex["n_docs"]
+        assert ap["n_docs"] == n
+        qs = sorted(by_lang[lang])
+        tol = 1.0 / 10_000 + 3.0 / n
+        lo_f = bisect.bisect_left(qs, ap["median_q"]) / n
+        hi_f = bisect.bisect_right(qs, ap["median_q"]) / n
+        assert lo_f - tol <= 0.5 <= hi_f + tol, (lang, ap["median_q"], lo_f, hi_f)
+        # the count must be exactly the python recount at the approx
+        # threshold (both sides 6dp-rounded, so no float ambiguity)
+        recount = sum(1 for q in by_lang[lang] if q > ap["median_q"])
+        assert ap["n_above_median"] == recount, (lang, ap, recount)
