@@ -52,6 +52,10 @@ GATED = [
     "corpus_pipeline_full",
     "decontam_overlap",
     "semantic_dedup",
+    # r12 de-skewed stats entries: the label census broadcast must
+    # match its recorded fingerprint; no hot-key window may return
+    "embedding_norm_outliers",
+    "ridge_conformal_intervals",
 ]
 
 
@@ -73,8 +77,12 @@ def test_no_unexplained_corpus_broadcasts_at_suite_sf(spark, sf_dir):
     skew.loader.exec_module(skew_mod)
     qs = entrymod.queries()
     bad = {}
-    for name in GATED:
-        df = qs[name](spark, sf_dir)
+    # registry entries by name, plus the r12 percentile_approx
+    # production twins (not registry entries — they take DataFrames,
+    # so reuse skew_probe's loader-wrapping thunks)
+    probees = [(n, qs[n]) for n in GATED] + list(skew_mod.TWINS)
+    for name, fn in probees:
+        df = fn(spark, sf_dir)
         df.collect()  # AQE finalizes the plan during execution
         plan = df._jdf.queryExecution().executedPlan().toString()
         survivors = mod.triage(name, mod.corpus_broadcasts(plan))

@@ -60,11 +60,50 @@ _BENIGN = {
     # |groups|, a fixed domain that does not grow with the corpus
     "mad_outliers": {
         "reason": "group-stat table bounded by |event_type|",
-        "expect": [r"keys=\[event_type#\d+\]"],
+        # anchored to the two-middle-ranks avg that builds each median
+        "expect": [
+            r"HashAggregate\(keys=\[event_type#\d+\],"
+            r" functions=\[avg\((?:value|adev)#\d+\)\],"
+            r" output=\[event_type#\d+, med_(?:value|adev)#\d+\]\)"
+        ],
     },
     "winsorized_stats": {
         "reason": "group percentile table bounded by |event_type|",
-        "expect": [r"keys=\[event_type#\d+\]"],
+        # anchored to the rank-filtered min/max threshold aggregate
+        "expect": [
+            r"HashAggregate\(keys=\[event_type#\d+\],"
+            r" functions=\[min\(value#\d+\), max\(value#\d+\)\],"
+            r" output=\[event_type#\d+, p05#\d+, p95#\d+\]\)"
+        ],
+    },
+    # r12 percentile_approx production twins (probed by the pytest
+    # broadcast gate and skew_probe, not registry entries): the
+    # broadcast side is the bounded-|key| sketch census itself
+    "winsorized_stats_approx": {
+        "reason": "per-type percentile sketch table, bounded by"
+                  " |event_type|",
+        "expect": [
+            r"ObjectHashAggregate\(keys=\[event_type#\d+\],"
+            r" functions=\[(?:partial_)?percentile_approx\(value#\d+,"
+            r" \[0\.05,0\.95\]"
+        ],
+    },
+    "mad_outliers_approx": {
+        "reason": "per-type approx-median tables, bounded by"
+                  " |event_type|",
+        "expect": [
+            r"ObjectHashAggregate\(keys=\[event_type#\d+\],"
+            r" functions=\[(?:partial_)?percentile_approx\("
+            r"(?:value|adev)#\d+, 0\.5"
+        ],
+    },
+    "quality_quantile_filter_approx": {
+        "reason": "per-lang approx-median table, bounded by |lang|",
+        "expect": [
+            r"ObjectHashAggregate\(keys=\[lang#\d+\],"
+            r" functions=\[(?:partial_)?count\(1\),"
+            r" (?:partial_)?percentile_approx\(q#\d+, 0\.5"
+        ],
     },
     "events_gapfill": {
         "reason": "hourly per-type aggregate joined to the dense spine:"
@@ -80,7 +119,13 @@ _BENIGN = {
     # the hazard class and is a pinned census join-back since r11.
     "bigram_lm_score": {
         "reason": "unigram LM table = the model, vocab-bounded",
-        "expect": [r"cu#\d+L"],
+        # anchored to the build side's defining HashAggregate shape
+        # (advisor r11: a bare column-name substring would also match a
+        # NEW hazardous broadcast that merely carries the column)
+        "expect": [
+            r"HashAggregate\(keys=\[w#\d+\], functions=\[count\(1\)\],"
+            r" output=\[w1#\d+, cu#\d+L\]\)"
+        ],
     },
     # genuine two-table joins: AQE broadcasts the filtered/projected
     # side while it fits and falls back to SMJ when it doesn't — the
@@ -92,7 +137,9 @@ _BENIGN = {
     },
     "degree_distribution": {
         "reason": "orders projection side; AQE falls back",
-        "expect": [r"o_custkey"],
+        # anchored to the scanned relation: the build must BE the
+        # 2-column orders projection, not merely carry o_custkey
+        "expect": [r"FileScan parquet \[o_orderkey#\d+L,o_custkey#\d+L\]"],
     },
     "multitouch_attribution": {
         "reason": "filtered click side of the bucketed range join, a"
@@ -118,7 +165,22 @@ _BENIGN = {
     },
     "label_centroids": {
         "reason": "per-label aggregate, bounded by |labels|",
-        "expect": [r"label#\d+"],
+        # anchored to the per-label count aggregate that builds the
+        # broadcast side, not the bare label column name
+        "expect": [
+            r"HashAggregate\(keys=\[label#\d+\], functions=\[count\(1\)\],"
+            r" output=\[label#\d+, n_vectors#\d+L\]\)"
+        ],
+    },
+    # r12 census form: the per-label (mu, sd) stats table joined back
+    # for the outlier pass — build side is the label-keyed moment
+    # aggregate, bounded by |labels|, never corpus-sized
+    "embedding_norm_outliers": {
+        "reason": "per-label norm-stats census, bounded by |labels|",
+        "expect": [
+            r"HashAggregate\(keys=\[label#\d+\],"
+            r" functions=\[avg\(nrm#\d+\), stddev_pop\(nrm#\d+\)\]"
+        ],
     },
     "retrieval_eval_metrics": {
         "reason": "exact top-k of a 4-query eval set",
@@ -151,7 +213,7 @@ VEC_ENTRIES = [
     "knn_cosine", "knn_multi_cosine", "embedding_near_dup",
     "semantic_dedup", "knn_label_vote", "mmr_diversify",
     "embedding_pca_var", "contrastive_pair_mining", "label_centroids",
-    "retrieval_eval_metrics",
+    "retrieval_eval_metrics", "embedding_norm_outliers",
 ]
 VEC_SYNTH = "/tmp/spark_graft_sf1_vec"
 

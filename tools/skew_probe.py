@@ -1,11 +1,18 @@
-"""Zipf-skew decade probe for the census/canonical-pick family (r11).
+"""Zipf-skew decade probe for the census/canonical-pick family (r11)
+and the stats family (r12).
 
 The uniform 10x synths (``scale_probe_decade*.py``) are id-shifted
 copies — exactly the distribution that HIDES hot-key stragglers.  This
 tool stages a skewed decade: 10x the sf0.1 documents table with ONE
 document's text duplicated onto 30% of the corpus (the web-corpus
 boilerplate shape), so every term/shingle/bigram/md5 of that document
-becomes a Zipf-hot key holding ~150k rows.
+becomes a Zipf-hot key holding ~150k rows.  r12 adds a skewed EVENTS
+decade (one event_type forced onto 80% of a 10x stream) and a skewed
+EMBEDDINGS decade (one label on 80%) for the stats-family keys
+(label/event_type/lang/source), probing both the de-skewed registry
+entries (embedding_norm_outliers, ridge_conformal_intervals) and the
+percentile_approx production twins of the exact order-statistic
+entries (winsorized/mad/quality-quantile).
 
 It then executes each census/canonical entry at that corpus with AQE
 skew-join thresholds scaled DOWN proportionally to the synth size
@@ -65,12 +72,29 @@ HOT_FRACTION_MOD = 10  # doc_id % 10 < 3  ->  30% of rows carry HOT text
 MAX_TASK_BYTES = 8 * 1024 * 1024
 MIN_RECORDS = 50_000
 
-# WindowExec partition keys that are corpus-derived (hot under Zipf).
+# WindowExec partition keys that are corpus-derived (hot under Zipf)
+# or low-cardinality (one task per key however large the stream —
+# the r12 stats-family extension: label/event_type/lang/source).
 # doc_id windows (per-doc rank) are exempt: unique key, never hot.
+# r12 hardening (advisor r11): the key is matched ANYWHERE in the
+# partition list (a composite partitionBy(source, sh) no longer
+# escapes), behind a word-boundary lookbehind so `lang#` never
+# matches as `g#`, and the md5(...) EXPRESSION match is positional
+# anywhere too (a renamed alias cannot dodge it).
+_CORPUS_KEYS = r"(?:term|sh|shingle|g|h|fp|label|event_type|lang|source)"
 _HOT_WINDOW_KEY = re.compile(
-    r"Window(?:GroupLimit)? \[[^\]]*\], \[(?:term|sh|shingle|g|h|fp)#|"
-    r"windowspecdefinition\((?:term|sh|shingle|g|h|fp)#|"
-    r"windowspecdefinition\(md5\("
+    # Window [exprs], [PARTITION], [order] — key or md5( in bracket 2
+    r"Window \[[^\]]*\], \[[^\]]*?(?:(?<![A-Za-z0-9_])" + _CORPUS_KEYS +
+    r"#|md5\()|"
+    # WindowGroupLimit [PARTITION], [order], rank — key in bracket 1
+    r"WindowGroupLimit \[[^\]]*?(?:(?<![A-Za-z0-9_])" + _CORPUS_KEYS +
+    r"#|md5\()|"
+    # spec form: PARTITION args only — the tempered scan cannot cross
+    # a sort-direction token, so order/tie-break columns (which are
+    # always followed by ASC/DESC) never match; per-doc top-k windows
+    # ordered by a corpus column stay exempt
+    r"windowspecdefinition\((?:(?! ASC| DESC|specifiedwindowframe)[^)])*?"
+    r"(?:(?<![A-Za-z0-9_])" + _CORPUS_KEYS + r"#|md5\()"
 )
 
 ENTRIES = [
@@ -81,6 +105,45 @@ ENTRIES = [
     "boilerplate_ngrams",
     "corpus_curation",
     "corpus_pipeline_full",
+    # r12: the de-skewed stats-family registry entries
+    "embedding_norm_outliers",
+    "ridge_conformal_intervals",
+]
+
+
+def _twin_winsorized(spark, sf_dir):
+    from inmem_vector_db_spark.plans.relational import winsorized_stats_approx
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    return winsorized_stats_approx(load_table(spark, sf_dir, "events"))
+
+
+def _twin_mad(spark, sf_dir):
+    from inmem_vector_db_spark.plans.relational import mad_outliers_approx
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    return mad_outliers_approx(load_table(spark, sf_dir, "events"))
+
+
+def _twin_quality(spark, sf_dir):
+    from inmem_vector_db_spark.plans.textops import (
+        quality_quantile_filter_approx,
+    )
+    from inmem_vector_db_spark.sources.loader import load_table
+
+    return quality_quantile_filter_approx(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+# r12: the skew-capped PRODUCTION twins of the exact order-statistic
+# entries (the exact forms keep their per-key rank windows by design —
+# they are the oracle QA forms and carry documented skew bounds; what
+# must stay hot-key-free at scale is the form a pipeline would run)
+TWINS = [
+    ("winsorized_stats_approx", _twin_winsorized),
+    ("mad_outliers_approx", _twin_mad),
+    ("quality_quantile_filter_approx", _twin_quality),
 ]
 
 
@@ -126,9 +189,73 @@ def stage_zipf(spark) -> None:
         skewed.write.mode("overwrite").parquet(f"{ZIPF_DIR}/documents.parquet")
     import shutil
 
+    def _replace(tgt):
+        if os.path.exists(tgt):
+            (shutil.rmtree if os.path.isdir(tgt) else os.remove)(tgt)
+
+    # r12: skewed EVENTS decade (one event_type forced onto 80% of a
+    # 10x stream) for the stats-family probes — the shape where a
+    # Window.partitionBy(event_type) funnels 80% of the corpus into
+    # one task while the census/percentile_approx forms stay bounded
+    ev_marker = f"{ZIPF_DIR}/.events_skewed_v1"
+    if not os.path.exists(ev_marker):
+        ev = spark.read.parquet(f"{SRC_DIR}/events.parquet")
+        hot_type = (
+            ev.groupBy("event_type")
+            .count()
+            .orderBy(F.desc("count"), "event_type")
+            .head()[0]
+        )
+        n_ev = ev.agg(F.max("event_id")).head()[0] + 1
+        dec = reduce(
+            DataFrame.union,
+            [
+                ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
+                for i in range(COPIES)
+            ],
+        )
+        skewed_ev = dec.withColumn(
+            "event_type",
+            F.when(
+                F.col("event_id") % 10 < 8, F.lit(hot_type)
+            ).otherwise(F.col("event_type")),
+        )
+        _replace(f"{ZIPF_DIR}/events.parquet")
+        skewed_ev.write.parquet(f"{ZIPF_DIR}/events.parquet")
+        open(ev_marker, "w").close()
+
+    # r12: skewed EMBEDDINGS decade (one label on 80% of a 10x table)
+    # for embedding_norm_outliers — same hazard, label key
+    emb_marker = f"{ZIPF_DIR}/.embeddings_skewed_v1"
+    if not os.path.exists(emb_marker):
+        emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+        hot_label = (
+            emb.groupBy("label")
+            .count()
+            .orderBy(F.desc("count"), "label")
+            .head()[0]
+        )
+        n_emb = emb.agg(F.max("vec_id")).head()[0] + 1
+        dec = reduce(
+            DataFrame.union,
+            [
+                emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+                for i in range(COPIES)
+            ],
+        )
+        skewed_emb = dec.withColumn(
+            "label",
+            F.when(F.col("vec_id") % 10 < 8, F.lit(hot_label)).otherwise(
+                F.col("label")
+            ),
+        )
+        _replace(f"{ZIPF_DIR}/embeddings.parquet")
+        skewed_emb.write.parquet(f"{ZIPF_DIR}/embeddings.parquet")
+        open(emb_marker, "w").close()
+
     for t in (
         "region", "nation", "supplier", "part", "customer",
-        "orders", "lineitem", "events", "embeddings",
+        "orders", "lineitem",
     ):
         s, d = f"{SRC_DIR}/{t}.parquet", f"{ZIPF_DIR}/{t}.parquet"
         if not os.path.exists(d):
@@ -209,6 +336,29 @@ def _control_window(spark, sf_dir):
     )
 
 
+def _control_window_stats(spark, sf_dir):
+    """POSITIVE CONTROL #2 (r12): the pre-r12 stats-family window form
+    (avg over Window.partitionBy(event_type) on the full event stream
+    — the shape embedding_norm_outliers had on `label`).  Against the
+    skewed-events decade (one type on 80% of rows) the probe must FLAG
+    this via the widened key regex and/or the hot-partition bytes
+    check, proving the r12 key extension has eyes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("mu", F.avg("value").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") > F.col("mu")).cast("long")).alias(
+                "n_above"
+            )
+        )
+    )
+
+
 def main() -> int:
     names = sys.argv[1:] or ENTRIES
     spark = get_spark(
@@ -228,8 +378,10 @@ def main() -> int:
     qs = entrymod.queries()
     failures = 0
 
-    def probe(name: str, fn) -> bool:
-        """Run one query at the Zipf dir, return True when it FLAGs."""
+    def probe(name: str, fn) -> str:
+        """Run one query at the Zipf dir; return 'flag', 'ok' or 'err'.
+        'err' is its own status (advisor r11): a control that CRASHES
+        must count as PROBE BLIND, not as a successful flag."""
         spark.sparkContext.setJobGroup(name, name)
         try:
             df = fn(spark, ZIPF_DIR)
@@ -237,7 +389,7 @@ def main() -> int:
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:
             print(f"  {name}: ERR {str(exc)[:90]}")
-            return True
+            return "err"
         finally:
             spark.sparkContext.setJobGroup("idle", "idle")
         hot_windows = [
@@ -268,16 +420,24 @@ def main() -> int:
             )
         for w in hot_windows:
             print(f"      {w}")
-        return status != "ok"
+        return "flag" if status != "ok" else "ok"
 
-    for name in names:
-        if probe(name, qs[name]):
+    probees = [(n, qs[n]) for n in names if n in qs]
+    probees += [t for t in TWINS if not sys.argv[1:] or t[0] in names]
+    for name, fn in probees:
+        if probe(name, fn) != "ok":
             failures += 1
-    # positive control: the r10 window form MUST flag, or the probe
-    # has lost its eyes (e.g. the REST metric names drifted)
-    if not probe("control_r10_window_form", _control_window):
-        print("  control_r10_window_form: PROBE BLIND — expected a FLAG")
-        failures += 1
+    # positive controls: the r10 window forms MUST flag, or the probe
+    # has lost its eyes (REST metric-name drift, regex rot).  An ERR
+    # in a control is PROBE BLIND too — a crashed control observed no
+    # flag (advisor r11).
+    for cname, cfn in (
+        ("control_r10_window_form", _control_window),
+        ("control_stats_window_form", _control_window_stats),
+    ):
+        if probe(cname, cfn) != "flag":
+            print(f"  {cname}: PROBE BLIND — expected a FLAG")
+            failures += 1
     print(f"FAILURES: {failures}")
     return 1 if failures else 0
 
