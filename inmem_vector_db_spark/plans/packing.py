@@ -175,10 +175,21 @@ def boilerplate_profile(
     so the hot partition holds most of the corpus.  The census
     map-side-combines hot shingles to one row per map partition, the
     pinned join never broadcasts either side, and the probe-side
-    shuffle by shingle is a JOIN, so AQE skew-join splitting applies;
-    two branches read the exploded stream (census + probe) but both
-    come from the session-persisted signature artifact (or share the
-    scan exchange), so no standalone persist is needed.
+    shuffle by shingle is a JOIN, so AQE skew-join splitting applies.
+
+    Two branches read the exploded stream (census + probe).  With
+    ``sig_index`` (the session-persisted signature artifact — what the
+    registry entry passes) both branches serve from the cached shset
+    column and the shingle build runs once.  On the direct ``docs``
+    path the two branches do NOT share a scan or exchange (the census
+    exchange carries partial counts, the probe exchange carries rows —
+    Spark's ReuseExchange cannot unify them; advisor r11,
+    PLAN_BASELINE), so that path pays the tokenize+shingle expression
+    twice.  That is a deliberate trade: persisting a corpus-sized
+    exploded stream is the wrong move at 100 TB, while the artifact
+    path amortizes the build across the whole dedup/packing family —
+    callers profiling more than once should pass
+    ``corpus_signature_index``.
     """
     if sig_index is not None:  # shared artifact: shset is the n=3 set
         d = sig_index.select("doc_id", "source", "shset").where(
