@@ -2256,17 +2256,17 @@ def embedding_norm_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("nrm").alias("mu"),
         F.stddev_pop("nrm").alias("sd"),
     )
-    outliers = (
-        normed.join(F.broadcast(stats.select("label", "mu", "sd")), "label")
-        .groupBy("label")
+    # carry the census columns through the outlier groupBy (they are
+    # functionally dependent on label), so no second stats join is
+    # needed — one broadcast join + one partial-agg and done
+    return (
+        normed.join(F.broadcast(stats), "label")
+        .groupBy("label", "n_vectors", "mu", "sd")
         .agg(
             F.sum(
                 F.when(F.abs(F.col("nrm") - F.col("mu")) > 2 * F.col("sd"), 1).otherwise(0)
             ).cast("long").alias("n_outliers")
         )
-    )
-    return (
-        stats.join(outliers, "label")
         .select(
             "label",
             "n_vectors",

@@ -179,7 +179,8 @@ _BENIGN = {
         "reason": "per-label norm-stats census, bounded by |labels|",
         "expect": [
             r"HashAggregate\(keys=\[label#\d+\],"
-            r" functions=\[avg\(nrm#\d+\), stddev_pop\(nrm#\d+\)\]"
+            r" functions=\[count\(1\), avg\(nrm#\d+\),"
+            r" stddev_pop\(nrm#\d+\)\]"
         ],
     },
     "retrieval_eval_metrics": {
