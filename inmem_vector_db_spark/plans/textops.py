@@ -1163,11 +1163,17 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with EXACT per-stratum quotas (training-mix
     rebalancing): up to 5 documents per (lang, source) stratum, chosen
     by md5 order so the draw is reproducible across runs, engines, and
-    partition layouts (F.rand is none of those).  The window partitions
-    by stratum, so parallelism = |strata| and a single hot stratum is
-    the skew unit; at 100 TB with few huge strata, switch to the
-    hash-threshold form (filter md5 < quota/|stratum| from a first-pass
-    count — one scan, no window) and accept +-1% quota error."""
+    partition layouts (F.rand is none of those).  SKEW BOUND: because
+    the rank filter is a constant k=5, Spark plans a WindowGroupLimit
+    with a PARTIAL stage below the exchange (verified in the executed
+    plan) — every map partition keeps at most 5 rows per stratum
+    before shuffling, so the shuffle moves <= 5·|strata|·partitions
+    rows and the final per-stratum window sees <= 5·partitions rows
+    however hot the stratum.  The hot-stratum hazard therefore does
+    not apply at constant k; only a quota large enough to defeat the
+    pushdown would need the hash-threshold form (filter md5 <
+    quota/|stratum| from a first-pass count — one scan, no window,
+    +-1% quota error)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

@@ -136,3 +136,47 @@ def test_decade_audit_tool_importable_and_allowlist_well_formed():
         assert spec["expect"], name
         for p in spec["expect"]:
             re.compile(p)
+
+
+def test_hot_window_regex_contract():
+    """Pin both directions of the r12 widened hot-window regex: it
+    must match true PARTITION keys (corpus keys and the stats keys,
+    composite or not, Window bracket-2 / WindowGroupLimit bracket-1 /
+    windowspecdefinition forms) and must NOT match order/tie-break
+    columns — including the GLOBAL-window rendering where the
+    partition bracket is omitted and bracket 2 is the ORDER spec
+    (the vocab_encode false-positive class)."""
+    import importlib.util
+
+    skew = importlib.util.spec_from_file_location(
+        "skew_probe", os.path.join(REPO_ROOT, "tools", "skew_probe.py")
+    )
+    mod = importlib.util.module_from_spec(skew)
+    skew.loader.exec_module(mod)
+    rx = mod._HOT_WINDOW_KEY
+    must_flag = [
+        # plain corpus key, spec form
+        "Window [count(1) windowspecdefinition(sh#3185, specifiedwindowframe(RowFrame, x, y)) AS n#1], [sh#3185], [..]",
+        # stats key
+        "Window [avg(value#1) windowspecdefinition(event_type#2, specifiedwindowframe(RowFrame, x, y)) AS mu#3], [event_type#2], [..]",
+        # composite with the hot key NOT first (advisor r11)
+        "Window [count(1) windowspecdefinition(src_id#9L, sh#10, specifiedwindowframe(RowFrame, x, y)) AS n#1], [src_id#9L, sh#10], [..]",
+        # md5 expression as partition key (renamed-alias dodge)
+        "Window [count(1) windowspecdefinition(md5(text#5), specifiedwindowframe(RowFrame, x, y)) AS n#1], [md5(text#5)], [..]",
+        # WindowGroupLimit partition bracket
+        "WindowGroupLimit [lang#7, source#8], [q#9 ASC NULLS FIRST], row_number(), 5, Final",
+    ]
+    must_pass = [
+        # global window: bracket 2 IS the order spec (partition omitted)
+        "Window [row_number() windowspecdefinition(c#9L DESC NULLS LAST, term#23 ASC NULLS FIRST, specifiedwindowframe(RowFrame, x, y)) AS r#16], [c#9L DESC NULLS LAST, term#23 ASC NULLS FIRST]",
+        # per-doc window ordered by a corpus column (tie-break)
+        "Window [row_number() windowspecdefinition(doc_id#1L, score#2 DESC NULLS LAST, term#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, x, y)) AS r#4], [doc_id#1L], [score#2 DESC NULLS LAST, term#3 ASC NULLS FIRST]",
+        # lang# must not fire the single-letter g# alternative
+        "Window [row_number() windowspecdefinition(doc_id#1L, slang#5 ASC NULLS FIRST, specifiedwindowframe(RowFrame, x, y)) AS r#4], [doc_id#1L], [slang#5 ASC NULLS FIRST]",
+        # WindowGroupLimit partitioned by a unique key, ordered by a hot name
+        "WindowGroupLimit [doc_id#1L], [lang#7 ASC NULLS FIRST], row_number(), 1, Partial",
+    ]
+    for ln in must_flag:
+        assert rx.search(ln), f"regex went blind on: {ln}"
+    for ln in must_pass:
+        assert not rx.search(ln), f"false positive on: {ln}"

@@ -82,19 +82,23 @@ MIN_RECORDS = 50_000
 # matches as `g#`, and the md5(...) EXPRESSION match is positional
 # anywhere too (a renamed alias cannot dodge it).
 _CORPUS_KEYS = r"(?:term|sh|shingle|g|h|fp|label|event_type|lang|source)"
+# Every bracket/paren scan below is TEMPERED: it cannot cross a
+# sort-direction token, so order/tie-break columns (always rendered
+# with ASC/DESC) never match — only true PARTITION columns do.  This
+# also makes the empty-partition case safe: a GLOBAL window prints
+# `Window [exprs], [order]` with the partition bracket omitted, so an
+# untempered "bracket 2" scan would read the ORDER spec and flag
+# global vocab-rank windows on their sort column (observed r12 on
+# vocab_encode/oov_rate/source_token_gini).
+_HOT_KEY_ALT = r"(?:(?<![A-Za-z0-9_])" + _CORPUS_KEYS + r"#|md5\()"
 _HOT_WINDOW_KEY = re.compile(
-    # Window [exprs], [PARTITION], [order] — key or md5( in bracket 2
-    r"Window \[[^\]]*\], \[[^\]]*?(?:(?<![A-Za-z0-9_])" + _CORPUS_KEYS +
-    r"#|md5\()|"
+    # Window [exprs], [PARTITION], [order] — key in bracket 2
+    r"Window \[[^\]]*\], \[(?:(?! ASC| DESC)[^\]])*?" + _HOT_KEY_ALT + r"|"
     # WindowGroupLimit [PARTITION], [order], rank — key in bracket 1
-    r"WindowGroupLimit \[[^\]]*?(?:(?<![A-Za-z0-9_])" + _CORPUS_KEYS +
-    r"#|md5\()|"
-    # spec form: PARTITION args only — the tempered scan cannot cross
-    # a sort-direction token, so order/tie-break columns (which are
-    # always followed by ASC/DESC) never match; per-doc top-k windows
-    # ordered by a corpus column stay exempt
+    r"WindowGroupLimit \[(?:(?! ASC| DESC)[^\]])*?" + _HOT_KEY_ALT + r"|"
+    # spec form: partition args precede the order/frame args
     r"windowspecdefinition\((?:(?! ASC| DESC|specifiedwindowframe)[^)])*?"
-    r"(?:(?<![A-Za-z0-9_])" + _CORPUS_KEYS + r"#|md5\()"
+    + _HOT_KEY_ALT
 )
 
 ENTRIES = [
