@@ -65,11 +65,14 @@ HOT_FRACTION_MOD = 10  # doc_id % 10 < 3  ->  30% of rows carry HOT text
 # small exchange into ONE task (share 1.0, ~1 MB — not a straggler),
 # while a split/coalesced join task stays near the advisory size and a
 # skewed partition may legally reach the 2 MB skew threshold before
-# splitting triggers.  8 MB = 4x the scaled skew threshold: no legal
-# AQE-managed task gets there, while a hot-key WINDOW partition (~30%
-# of an exploded corpus stream, unsplittable) overshoots it by an
-# order of magnitude.
-MAX_TASK_BYTES = 8 * 1024 * 1024
+# splitting triggers.  5 MB = 2.5x the scaled skew threshold: no legal
+# AQE-managed task gets there (worst legit task observed across both
+# probe families: 2.3 MB), while hot-key WINDOW partitions overshoot
+# it — the docs controls by an order of magnitude, the narrower
+# stats-family control (event_type, 80% hot, 16-byte rows) at 6.7 MB.
+# Tightened from 8 MB in r12 so the bytes channel is an INDEPENDENT
+# backstop for the stats keys too, not only the plan regex.
+MAX_TASK_BYTES = 5 * 1024 * 1024
 MIN_RECORDS = 50_000
 
 # WindowExec partition keys that are corpus-derived (hot under Zipf)
