@@ -127,15 +127,27 @@ def test_triage_rejects_unmatched_flag_for_allowlisted_entry():
 )
 def test_decade_audit_tool_importable_and_allowlist_well_formed():
     """Cheap structural pin for the decade tool itself: every _BENIGN
-    entry carries a reason and at least one compilable fingerprint."""
+    entry carries a reason and at least one compilable fingerprint,
+    and (r12) every allowlisted NAME resolves to a live registry entry
+    or a probe twin — a renamed/deleted entry must not leave a stale
+    exoneration behind that a future same-named entry would inherit."""
     import re
 
+    import __spark_entry__ as entrymod
+
     mod = _audit_mod()
+    skew = importlib.util.spec_from_file_location(
+        "skew_probe", os.path.join(REPO_ROOT, "tools", "skew_probe.py")
+    )
+    skew_mod = importlib.util.module_from_spec(skew)
+    skew.loader.exec_module(skew_mod)
+    live = set(entrymod.queries()) | {n for n, _ in skew_mod.TWINS}
     for name, spec in mod._BENIGN.items():
         assert spec["reason"], name
         assert spec["expect"], name
         for p in spec["expect"]:
             re.compile(p)
+        assert name in live, f"stale _BENIGN exoneration: {name}"
 
 
 def test_hot_window_regex_contract():

@@ -273,3 +273,51 @@ def test_mad_approx_twin_agrees(spark, sf_dir):
         assert abs(ap["n_outliers"] - ex["n_outliers"]) <= band + med_shift + 1, (
             t, ap["n_outliers"], ex["n_outliers"], band, med_shift,
         )
+
+
+def test_twins_agree_under_adversarial_skew(spark):
+    """The percentile_approx twins exist for exactly one condition —
+    one key dominating the stream — so pin agreement THERE, not only
+    on the balanced suite tables: 30k-row synthetic events with one
+    type on 90% of rows and a long-tailed value distribution.  The
+    exact forms still compute (small data), and the twins must land
+    within sketch tolerance of them."""
+    import math
+
+    from unittest import mock
+
+    import inmem_vector_db_spark.plans.relational as REL
+
+    n = 30_000
+    rows = []
+    for i in range(n):
+        et = "hot" if i % 10 else "cold"
+        # deterministic long tail: value grows quadratically in a
+        # per-type counter, so p95 >> median and MAD is nontrivial
+        v = float((i * 7919 % 1000) ** 2) / 1000.0
+        rows.append((i, _t(1 + (i % 27)), i % 97, et, v, "{}"))
+    ev = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    with mock.patch.object(REL, "load_table", lambda s, d, t: ev):
+        exact_w = {r["event_type"]: r for r in REL.winsorized_stats(spark, "x").collect()}
+        exact_m = {r["event_type"]: r for r in REL.mad_outliers(spark, "x").collect()}
+    approx_w = {r["event_type"]: r for r in REL.winsorized_stats_approx(ev).collect()}
+    approx_m = {r["event_type"]: r for r in REL.mad_outliers_approx(ev).collect()}
+    assert set(exact_w) == set(approx_w) == {"hot", "cold"}
+    for t in ("hot", "cold"):
+        ew, aw = exact_w[t], approx_w[t]
+        assert aw["n_events"] == ew["n_events"]
+        assert aw["mean"] == ew["mean"]
+        # thresholds within 1% relative rank of exact on 27k rows means
+        # values within the local density band; assert value closeness
+        # via the data's own scale
+        scale = ew["p95"] - ew["p05"]
+        assert abs(aw["p05"] - ew["p05"]) <= 0.02 * scale + 1e-6, (t, aw, ew)
+        assert abs(aw["p95"] - ew["p95"]) <= 0.02 * scale + 1e-6, (t, aw, ew)
+        assert abs(aw["winsorized_mean"] - ew["winsorized_mean"]) <= (
+            max(abs(aw["p05"] - ew["p05"]), abs(aw["p95"] - ew["p95"])) + 2e-6
+        )
+        em, am = exact_m[t], approx_m[t]
+        mscale = max(em["mad"], 1e-6)
+        assert abs(am["median"] - em["median"]) <= 0.05 * mscale * 3 + 1e-6, (t, am, em)
+        assert abs(am["mad"] - em["mad"]) <= 0.05 * mscale * 3 + 1e-6, (t, am, em)
+        assert not math.isnan(am["mad"])
