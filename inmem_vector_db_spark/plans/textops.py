@@ -3106,13 +3106,98 @@ GROUP BY doc_id
 # curriculum/packing pre-pass that groups docs by length class)
 
 
+_CURR_RANK_BUCKETS = 64
+# doc_id value-parts per token-count run: micro-runs are (nt, id-part)
+# cells, so a token count covering the WHOLE corpus still splits into
+# this many near-even pieces (ids of same-length docs spread over the
+# id domain)
+_CURR_ID_PARTS = 64
+
+
+def _curriculum_cells(light: DataFrame, B: int = _CURR_RANK_BUCKETS):
+    """Driver-planned EXACT cell structure for the distributed ntile:
+    split the (nt, doc_id) total order into contiguous cells of
+    near-equal EXACT count, so the per-cell rank windows stay balanced
+    under ANY length distribution — including the web-corpus shape
+    where one token count covers most of the corpus, which defeats
+    value-range bucketing of nt (the whole cluster lands in one range;
+    zorder's range form is safe only because its keys are near-uniform
+    ids).
+
+    Two bounded-result eager jobs (the hybrid_search /
+    bpe_train_merges eager-scalar precedent):
+      * job 0 — id domain + row count: column-pruned doc_id scan, no
+        tokenize;
+      * job A — the MICRO-RUN census ``(nt, id-part) -> exact count``,
+        where id-part = (doc_id - lo) div W over _CURR_ID_PARTS
+        equal-width slices of the id domain.  Micro-runs are ordered
+        by (nt, part) = contiguous rank ranges of the total order, and
+        a run holding the entire corpus still splits ~evenly across
+        the parts, so greedy packing to ~n/B yields balanced cells
+        (adversarial doc-id clustering WITHIN one token count degrades
+        balance, never correctness — counts stay exact).  Census rows
+        are bounded by distinct-token-counts x parts, never corpus
+        rows.
+
+    Returns ``(n, lo, W, rows)`` with rows = [(nt, part, cid, off)]:
+    cid assigns the window partition, off = exact count of all
+    earlier rows in the total order (so global rank = off + local
+    rank without any corpus-derived stats in the plan)."""
+    dom = light.agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    n = int(dom["n"] or 0)
+    if n == 0:
+        return 0, 0, 1, []
+    lo = int(dom["lo"])
+    W = max(-(-(int(dom["hi"]) - lo + 1) // _CURR_ID_PARTS), 1)
+    micro = sorted(
+        (r["nt"], r["p"], r["cnt"])
+        for r in light.groupBy(
+            "nt", F.expr(f"(doc_id - {lo}) div {W}").alias("p")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    target = max(-(-n // B), 1)  # ceil(n / B)
+    # off on each row is the owning CELL's exact start position in the
+    # total order (all rows of a cell share it — the window's local
+    # rank is cell-wide, so rank = cell_off + local rank)
+    rows, cid, acc, off, cell_off = [], 0, 0, 0, 0
+    for nt, part, cnt in micro:
+        if acc >= target:
+            cid += 1
+            acc = 0
+            cell_off = off
+        rows.append((nt, part, cid, cell_off))
+        acc += cnt
+        off += cnt
+    assert off == n, (off, n)
+    return n, lo, W, rows
+
+
 def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) quartile buckets over (n_tokens, doc_id) with per-bucket
     doc counts, token totals, and mean quality.  The explicit total
     order (n_tokens, doc_id) makes ntile deterministic and
-    engine-portable.  At 100 TB the single ntile window would become a
-    range-partitioned rank (or a two-pass histogram split) — noted here
-    because the 5k-row test corpus hides that cost."""
+    engine-portable.
+
+    r12: the ntile is DISTRIBUTED and driver-planned — replacing the
+    r7-r11 global ntile window, whose single task held the whole
+    corpus (the docstring used to carry that caveat).  Shape:
+    ``_curriculum_cells`` runs two tiny eager jobs (id domain, then
+    the micro-run census) and hands back an exact, near-equal-count
+    cell partition of the total order; the main plan is then ONE
+    corpus scan -> broadcast join of the literal (nt, id-part) ->
+    (cell, offset) map -> rank window partitioned by cell (balanced by
+    construction) -> literal-arithmetic global rank -> the exact SQL
+    NTILE fill rule over (rank, n) with n a driver literal —
+    bit-identical to the oracle's ``ntile(4)``.  No corpus-derived
+    broadcast, no corpus-key window, no stats crossJoin: every
+    boundary and offset is a driver literal with an exact count
+    behind it."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3121,9 +3206,38 @@ def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").cast("long").alias("nt"),
         quality_score("text").alias("q"),
     )
-    w = Window.orderBy("nt", "doc_id")
+    n, lo, W, rows = _curriculum_cells(scored.select("doc_id", "nt"))
+    if n == 0:  # ntile over an empty stream = empty result, both engines
+        return scored.select(
+            F.lit(1).alias("bucket"),
+            F.lit(0).cast("long").alias("n_docs"),
+            F.col("nt").alias("min_tokens"),
+            F.col("nt").alias("max_tokens"),
+            F.col("nt").alias("total_tokens"),
+            F.col("q").alias("avg_quality"),
+        ).limit(0)
+    cellmap = spark.createDataFrame(
+        rows, "nt long, p long, cid int, off long"
+    )
+    celled = scored.withColumn(
+        "p", F.expr(f"(doc_id - {lo}) div {W}")
+    ).join(F.broadcast(cellmap), ["nt", "p"])
+    lw = Window.partitionBy("cid").orderBy("nt", "doc_id")
+    ranked = celled.withColumn(
+        "rn",
+        (F.col("off") + F.row_number().over(lw)).cast("bigint"),
+    )
+    # exact NTILE(4) fill rule: q = n div 4 rows per small bucket, the
+    # first r = n mod 4 buckets take q+1 (greatest() guards n < 4);
+    # n is a driver literal, so this is pure row-local arithmetic
+    bucket_expr = F.expr(
+        f"CASE WHEN rn <= ({n} % 4) * (({n} div 4) + 1)"
+        f" THEN (rn - 1) div (({n} div 4) + 1) + 1"
+        f" ELSE ({n} % 4) + (rn - ({n} % 4) * (({n} div 4) + 1) - 1)"
+        f" div greatest({n} div 4, 1) + 1 END"
+    )
     return (
-        scored.withColumn("bucket", F.ntile(4).over(w))
+        ranked.withColumn("bucket", bucket_expr.cast("int"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

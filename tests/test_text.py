@@ -474,3 +474,63 @@ def test_quality_quantile_approx_twin_agrees(spark, sf_dir):
         # threshold (both sides 6dp-rounded, so no float ambiguity)
         recount = sum(1 for q in by_lang[lang] if q > ap["median_q"])
         assert ap["n_above_median"] == recount, (lang, ap, recount)
+
+
+def test_curriculum_distributed_ntile_matches_global_form(spark):
+    """r12: curriculum_buckets' distributed exact-ntile (composite
+    range buckets + local rank + broadcast offsets) must equal the
+    single-window global ntile it replaced, on the adversarial input
+    for its bucketing: EVERY doc the same length (value-ranges of nt
+    would put the whole corpus in one range bucket; the composite
+    nt*2^40+doc_id key spreads it).  Also pins the plan shape: no
+    empty-partition WindowExec anywhere."""
+    from unittest import mock
+
+    from pyspark.sql import Window
+
+    import inmem_vector_db_spark.plans.textops as TX
+
+    rows = [(i, "alpha beta gamma delta epsilon", "en", "web", 30)
+            for i in range(997)]
+    # a few longer docs so buckets aren't degenerate
+    rows += [(10_000 + i, "w " * (40 + i), "en", "web", 80 + 2 * i)
+             for i in range(7)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    with mock.patch.object(TX, "load_table", lambda s, d, t: docs):
+        df = TX.curriculum_buckets_q(spark, "unused")
+        got = {r["bucket"]: r for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    # no global (empty-partition) window may appear in the plan
+    for ln in plan.splitlines():
+        st = ln.strip()
+        if st.startswith("+- Window ") or st.startswith("Window "):
+            assert "], []," not in st, st
+    scored = docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("nt"),
+        TX.quality_score("text").alias("q"),
+    )
+    want_rows = (
+        scored.withColumn(
+            "bucket", F.ntile(4).over(Window.orderBy("nt", "doc_id"))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+        .collect()
+    )
+    want = {r["bucket"]: r for r in want_rows}
+    assert set(got) == set(want) == {1, 2, 3, 4}
+    for b in want:
+        for c in ("n_docs", "min_tokens", "max_tokens", "total_tokens"):
+            assert got[b][c] == want[b][c], (b, c, got[b][c], want[b][c])
+    # composite key really spread the clustered length: with 1004 rows
+    # over 64 range buckets no local rank window saw more than ~1/4 of
+    # the corpus (the 997 same-length docs span many buckets)
+    assert got[1]["n_docs"] == 251  # ceil fill rule: 1004 = 4*251
