@@ -477,13 +477,14 @@ def test_quality_quantile_approx_twin_agrees(spark, sf_dir):
 
 
 def test_curriculum_distributed_ntile_matches_global_form(spark):
-    """r12: curriculum_buckets' distributed exact-ntile (composite
-    range buckets + local rank + broadcast offsets) must equal the
-    single-window global ntile it replaced, on the adversarial input
-    for its bucketing: EVERY doc the same length (value-ranges of nt
-    would put the whole corpus in one range bucket; the composite
-    nt*2^40+doc_id key spreads it).  Also pins the plan shape: no
-    empty-partition WindowExec anywhere."""
+    """r12: curriculum_buckets' driver-planned distributed exact-ntile
+    (micro-run census -> exact cells + literal offsets -> balanced
+    per-cell rank window) must equal the single-window global ntile it
+    replaced, on the adversarial input for its bucketing: nearly EVERY
+    doc the same length (a value-range of nt would put the whole
+    cluster in one bucket; the (nt, id-part) micro-runs split it by
+    doc_id).  Also pins the plan shape: no empty-partition WindowExec
+    anywhere."""
     from unittest import mock
 
     from pyspark.sql import Window
@@ -530,7 +531,13 @@ def test_curriculum_distributed_ntile_matches_global_form(spark):
     for b in want:
         for c in ("n_docs", "min_tokens", "max_tokens", "total_tokens"):
             assert got[b][c] == want[b][c], (b, c, got[b][c], want[b][c])
-    # composite key really spread the clustered length: with 1004 rows
-    # over 64 range buckets no local rank window saw more than ~1/4 of
-    # the corpus (the 997 same-length docs span many buckets)
     assert got[1]["n_docs"] == 251  # ceil fill rule: 1004 = 4*251
+    # the micro-run cells really spread the clustered length: the
+    # hot-nt docs occupy ids 0..996 of a 0..10006 id domain, so they
+    # split over ~7 id-parts — no cell holds the whole cluster
+    n2, lo, W, rows = TX._curriculum_cells(
+        docs.select("doc_id", TX.token_count("text").cast("long").alias("nt"))
+    )
+    assert n2 == 1004
+    hot_cells = {cid for nt, p, cid, off in rows if nt == 5}
+    assert len(hot_cells) >= 5, rows
