@@ -28,13 +28,21 @@ import pytest
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _audit_mod():
+def _tool_mod(name: str):
     spec = importlib.util.spec_from_file_location(
-        "broadcast_audit", os.path.join(REPO_ROOT, "tools", "broadcast_audit.py")
+        name, os.path.join(REPO_ROOT, "tools", f"{name}.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def _audit_mod():
+    return _tool_mod("broadcast_audit")
+
+
+def _skew_mod():
+    return _tool_mod("skew_probe")
 
 
 # The census / canonical-pick / join-back family — every entry that has
@@ -70,11 +78,7 @@ def test_no_unexplained_corpus_broadcasts_at_suite_sf(spark, sf_dir):
     import __spark_entry__ as entrymod
 
     mod = _audit_mod()
-    skew = importlib.util.spec_from_file_location(
-        "skew_probe", os.path.join(REPO_ROOT, "tools", "skew_probe.py")
-    )
-    skew_mod = importlib.util.module_from_spec(skew)
-    skew.loader.exec_module(skew_mod)
+    skew_mod = _skew_mod()
     qs = entrymod.queries()
     bad = {}
     # registry entries by name, plus the r12 percentile_approx
@@ -136,12 +140,7 @@ def test_decade_audit_tool_importable_and_allowlist_well_formed():
     import __spark_entry__ as entrymod
 
     mod = _audit_mod()
-    skew = importlib.util.spec_from_file_location(
-        "skew_probe", os.path.join(REPO_ROOT, "tools", "skew_probe.py")
-    )
-    skew_mod = importlib.util.module_from_spec(skew)
-    skew.loader.exec_module(skew_mod)
-    live = set(entrymod.queries()) | {n for n, _ in skew_mod.TWINS}
+    live = set(entrymod.queries()) | {n for n, _ in _skew_mod().TWINS}
     for name, spec in mod._BENIGN.items():
         assert spec["reason"], name
         assert spec["expect"], name
@@ -158,14 +157,7 @@ def test_hot_window_regex_contract():
     columns — including the GLOBAL-window rendering where the
     partition bracket is omitted and bracket 2 is the ORDER spec
     (the vocab_encode false-positive class)."""
-    import importlib.util
-
-    skew = importlib.util.spec_from_file_location(
-        "skew_probe", os.path.join(REPO_ROOT, "tools", "skew_probe.py")
-    )
-    mod = importlib.util.module_from_spec(skew)
-    skew.loader.exec_module(mod)
-    rx = mod._HOT_WINDOW_KEY
+    rx = _skew_mod()._HOT_WINDOW_KEY
     must_flag = [
         # plain corpus key, spec form
         "Window [count(1) windowspecdefinition(sh#3185, specifiedwindowframe(RowFrame, x, y)) AS n#1], [sh#3185], [..]",

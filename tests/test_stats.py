@@ -200,27 +200,30 @@ def test_winsorized_approx_twin_agrees(spark, sf_dir):
     exact = {r["event_type"]: r for r in winsorized_stats(spark, sf_dir).collect()}
     approx = {r["event_type"]: r for r in winsorized_stats_approx(ev).collect()}
     assert set(exact) == set(approx)
-    vals = {
-        t: sorted(v["value"] for v in rows)
-        for t, rows in (
-            (t, ev.filter(F.col("event_type") == t).select("value").collect())
-            for t in exact
-        )
-    }
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    for t in vals:
+        vals[t].sort()
     for t, ex in exact.items():
         ap = approx[t]
         n = ex["n_events"]
         assert ap["n_events"] == n
-        assert ap["mean"] == ex["mean"]
+        # both means are 6dp-rounded doubles from DIFFERENT physical
+        # plans — summation order differs, so compare within one ulp
+        # of the rounding grid instead of exactly
+        assert abs(ap["mean"] - ex["mean"]) <= 1e-6, (t, ap, ex)
         tol = 1.0 / 10_000 + 3.0 / n  # sketch error + rank convention slip
         for p, col in ((0.05, "p05"), (0.95, "p95")):
             lo_f, hi_f = _rank_frac_bounds(vals[t], ap[col])
             assert lo_f - tol <= p <= hi_f + tol, (t, col, ap[col], lo_f, hi_f)
         # every row's clipped value moves by at most the larger
-        # threshold drift, so the mean does too
+        # threshold drift; the output thresholds are 4dp-rounded while
+        # clipping used the raw values, so allow the hidden sub-4dp
+        # drift (1e-4) on top of the visible one
         drift = max(abs(ap["p05"] - ex["p05"]), abs(ap["p95"] - ex["p95"]))
         assert abs(ap["winsorized_mean"] - ex["winsorized_mean"]) <= (
-            drift + 2e-6
+            drift + 1e-4 + 2e-6
         ), (t, ap, ex)
 
 
@@ -306,7 +309,8 @@ def test_twins_agree_under_adversarial_skew(spark):
     for t in ("hot", "cold"):
         ew, aw = exact_w[t], approx_w[t]
         assert aw["n_events"] == ew["n_events"]
-        assert aw["mean"] == ew["mean"]
+        # 6dp-rounded doubles from different plans: one-ulp tolerance
+        assert abs(aw["mean"] - ew["mean"]) <= 1e-6
         # thresholds within 1% relative rank of exact on 27k rows means
         # values within the local density band; assert value closeness
         # via the data's own scale
@@ -314,7 +318,8 @@ def test_twins_agree_under_adversarial_skew(spark):
         assert abs(aw["p05"] - ew["p05"]) <= 0.02 * scale + 1e-6, (t, aw, ew)
         assert abs(aw["p95"] - ew["p95"]) <= 0.02 * scale + 1e-6, (t, aw, ew)
         assert abs(aw["winsorized_mean"] - ew["winsorized_mean"]) <= (
-            max(abs(aw["p05"] - ew["p05"]), abs(aw["p95"] - ew["p95"])) + 2e-6
+            max(abs(aw["p05"] - ew["p05"]), abs(aw["p95"] - ew["p95"]))
+            + 1e-4 + 2e-6  # thresholds print 4dp-rounded; clip is raw
         )
         em, am = exact_m[t], approx_m[t]
         mscale = max(em["mad"], 1e-6)

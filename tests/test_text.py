@@ -503,11 +503,28 @@ def test_curriculum_distributed_ntile_matches_global_form(spark):
         df = TX.curriculum_buckets_q(spark, "unused")
         got = {r["bucket"]: r for r in df.collect()}
         plan = df._jdf.queryExecution().executedPlan().toString()
-    # no global (empty-partition) window may appear in the plan
+    # no global (empty-partition) window may appear in the plan.
+    # Spark renders a global window with the partition bracket OMITTED
+    # — `Window [exprs], [order]`, two top-level brackets instead of
+    # three — so count brackets rather than look for `[]` (which never
+    # appears); also strip tree-prefix characters so nested lines
+    # (`:  +- Window ...`) are not skipped
+    import re as _re
+
     for ln in plan.splitlines():
-        st = ln.strip()
-        if st.startswith("+- Window ") or st.startswith("Window "):
-            assert "], []," not in st, st
+        st = ln.strip().lstrip(":+- ")
+        if st.startswith(("Window ", "WindowGroupLimit ")):
+            brackets = _re.findall(r"\[[^\[\]]*\]", st)
+            assert len(brackets) != 2, st
+    # positive control for the guard itself: the OLD global form's
+    # rendering must be caught (the bracket-count test cannot go
+    # silently blind the way a `], [],` substring match can)
+    old_form = (
+        "Window [ntile(4) windowspecdefinition(nt#1L ASC NULLS FIRST,"
+        " specifiedwindowframe(RowFrame, a$(), b$())) AS bucket#2],"
+        " [nt#1L ASC NULLS FIRST]"
+    )
+    assert len(_re.findall(r"\[[^\[\]]*\]", old_form)) == 2
     scored = docs.select(
         "doc_id",
         TX.token_count("text").cast("long").alias("nt"),

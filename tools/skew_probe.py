@@ -118,39 +118,38 @@ ENTRIES = [
 ]
 
 
-def _twin_winsorized(spark, sf_dir):
-    from inmem_vector_db_spark.plans.relational import winsorized_stats_approx
-    from inmem_vector_db_spark.sources.loader import load_table
+def _twin(modname: str, fname: str, table: str):
+    """Loader-wrapping thunk for a production twin: (spark, sf_dir) ->
+    twin(load_table(table)).  Twins take DataFrames, not sf dirs, so
+    the probe and the pytest gate share these adapters."""
 
-    return winsorized_stats_approx(load_table(spark, sf_dir, "events"))
+    def thunk(spark, sf_dir):
+        import importlib
 
+        from inmem_vector_db_spark.sources.loader import load_table
 
-def _twin_mad(spark, sf_dir):
-    from inmem_vector_db_spark.plans.relational import mad_outliers_approx
-    from inmem_vector_db_spark.sources.loader import load_table
+        fn = getattr(
+            importlib.import_module(f"inmem_vector_db_spark.plans.{modname}"),
+            fname,
+        )
+        return fn(load_table(spark, sf_dir, table))
 
-    return mad_outliers_approx(load_table(spark, sf_dir, "events"))
-
-
-def _twin_quality(spark, sf_dir):
-    from inmem_vector_db_spark.plans.textops import (
-        quality_quantile_filter_approx,
-    )
-    from inmem_vector_db_spark.sources.loader import load_table
-
-    return quality_quantile_filter_approx(
-        load_table(spark, sf_dir, "documents")
-    )
+    return thunk
 
 
 # r12: the skew-capped PRODUCTION twins of the exact order-statistic
 # entries (the exact forms keep their per-key rank windows by design —
 # they are the oracle QA forms and carry documented skew bounds; what
-# must stay hot-key-free at scale is the form a pipeline would run)
+# must stay hot-key-free at scale is the form a pipeline would run).
+# Names must match broadcast_audit._BENIGN keys — pinned by
+# tests/test_broadcast_gate.py's stale-allowlist ratchet.
 TWINS = [
-    ("winsorized_stats_approx", _twin_winsorized),
-    ("mad_outliers_approx", _twin_mad),
-    ("quality_quantile_filter_approx", _twin_quality),
+    (n, _twin(m, n, t))
+    for n, m, t in (
+        ("winsorized_stats_approx", "relational", "events"),
+        ("mad_outliers_approx", "relational", "events"),
+        ("quality_quantile_filter_approx", "textops", "documents"),
+    )
 ]
 
 
@@ -429,6 +428,11 @@ def main() -> int:
             print(f"      {w}")
         return "flag" if status != "ok" else "ok"
 
+    twin_by_name = dict(TWINS)
+    unknown = [n for n in names if n not in qs and n not in twin_by_name]
+    if unknown:  # loud, not silent: a typo must not yield a green run
+        print(f"UNKNOWN entries: {unknown}", file=sys.stderr)
+        return 2
     probees = [(n, qs[n]) for n in names if n in qs]
     probees += [t for t in TWINS if not sys.argv[1:] or t[0] in names]
     for name, fn in probees:
