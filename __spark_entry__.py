@@ -4192,6 +4192,12 @@ GROUP BY 1
 # + activity_heatmap in-window), events_type_pivot (activity_heatmap
 # pivots in-window), value_histogram (order_rank_stats + q13
 # in-window), table_profile (source_profile + dq_checks in-window).
+# Round-12 late swap: posting_lists in (rewritten this round to the
+# bounded-broadcast census form — code-changed outranks vintage, and
+# its r10 oracle green predates the rewrite) for latest_event_per_user
+# out (r7 vintage, deferred for its in-window same-shape sibling
+# windowed_dedup — both k=1-per-key rank windows bounded by partial
+# WindowGroupLimit; rotates in r13 with the other r7 leftovers).
 # List stays sorted by exec_order() position (pinned by
 # tests/test_entry_contract.py), preserving builder-before-consumer
 # couplings.
@@ -4217,7 +4223,6 @@ _DRIVER_WINDOW = [
     "hourly_trend_slope",
     "time_weighted_avg",
     "winsorized_stats",
-    "latest_event_per_user",
     "mad_outliers",
     "activity_heatmap",
     "next_purchase_asof",
@@ -4230,6 +4235,7 @@ _DRIVER_WINDOW = [
     "semantic_dedup",
     "knn_label_vote",
     "embedding_norm_outliers",
+    "posting_lists",
     "conjunctive_search",
     "quality_quantile_filter",
     "group_split_leakage",

@@ -2458,27 +2458,49 @@ def posting_lists_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency + the sorted doc-id posting list (serialized CSV
     so the value-hash canonicalizer sees a scalar).
 
-    Shape for scale: per-doc ``array_distinct`` BEFORE the explode cuts
-    the shuffled stream to distinct (term, doc) pairs; posting lists
-    build with one groupBy(term).  At 100 TB posting lists for stopword-
-    class terms are huge — production shards them by (term, bucket);
-    the top-10 cap here keeps the driver result bounded."""
+    Shape for scale (r12 rewrite): the old single-pass form ran
+    ``collect_list(doc_id)`` under ``groupBy(term)`` — a corpus-key
+    aggregate whose STATE grows with group size, so the reduce task
+    for a stopword-class term held a corpus-sized list, and it built
+    those lists for EVERY term even though only 10 survive the limit
+    (the non-constant-state residual of the hot-key class the census
+    rewrites closed; decision table in BASELINE.md r11).  Now: per-doc
+    ``array_distinct`` before the explode cuts the stream to distinct
+    (term, doc) pairs; pass 1 is a count census (constant-size
+    partial-agg state, map-side combined) -> TakeOrdered 10; pass 2
+    joins the 10-row top set back — explicit ``F.broadcast``, the
+    bounded-|key| census pattern (limit(10) bounds it BY CONSTRUCTION,
+    never AQE sizing) — so the stream is filtered map-side with no
+    probe-side pre-shuffle, and ``collect_list`` materializes exactly
+    the 10 requested lists.  Those lists are the entry's OUTPUT, so
+    their per-term size is irreducible — production shards by
+    (term, bucket).  Honest cost: two tokenize scans (census + fetch),
+    the documented trade the tfidf/boilerplate census family pays."""
     docs = load_table(spark, sf_dir, "documents")
+    exp = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    top = (
+        exp.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(10)
+    )
     return (
-        docs.select(
-            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
-        )
-        .groupBy("term")
+        exp.join(F.broadcast(top), "term")
+        .groupBy("term", "df")
         .agg(
-            F.count(F.lit(1)).alias("df"),
             F.concat_ws(
                 ",",
                 F.transform(
                     F.array_sort(F.collect_list("doc_id")),
                     lambda x: x.cast("string"),
                 ),
-            ).alias("postings"),
+            ).alias("postings")
         )
+        .select("term", "df", "postings")
+        # <=10 groups by construction; the limit turns the final sort
+        # into TakeOrderedAndProject (no range exchange)
         .orderBy(F.desc("df"), "term")
         .limit(10)
     )

@@ -105,6 +105,16 @@ _BENIGN = {
             r" (?:partial_)?percentile_approx\(q#\d+, 0\.5"
         ],
     },
+    # r12: the broadcast side is the top-10-df census — limit(10)
+    # bounds it BY CONSTRUCTION (bounded-|key| broadcast census); a new
+    # corpus-sized broadcast in this entry would lack the TakeOrdered
+    # census root and fail triage
+    "posting_lists": {
+        "reason": "top-10-df term census, bounded by limit(10)",
+        "expect": [
+            r"TakeOrderedAndProject\(limit=10, orderBy=\[df#\d+L? DESC"
+        ],
+    },
     "events_gapfill": {
         "reason": "hourly per-type aggregate joined to the dense spine:"
                   " bounded by |event_type| x |hours| (time-domain, not"
