@@ -143,7 +143,13 @@ _BENIGN = {
     "q12_ship_latency": {
         "reason": "orders projection side of a genuine two-table join;"
                   " AQE falls back at scale",
-        "expect": [r"o_orderpriority"],
+        # anchored to the scanned relation (advisor r11's remaining
+        # loose class): the build must BE the 3-column orders
+        # projection, not merely carry o_orderpriority downstream
+        "expect": [
+            r"FileScan parquet"
+            r" \[o_orderkey#\d+L,o_orderdate#\d+,o_orderpriority#\d+\]"
+        ],
     },
     "degree_distribution": {
         "reason": "orders projection side; AQE falls back",
@@ -171,7 +177,13 @@ _BENIGN = {
     # vector family: broadcast sides bounded by the query/label domain
     "contrastive_pair_mining": {
         "reason": "per-anchor top-k result, |Q| x k rows",
-        "expect": [r"anchor_id#\d+"],
+        # anchored to the rename-project that DEFINES the negative
+        # table (query_id->anchor_id, vec_id->negative_id), not the
+        # bare anchor_id column a downstream broadcast would carry
+        "expect": [
+            r"Project \[query_id#\d+L AS anchor_id#\d+L,"
+            r" vec_id#\d+L AS negative_id#\d+L"
+        ],
     },
     "label_centroids": {
         "reason": "per-label aggregate, bounded by |labels|",
@@ -195,7 +207,12 @@ _BENIGN = {
     },
     "retrieval_eval_metrics": {
         "reason": "exact top-k of a 4-query eval set",
-        "expect": [r"exact_rank#\d+"],
+        # anchored to the row_number window that COMPUTES exact_rank
+        # over the eval queries, not the bare output column
+        "expect": [
+            r"windowspecdefinition\(query_id#\d+L, dist#\d+ ASC"
+            r"[^\n]*\) AS exact_rank#\d+\]"
+        ],
     },
 }
 
