@@ -617,7 +617,18 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p50/p90/p99) of order value per
     order status — `percentile()` is the exact sort-based aggregate
     (DuckDB: quantile_cont), distinct from the sketch-based
-    approx_percentile used when a full sort is too expensive."""
+    approx_percentile used when a full sort is too expensive.
+
+    Scale bound (the stats-family exact/approx twin pattern): exact
+    ``percentile`` buffers the full per-group value multiset in the
+    final merge task, and ``o_orderstatus`` has 3 values — so one task
+    holds ~1/3 of all order values at 100 TB.  This entry is the exact
+    GRADING leg; its production twin is ``approx_quantile_check``
+    (same grouping and percentiles via mergeable ``approx_percentile``,
+    constant-size sketch state, with 0.5%-relative-error agreement
+    flags asserted by its own oracle) — the same exact-grades-sketch
+    posture as the ANN recall rows and the winsorized/mad/quantile
+    approx twins."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -645,7 +656,9 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact leg exists to GRADE the sketch at test scale; production runs
     only the sketch.  The oracle computes the exact values and asserts
     the flags TRUE — a sketch drifting out of tolerance turns the row
-    red."""
+    red.  This row is the pinned agreement gate for
+    ``order_value_percentiles`` (the exact twin — see its scale-bound
+    note)."""
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.groupBy("o_orderstatus").agg(
         F.expr(
