@@ -1003,7 +1003,8 @@ def _store_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = LibraryStore(spark)
     lid = store.create_library("corpus")
     doc = store.add_documents(
-        lid, spark.createDataFrame([("all",)], "title string")
+        lid,
+        spark.createDataFrame([("all",)], "title string").coalesce(1),
     ).head()
     store.add_chunks(
         lid,
@@ -2846,7 +2847,8 @@ def _store_parity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = LibraryStore(spark)
     lid = store.create_library("parity")
     doc = store.add_documents(
-        lid, spark.createDataFrame([("all",)], "title string")
+        lid,
+        spark.createDataFrame([("all",)], "title string").coalesce(1),
     ).head()
     store.add_chunks(
         lid,
@@ -2900,8 +2902,16 @@ def _store_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = LibraryStore(spark)
     lid = store.create_library("lifecycle", tags=["main"])
 
+    # coalesce(1) on the tiny local batches: createDataFrame slices even
+    # a 3-row list into defaultParallelism partitions, and the store
+    # checkpoints them as-is — every downstream action then schedules
+    # ~cores empty tasks per batch (r13 profile: 916 tasks / 31 jobs in
+    # this entry).  One partition is these batches' true size.
     added = store.add_documents(
-        lid, spark.createDataFrame([("keep",), ("drop",), ("aux",)], "title string")
+        lid,
+        spark.createDataFrame(
+            [("keep",), ("drop",), ("aux",)], "title string"
+        ).coalesce(1),
     )
     ids = {r["title"]: r["document_id"] for r in added.collect()}
 
@@ -2926,7 +2936,8 @@ def _store_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residue may survive in any table
     scratch = store.create_library("scratch")
     sdoc = store.add_documents(
-        scratch, spark.createDataFrame([("s",)], "title string")
+        scratch,
+        spark.createDataFrame([("s",)], "title string").coalesce(1),
     ).head()
     store.add_chunks(
         scratch,

@@ -31,8 +31,21 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank"]
 
 
+# Target bytes of cached transition rows per partition (~24 B/row:
+# two longs + a double, pre-compression).  Sizing the dst-repartition
+# from the MEASURED edge count keeps every iteration's task count
+# proportional to the graph — the r12 form used the static
+# spark.sql.shuffle.partitions (64), which at bench scale ran ~64 tasks
+# per iteration stage over a few MB of edges (r13 profile:
+# pagerank_bipartite = 1354 tasks) and at 100 TB would UNDER-partition
+# by the same static count.  32 MB/partition is the guide's 100 MB-1 GB
+# post-compression band applied to this narrow uncompressed layout.
+_TRANS_PARTITION_BYTES = 32 << 20
+
+
 def _transition_table(edges: DataFrame, symmetrize: bool = True):
-    """(e, strength, trans): the cached PageRank transition layout.
+    """(e, strength, trans, n_nodes, n_edges): the cached PageRank
+    transition layout.
 
     Transition weight per edge = w / strength(src), computed once.
     ``trans`` is partitioned by dst: with broadcast ranks the
@@ -40,7 +53,13 @@ def _transition_table(edges: DataFrame, symmetrize: bool = True):
     finds its input already dst-partitioned and needs NO exchange —
     one shuffle when the table is built, zero per iteration (the
     classic cached-transition-matrix layout).  Shared with the plan
-    test so the no-Exchange pin guards THIS code, not a copy."""
+    test so the no-Exchange pin guards THIS code, not a copy.
+
+    The one bounded materialization job here (1-row agg over strength)
+    doubles as the node census ``pagerank`` previously ran separately
+    AND yields the edge count that sizes the dst-repartition
+    (``_TRANS_PARTITION_BYTES``), so partitioning follows the data
+    instead of a static shuffle-partition constant."""
     e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
     if symmetrize:
         e = e.unionByName(
@@ -49,11 +68,19 @@ def _transition_table(edges: DataFrame, symmetrize: bool = True):
             )
         )
     e = e.persist()
-    strength = e.groupBy("src").agg(F.sum("w").alias("strength")).persist()
+    strength = e.groupBy("src").agg(
+        F.sum("w").alias("strength"), F.count(F.lit(1)).alias("deg")
+    ).persist()
+    dom = strength.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m")
+    ).head()
+    n_nodes = int(dom["n"] or 0)
+    n_edges = int(dom["m"] or 0)
+    n_parts = max(1, -(-(n_edges * 24) // _TRANS_PARTITION_BYTES))
     trans = e.join(strength, "src").select(
         "src", "dst", (F.col("w") / F.col("strength")).alias("p")
-    ).repartition(F.col("dst")).persist()
-    return e, strength, trans
+    ).repartition(n_parts, F.col("dst")).persist()
+    return e, strength, trans, n_nodes, n_edges
 
 
 def _iteration_contrib(trans: DataFrame, ranks: DataFrame, broadcast: bool):
@@ -96,16 +123,13 @@ def pagerank(
     auto-picks by node count; pass ``False`` for billion-node graphs,
     where the partitioned shuffle join is the only option.
     """
-    e, strength, trans = _transition_table(edges, symmetrize)
+    e, strength, trans, n_nodes, _ = _transition_table(edges, symmetrize)
     if symmetrize:
         # strength doubles as the node universe: one row per node (every
         # node appears as src after symmetrization), so no separate
-        # distinct() job
+        # distinct() job; n_nodes came from _transition_table's single
+        # bounded materialization job (which also sized trans)
         nodes = strength.select(F.col("src").alias("node"))
-        # one job: materializes the e + strength caches and yields N
-        # (trans itself is cached by the first iteration's
-        # materialization — a separate trans.count() would be a pass)
-        n_nodes = strength.count()
     else:
         # directed graph: sink nodes (dst-only, no out-edge) are real
         # nodes — they receive inflow and count toward N, they just

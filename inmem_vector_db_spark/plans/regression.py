@@ -377,7 +377,17 @@ _CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
 # (order-statistic resolution is 1/(cap+1)) — the oracle SQL below
 # interpolates it (f-string), so Spark and DuckDB stay consistent from
 # the one edit and no hand regeneration is involved (advisor r6 note).
+# CAP CEILING (advisor r12): the ORDER BY h LIMIT cap plans as
+# TakeOrderedAndProject only while cap <=
+# spark.sql.execution.topKSortFallbackThreshold (default 10000); past
+# that Spark silently falls back to a GLOBAL SORT and the single-task
+# hazard this cap removes comes back.  The assert below makes a future
+# cap raise fail loudly instead (test_conformal_calibration_cap_binds_
+# and_is_top_k only pins the plan at cap=64).
 _CONF_CALIB_CAP = 2048
+assert _CONF_CALIB_CAP <= 10000, (
+    "cap past topKSortFallbackThreshold would plan as a global sort"
+)
 
 
 def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:

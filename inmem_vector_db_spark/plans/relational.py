@@ -2589,7 +2589,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream, a single-task sort when one type dominates.  The
     production form for skewed streams is ``winsorized_stats_approx``
     below (percentile_approx thresholds, pure partial-agg groupBy, no
-    sort); agreement is pinned by tests/test_relational_extra.py::
+    sort); agreement is pinned by tests/test_stats.py::
     test_winsorized_approx_twin_agrees.  This exact form stays as the
     oracle-checked QA entry."""
     from pyspark.sql import Window
@@ -2633,7 +2633,7 @@ def winsorized_stats_approx(ev: DataFrame, accuracy: int = 10_000) -> DataFrame:
     and the clipped mean inherits that bound (clipping only moves the
     ≤ 2/accuracy rank-mass between thresholds).  The exact windowed
     entry stays as the oracle-checked QA form; agreement is pinned by
-    tests/test_relational_extra.py::test_winsorized_approx_twin_agrees."""
+    tests/test_stats.py::test_winsorized_approx_twin_agrees."""
     thr = ev.groupBy("event_type").agg(
         F.percentile_approx(
             "value", [0.05, 0.95], F.lit(accuracy)
@@ -2867,7 +2867,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     type dominates the stream.  The production form for skewed streams
     is ``mad_outliers_approx`` below (both medians via
     percentile_approx, pure partial-agg groupBys, no sort); agreement
-    is pinned by tests/test_relational_extra.py::
+    is pinned by tests/test_stats.py::
     test_mad_approx_twin_agrees.  This exact form stays as the
     oracle-checked QA entry."""
     from pyspark.sql import Window
@@ -2917,7 +2917,7 @@ def mad_outliers_approx(ev: DataFrame, accuracy: int = 10_000) -> DataFrame:
     outlier count inherits that bound (only rows within the threshold
     drift can flip).  The exact windowed entry stays as the
     oracle-checked QA form; agreement is pinned by
-    tests/test_relational_extra.py::test_mad_approx_twin_agrees."""
+    tests/test_stats.py::test_mad_approx_twin_agrees."""
     med = ev.groupBy("event_type").agg(
         F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias(
             "med_value"
@@ -3164,7 +3164,21 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Poisson bootstrap needs across replicas.
     B = 100
     P = 2147483647
-    rep = orders.select(
+    # r13: the bench corpus arrives as ONE parquet file/row-group, so the
+    # scan is a single task and the 100x explode + partial aggregation
+    # below it serialized on one core (profiled: 5 tasks total, ~6 s of
+    # task time in one task).  Hash-repartition the NARROW projection
+    # (o_orderkey, p — 16 bytes/row) to cluster parallelism BEFORE the
+    # explode: the shuffle moves 1% of the post-explode bytes, the
+    # explode and the partial sums then run on every core.  Explicit
+    # numPartitions (not bare repartition(col)) so AQE's byte-based
+    # coalescing cannot fold the pre-explode stage back to one task;
+    # defaultParallelism scales it with the cluster.  Result-identical:
+    # every aggregate downstream is an exact integer/long sum.
+    rep = orders.repartition(
+        orders.sparkSession.sparkContext.defaultParallelism, "o_orderkey"
+    )
+    rep = rep.select(
         "p",
         F.posexplode(
             F.transform(

@@ -22,6 +22,18 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE coalescing targets max(totalBytes/defaultParallelism,
+    # minPartitionSize).  The 1 MB default floor assumes per-row cost is
+    # byte-proportional; this engine's hot post-shuffle stages are often
+    # BYTE-LIGHT but CPU-HEAVY (pair GEMMs over grouped vectors, shingle
+    # explodes, hash verification), and a sub-MB shuffle collapsing to
+    # one task serializes them (r13 profile: semantic_dedup's blocked
+    # GEMM ran as 1 task).  16k keeps those stages at ~defaultParallelism
+    # tasks (target stays totalBytes/parallelism once that exceeds the
+    # floor) while leaving production-sized shuffles untouched — at any
+    # real shuffle size totalBytes/parallelism >> 16k, so the floor is
+    # never the binding term on a cluster.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
@@ -33,6 +45,15 @@ _DEFAULTS = {
     # now that signature/quantized/IVF artifacts stay persisted
     # in-session.  On a real cluster this is an executor-memory knob.
     "spark.driver.memory": "16g",
+    # v2 output committer: task commit moves files to their final
+    # location directly, removing the O(#files) driver-side rename pass
+    # of the job commit — the IVF/LSH index artifacts here are
+    # partitioned directory trees (hundreds of partition dirs per
+    # write), where the v1 sequential driver rename pass is a measurable
+    # constant per build and an O(files) driver stall at production
+    # partition counts.  Standard at-scale setting on filesystems with
+    # atomic rename; revisit only for object stores without one.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }

@@ -241,7 +241,7 @@ def test_pagerank_iteration_has_no_shuffle(spark):
     edges = spark.createDataFrame(
         [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 2.0)], "src long, dst long, weight double"
     )
-    e, strength, trans = _transition_table(edges, symmetrize=True)
+    e, strength, trans, _n, _m = _transition_table(edges, symmetrize=True)
     trans.count()
     ranks = strength.select(F.col("src").alias("node"), F.lit(0.3).alias("rank"))
     contrib = _iteration_contrib(trans, ranks, broadcast=True)
