@@ -1003,8 +1003,7 @@ def _store_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = LibraryStore(spark)
     lid = store.create_library("corpus")
     doc = store.add_documents(
-        lid,
-        spark.createDataFrame([("all",)], "title string").coalesce(1),
+        lid, spark.createDataFrame([("all",)], "title string")
     ).head()
     store.add_chunks(
         lid,
@@ -2180,12 +2179,7 @@ def _ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``probe_lists``).  Scale: one bounded |Q| collect for probe routing,
     cluster sizes are a k-row aggregate, each search is the standard
     batched probe join."""
-    from functools import reduce
-
-    from inmem_vector_db_spark.operators.ann import (
-        ivf_search_batch,
-        probe_lists,
-    )
+    from inmem_vector_db_spark.operators.ann import probe_lists
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id").isin(list(_RECALL_QIDS))).select(
@@ -2198,43 +2192,91 @@ def _ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("sz")
     )
     qrows = queries.collect()  # bounded: |_RECALL_QIDS| rows
-    per = []
-    for nprobe in (1, 2, 3, 5):
-        approx = ivf_search_batch(
-            emb, queries, k=10, nprobe=nprobe, stride=50, metric="euclidean",
-            assigned=assigned, centroids=centroids,
-        ).select("query_id", "vec_id")
-        hits = (
-            approx.join(exact, ["query_id", "vec_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+    # r13 single-pass form (same values, same probe rule): the old loop
+    # ran ivf_search_batch once PER nprobe — four corpus passes over the
+    # cached assignment, four query collects, eight broadcast builds, 38
+    # jobs / 538 tasks profiled.  The probe sets are NESTED (probe_lists
+    # returns ranked centroids: nprobe=n is the first n of the nprobe=5
+    # list), so ONE candidate pass suffices: tag each (query, allowed
+    # cluster) with its centroid rank crn, score each probed candidate
+    # ONCE, explode by the literal nprobe axis with crn <= nprobe (the
+    # oracle's own shape), and take one window top-10 per (nprobe,
+    # query).  Distance expression, probe selection, and tie-breaks are
+    # byte-identical to ivf_search_batch's — the per-nprobe branch of
+    # the old form — so the result set is unchanged.
+    from inmem_vector_db_spark.functions.distance import distance
+
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    nprobes = (1, 2, 3, 5)
+    max_np = max(nprobes)
+    allow = [
+        (int(r["query_id"]), int(c), crn + 1)
+        for r in qrows
+        for crn, c in enumerate(
+            probe_lists(cids, cmat, r["query_vec"], max_np)
         )
-        probes = spark.createDataFrame(
-            [
-                (int(r["query_id"]), int(c))
-                for r in qrows
-                for c in probe_lists(cids, cmat, r["query_vec"], nprobe)
-            ],
-            "query_id bigint, cluster_id bigint",
+    ]
+    allow_df = F.broadcast(
+        literal_df(spark, allow, "query_id bigint, cluster_id bigint, crn int")
+    )
+    qvec_df = F.broadcast(
+        queries.select("query_id", F.col("query_vec").alias("__qvec"))
+    )
+    np_df = F.broadcast(
+        literal_df(spark, [(n,) for n in nprobes], "nprobe int")
+    )
+    cand = (
+        assigned.join(allow_df, "cluster_id")
+        .join(qvec_df, "query_id")
+        .select(
+            "query_id",
+            "crn",
+            "vec_id",
+            distance("euclidean", F.col("__qvec"), F.col("embedding")).alias(
+                "dist"
+            ),
         )
-        scanned = (
-            probes.join(sizes, "cluster_id")
-            .groupBy("query_id")
-            .agg(F.sum("sz").alias("n_scanned"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("dist").asc_nulls_last(), "vec_id"
+    )
+    approx = (
+        cand.join(np_df, F.col("crn") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("nprobe", "query_id", "vec_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    probes = literal_df(
+        spark,
+        [(n, q, c) for n in nprobes for (q, c, crn) in allow if crn <= n],
+        "nprobe int, query_id bigint, cluster_id bigint",
+    )
+    scanned = (
+        probes.join(sizes, "cluster_id")
+        .groupBy("nprobe", "query_id")
+        .agg(F.sum("sz").alias("n_scanned"))
+    )
+    base = np_df.crossJoin(queries.select("query_id"))
+    return (
+        base.join(hits, ["nprobe", "query_id"], "left")
+        .na.fill({"n_hit": 0})
+        .join(scanned, ["nprobe", "query_id"])
+        .select(
+            "nprobe",
+            "query_id",
+            F.round(F.col("n_hit") / 10.0, 6).alias("recall_at_10"),
+            F.col("n_scanned").cast("long").alias("n_scanned"),
         )
-        per.append(
-            queries.select("query_id")
-            .join(hits, "query_id", "left")
-            .na.fill({"n_hit": 0})
-            .join(scanned, "query_id")
-            .select(
-                F.lit(nprobe).alias("nprobe"),
-                "query_id",
-                F.round(F.col("n_hit") / 10.0, 6).alias("recall_at_10"),
-                F.col("n_scanned").cast("long").alias("n_scanned"),
-            )
-        )
-    return reduce(DataFrame.union, per).orderBy("nprobe", "query_id")
+        .orderBy("nprobe", "query_id")
+    )
 
 
 _IVF_NPROBE_TRADEOFF_ORACLE = """
@@ -2597,9 +2639,12 @@ def _rp_distortion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").isin(list(_RECALL_QIDS))
         ).collect()  # bounded: |_RECALL_QIDS| rows
     }
-    qdf = spark.createDataFrame(
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    qdf = literal_df(
+        spark,
         [(qid, v, p) for qid, (v, p) in sorted(qrows.items())],
-        schema="query_id bigint, qv array<bigint>, qp array<bigint>",
+        "query_id bigint, qv array<bigint>, qp array<bigint>",
     )
 
     def _d2(a: str, b: str) -> F.Column:
@@ -2847,8 +2892,7 @@ def _store_parity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = LibraryStore(spark)
     lid = store.create_library("parity")
     doc = store.add_documents(
-        lid,
-        spark.createDataFrame([("all",)], "title string").coalesce(1),
+        lid, spark.createDataFrame([("all",)], "title string")
     ).head()
     store.add_chunks(
         lid,
@@ -2902,16 +2946,8 @@ def _store_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = LibraryStore(spark)
     lid = store.create_library("lifecycle", tags=["main"])
 
-    # coalesce(1) on the tiny local batches: createDataFrame slices even
-    # a 3-row list into defaultParallelism partitions, and the store
-    # checkpoints them as-is — every downstream action then schedules
-    # ~cores empty tasks per batch (r13 profile: 916 tasks / 31 jobs in
-    # this entry).  One partition is these batches' true size.
     added = store.add_documents(
-        lid,
-        spark.createDataFrame(
-            [("keep",), ("drop",), ("aux",)], "title string"
-        ).coalesce(1),
+        lid, spark.createDataFrame([("keep",), ("drop",), ("aux",)], "title string")
     )
     ids = {r["title"]: r["document_id"] for r in added.collect()}
 
@@ -2936,8 +2972,7 @@ def _store_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residue may survive in any table
     scratch = store.create_library("scratch")
     sdoc = store.add_documents(
-        scratch,
-        spark.createDataFrame([("s",)], "title string").coalesce(1),
+        scratch, spark.createDataFrame([("s",)], "title string")
     ).head()
     store.add_chunks(
         scratch,
@@ -3812,7 +3847,9 @@ def _value_histogram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (int(b), int(n), float(s) / int(n)) for b, (n, s) in state.items()
     ]
-    out = spark.createDataFrame(rows, "bin long, n long, avg_raw double")
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    out = literal_df(spark, rows, "bin long, n long, avg_raw double")
     return out.select("bin", "n", F.round("avg_raw", 4).alias("avg_value"))
 
 

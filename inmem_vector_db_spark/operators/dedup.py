@@ -348,8 +348,10 @@ def minhash_precision_curve(
         .select("id_a", "id_b", "jaccard", est)
     )
     spark = sig_index.sparkSession
-    thr = spark.createDataFrame(
-        [(float(t),) for t in thresholds], "threshold double"
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    thr = literal_df(
+        spark, [(float(t),) for t in thresholds], "threshold double"
     )
     pred = F.sum(F.when(F.col("est") >= F.col("threshold"), 1).otherwise(0))
     tp = F.sum(

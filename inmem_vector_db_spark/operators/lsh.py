@@ -242,7 +242,12 @@ class RandomHyperplaneLSH:
             f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
             "table_idx int, sig string"
         )
-        qsig_df = spark.createDataFrame(qsig_rows, qschema)
+        from inmem_vector_db_spark.functions.localframe import literal_df
+
+        # literal_df, not createDataFrame: the query-signature table is a
+        # bounded driver-side literal set, and the parallelize-backed
+        # frame paid a Python-worker evaluation on every search (r13)
+        qsig_df = literal_df(spark, qsig_rows, qschema)
 
         # candidate ids: equi-join on (table_idx, sig), union across
         # tables via distinct — only (id, qid) pairs move.

@@ -342,7 +342,10 @@ def knn_quantized_rerank_multi(
             "dist double, rank int",
         )
     pruned = corpus_q.filter(F.col(id_col).isin(all_ids)).select(id_col, vec_col)
-    qdf = spark.createDataFrame(
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    qdf = literal_df(
+        spark,
         [(int(qid), [float(x) for x in v]) for qid, v in queries],
         "query_id long, query_vec array<double>",
     )
@@ -360,7 +363,8 @@ def knn_quantized_rerank_multi(
         vec_col=vec_col,
     )
     # restrict each query to its own candidates, then take top-k
-    pairs = spark.createDataFrame(
+    pairs = literal_df(
+        spark,
         [(int(qid), i) for qid, s in per_q.items() for i in s],
         f"query_id long, {id_col} {corpus_q.schema[id_col].dataType.simpleString()}",
     )

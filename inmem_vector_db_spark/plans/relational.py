@@ -2227,7 +2227,10 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphans = orders.join(
         cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
     ).count()
-    fk = spark.createDataFrame(
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    fk = literal_df(
+        spark,
         [("orders_custkey_fk", n_orders, orphans)],
         "rule string, n_checked long, n_violations long",
     )

@@ -38,6 +38,7 @@ from inmem_vector_db_spark.operators.dedup import (
 )
 from inmem_vector_db_spark.operators.signatures import corpus_signature_index
 from inmem_vector_db_spark.sources.loader import load_table
+from inmem_vector_db_spark.functions.localframe import literal_df
 
 
 def _sql_list(words) -> str:
@@ -3238,9 +3239,9 @@ def curriculum_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt").alias("total_tokens"),
             F.col("q").alias("avg_quality"),
         ).limit(0)
-    cellmap = spark.createDataFrame(
-        rows, "nt long, p long, cid int, off long"
-    )
+    # literal_df: the bounded census map as a JVM LocalRelation — no
+    # Python-lane evaluation per run (r13)
+    cellmap = literal_df(spark, rows, "nt long, p long, cid int, off long")
     celled = scored.withColumn(
         "p", F.expr(f"(doc_id - {lo}) div {W}")
     ).join(F.broadcast(cellmap), ["nt", "p"])
@@ -4185,8 +4186,10 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full rationale on ``_bpe_train``)."""
     merges, cur = _bpe_train(spark, sf_dir)
     cur.unpersist()
-    return spark.createDataFrame(
-        merges, "round int, left string, right string, pair_count bigint, merged string"
+    return literal_df(
+        spark,
+        merges,
+        "round int, left string, right string, pair_count bigint, merged string",
     )
 
 
@@ -4629,8 +4632,8 @@ def dedup_minhash_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard"),
         F.arrays_overlap("a.bks", "b.bks").alias("caught"),
     )
-    thr = spark.createDataFrame(
-        [(0.5,), (0.7,), (0.9,)], "threshold double"
+    thr = literal_df(
+        spark, [(0.5,), (0.7,), (0.9,)], "threshold double"
     )
     n_true = F.sum(F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0))
     n_caught = F.sum(

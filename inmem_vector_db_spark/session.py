@@ -28,12 +28,14 @@ _DEFAULTS = {
     # BYTE-LIGHT but CPU-HEAVY (pair GEMMs over grouped vectors, shingle
     # explodes, hash verification), and a sub-MB shuffle collapsing to
     # one task serializes them (r13 profile: semantic_dedup's blocked
-    # GEMM ran as 1 task).  16k keeps those stages at ~defaultParallelism
-    # tasks (target stays totalBytes/parallelism once that exceeds the
-    # floor) while leaving production-sized shuffles untouched — at any
-    # real shuffle size totalBytes/parallelism >> 16k, so the floor is
-    # never the binding term on a cluster.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
+    # GEMM ran as 1 task).  256k splits those stages across cores once
+    # they carry a few MB while keeping trivial sub-256k shuffles at one
+    # task (measured: 16k over-fragmented exchange-reuse-heavy plans —
+    # market_basket_lift 2.3s -> 3.2s — while 256k kept both it and the
+    # GEMM/shingle family fast).  At any real shuffle size
+    # totalBytes/parallelism >> 256k, so the floor is never the binding
+    # term on a cluster.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

@@ -155,17 +155,11 @@ class LibraryStore:
             raise ValidationError(f"indexer_type must be one of {INDEXER_TYPES}")
         lid = _new_id()
         ts = _now()
-        # coalesce(1): createDataFrame parallelizes even a 1-row list
-        # into defaultParallelism slices, so without this every later
-        # action over the libraries table schedules ~cores empty tasks
-        # per create_library call (r13 profile: the CRUD lifecycle ran
-        # 916 tasks over ~120 metadata rows).  Metadata rows are
-        # 1-per-call by construction — one partition is their true size.
         row = self.spark.createDataFrame(
             [(lid, name, indexer_type, ts, ts,
               list(dict.fromkeys(t for t in tags if t.strip())))],
             LIBRARIES_SCHEMA,
-        ).coalesce(1)
+        )
         self.libraries = self.libraries.unionByName(row)
         self._library_ids.add(lid)
         return lid
