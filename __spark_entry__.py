@@ -3541,10 +3541,17 @@ def _rest_feed_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_feed_source(spark)
     feed = _stage_feed(spark, sf_dir)
+    # page_bytes 256k (r13; was 64k): each page is one InputPartition =
+    # one Python-worker task, and at 64k the sf0.1 feed planned ~80
+    # tasks whose cold-start dominated the row (profiled: 5.2 s first
+    # exec vs 0.9 s warm).  256k keeps the boundary-straddling record
+    # logic exercised at every SF (sf0.01's ~0.55 MB feed still spans
+    # 3 pages) with 4x fewer Python tasks; a production feed would size
+    # pages in the MBs.
     docs = (
         spark.read.format("document_feed")
         .option("path", feed)
-        .option("page_bytes", 65536)
+        .option("page_bytes", 262144)
         .load()
     )
     return docs.groupBy("source").agg(

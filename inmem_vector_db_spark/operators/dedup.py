@@ -724,7 +724,18 @@ def embedding_near_dup_pairs(
             )
         return pairs(side_a, side_b)
 
-    return keyed.groupBy("__bi", "__bj").applyInPandas(block_pair, schema=out_schema)
+    # explicit-count repartition before the grouped GEMM (r13): block-
+    # pair flops are O((N/B)^2 * dim) per group while the shuffle bytes
+    # are only N*B rows, so AQE's byte-based coalescing serialized the
+    # GEMM stage at bench scale.  REPARTITION_BY_NUM on the group keys
+    # satisfies the groupBy's distribution (no second exchange) and pins
+    # the stage at cluster parallelism.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartition(n_par, "__bi", "__bj")
+        .groupBy("__bi", "__bj")
+        .applyInPandas(block_pair, schema=out_schema)
+    )
 
 
 def embedding_near_dup_pairs_lsh(
@@ -812,6 +823,17 @@ def semantic_dedup_pairs(
     # co-partitions both sides with one keyed exchange each, hash (not
     # sort-merge) because per-cluster group size is ~stride by
     # construction, so build sides are tiny and skew-proof.
+    # explicit-count repartition on the join key (r13): the within-
+    # cluster pair work is CPU-quadratic per cluster while the shuffle
+    # is only ~N rows, so AQE's byte-based coalescing folded the whole
+    # pair stage onto one core at bench scale (minPartitionSize 1m >>
+    # the shuffled bytes).  REPARTITION_BY_NUM pins the co-partitioning
+    # at cluster parallelism — AQE does not coalesce user-numbered
+    # repartitions — and the join consumes it with no further exchange.
+    # At production shuffle sizes the same layout is what the planner
+    # would pick anyway; this only stops the small-bytes collapse.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    assigned = assigned.repartition(n_par, "cluster_id")
     a, b = assigned.alias("a"), assigned.hint("shuffle_hash").alias("b")
     return (
         a.join(

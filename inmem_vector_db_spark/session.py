@@ -22,20 +22,16 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # AQE coalescing targets max(totalBytes/defaultParallelism,
-    # minPartitionSize).  The 1 MB default floor assumes per-row cost is
-    # byte-proportional; this engine's hot post-shuffle stages are often
-    # BYTE-LIGHT but CPU-HEAVY (pair GEMMs over grouped vectors, shingle
-    # explodes, hash verification), and a sub-MB shuffle collapsing to
-    # one task serializes them (r13 profile: semantic_dedup's blocked
-    # GEMM ran as 1 task).  256k splits those stages across cores once
-    # they carry a few MB while keeping trivial sub-256k shuffles at one
-    # task (measured: 16k over-fragmented exchange-reuse-heavy plans —
-    # market_basket_lift 2.3s -> 3.2s — while 256k kept both it and the
-    # GEMM/shingle family fast).  At any real shuffle size
-    # totalBytes/parallelism >> 256k, so the floor is never the binding
-    # term on a cluster.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "256k",
+    # AQE coalesce minPartitionSize stays at the 1m default.  r13
+    # experimented with 16k and 256k floors (bytes are a poor proxy for
+    # work in CPU-heavy byte-light stages): paired fresh-session probes
+    # showed the lower floors over-fragment the text/shingle census
+    # family (bigram_lm_score, duplicated_spans, market_basket_lift all
+    # slower) for a net LOSS, while the two stages that genuinely need
+    # small-bytes parallelism (the pair-GEMM/within-cluster dedup ops)
+    # are now pinned locally with explicit-count repartitions on their
+    # group keys (operators/dedup.py) — targeted, scale-adaptive via
+    # defaultParallelism, and invisible to every other plan.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
