@@ -1002,8 +1002,10 @@ def _store_search_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     store = LibraryStore(spark)
     lid = store.create_library("corpus")
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
     doc = store.add_documents(
-        lid, spark.createDataFrame([("all",)], "title string")
+        lid, literal_df(spark, [("all",)], "title string")
     ).head()
     store.add_chunks(
         lid,
@@ -2891,8 +2893,10 @@ def _store_parity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     store = LibraryStore(spark)
     lid = store.create_library("parity")
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
     doc = store.add_documents(
-        lid, spark.createDataFrame([("all",)], "title string")
+        lid, literal_df(spark, [("all",)], "title string")
     ).head()
     store.add_chunks(
         lid,
@@ -2940,14 +2944,19 @@ def _store_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score) and NEW parent title.  M8/M9 invariants that the result set
     cannot show (created_at preservation, no cross-library residue) are
     asserted in-line and fail the row loudly."""
+    from inmem_vector_db_spark.functions.localframe import literal_df
     from inmem_vector_db_spark.store import LibraryStore
 
     docs = load_table(spark, sf_dir, "documents")
     store = LibraryStore(spark)
     lid = store.create_library("lifecycle", tags=["main"])
 
+    # literal_df (r14): LocalRelation-planned input opts into the
+    # store's driver-side metadata fast path — the old
+    # createDataFrame(list) form planned as a pickled RDD whose
+    # checkpoint+validation cost a 1.4 s Python-lane job (profiled)
     added = store.add_documents(
-        lid, spark.createDataFrame([("keep",), ("drop",), ("aux",)], "title string")
+        lid, literal_df(spark, [("keep",), ("drop",), ("aux",)], "title string")
     )
     ids = {r["title"]: r["document_id"] for r in added.collect()}
 
@@ -2972,7 +2981,7 @@ def _store_crud_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residue may survive in any table
     scratch = store.create_library("scratch")
     sdoc = store.add_documents(
-        scratch, spark.createDataFrame([("s",)], "title string")
+        scratch, literal_df(spark, [("s",)], "title string")
     ).head()
     store.add_chunks(
         scratch,

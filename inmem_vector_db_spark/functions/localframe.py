@@ -54,7 +54,20 @@ def literal_df(
         StructType.fromDDL(schema) if isinstance(schema, str) else schema
     )
     if not rows:
-        return spark.createDataFrame([], st)
+        # a TRUE empty LocalRelation (r14): createDataFrame([], st)
+        # yields a LogicalRDD, which PropagateEmptyRelation cannot
+        # prove empty — every union built on such a base keeps a
+        # physical Union and take-jobs forever.  An all-null literal
+        # row filtered by lit(False) folds (PruneFilters) to the empty
+        # LocalRelation the callers expect.
+        from pyspark.sql import functions as F
+
+        pdf = pd.DataFrame(
+            [tuple(None for _ in st.fields)],
+            columns=[f.name for f in st.fields],
+            dtype=object,
+        )
+        return spark.createDataFrame(pdf, st).where(F.lit(False))
     # dtype=object keeps ints exact (no silent float64 widening for
     # null-bearing columns) — the Arrow conversion casts each column to
     # the declared type from the objects directly

@@ -42,6 +42,22 @@ __all__ = ["pagerank"]
 # post-compression band applied to this narrow uncompressed layout.
 _TRANS_PARTITION_BYTES = 32 << 20
 
+# CPU floor on the byte-derived partition count (r14): the iteration
+# stage is a per-row hash-join probe + aggregate, ~1 us/row — a 32 MB
+# (~1.4M-row) partition is ~1 s of single-task latency that EVERY
+# iteration waits on serially (r13 shipped n_parts=1 at bench scale:
+# three 0.65 s one-task stages in the profile).  When the byte target
+# yields fewer partitions than the cluster has slots AND the graph has
+# enough rows to split into >= _TRANS_MIN_ROWS_PER_TASK chunks (so tiny
+# test graphs stay at 1 task), raise the count to use the slots.  This
+# is the same small-bytes/CPU-heavy correction as the dedup pair-GEMM
+# pins (operators/dedup.py), and it also covers the r13 advisor note
+# that 24 B/row underestimates the cached in-memory footprint: the
+# floor, not the byte estimate, governs until the graph outgrows the
+# cluster (where the byte sizing takes over and what matters is its
+# linearity, not its absolute accuracy).
+_TRANS_MIN_ROWS_PER_TASK = 50_000
+
 
 def _transition_table(edges: DataFrame, symmetrize: bool = True):
     """(e, strength, trans, n_nodes, n_edges): the cached PageRank
@@ -62,11 +78,30 @@ def _transition_table(edges: DataFrame, symmetrize: bool = True):
     instead of a static shuffle-partition constant."""
     e = edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
     if symmetrize:
-        e = e.unionByName(
-            e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
+        # explode both directions in ONE pass (r14): the r13
+        # union-of-two-selects shape planned the edge subtree TWICE —
+        # the physical union evaluates each branch independently, so
+        # an edge list built by a join+aggregate (the entry's shape)
+        # paid its full compute and map output twice (profiled: the
+        # census job's heaviest stages ran 2x64 tasks).  posexplode of
+        # a 2-struct array emits the same row multiset from a single
+        # evaluation of the child.
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"),
+                        F.col("dst").alias("dst"),
+                        F.col("w").alias("w"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("w").alias("w"),
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.*")
     e = e.persist()
     strength = e.groupBy("src").agg(
         F.sum("w").alias("strength"), F.count(F.lit(1)).alias("deg")
@@ -77,6 +112,12 @@ def _transition_table(edges: DataFrame, symmetrize: bool = True):
     n_nodes = int(dom["n"] or 0)
     n_edges = int(dom["m"] or 0)
     n_parts = max(1, -(-(n_edges * 24) // _TRANS_PARTITION_BYTES))
+    # CPU floor (see _TRANS_MIN_ROWS_PER_TASK): fill the cluster's
+    # slots whenever the graph has the rows to justify it
+    slots = edges.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(
+        n_parts, min(slots, -(-n_edges // _TRANS_MIN_ROWS_PER_TASK))
+    )
     trans = e.join(strength, "src").select(
         "src", "dst", (F.col("w") / F.col("strength")).alias("p")
     ).repartition(n_parts, F.col("dst")).persist()
@@ -151,7 +192,7 @@ def pagerank(
         broadcast_ranks = n_nodes <= 10_000_000
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    pinned: list[DataFrame] = []  # frontiers currently persisted
+    pinned: list[DataFrame] = []  # frontiers currently persisted (tol path)
     for it in range(iters):
         contrib = _iteration_contrib(trans, ranks, broadcast_ranks)
         if symmetrize:
@@ -172,36 +213,47 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
-        # materialize each frontier in the cluster: without this, the
-        # broadcast collect (and any reuse) re-executes ALL prior
-        # iterations — O(iters^2) recomputation on an uncached lineage.
+        if tol is None:
+            # fixed-iteration run (r14): NO per-iteration
+            # materialization.  Each frontier occurs exactly once in
+            # the chained plan (feeding the next iteration's
+            # broadcast/shuffle join), so the ONE terminal action
+            # computes every iteration exactly once, bottom-up — the
+            # O(iters^2) recompute hazard only exists when frontiers
+            # are EXECUTED per loop step (a broadcast collect per
+            # iteration over uncached lineage).  This removes the
+            # r13 persist+count pair — 2 driver jobs per iteration —
+            # without losing the protection.  For unbounded iteration
+            # counts the docstring's checkpoint-every-~5 guidance
+            # still applies (plan depth grows with iters).
+            ranks = new_ranks
+            continue
+        # convergence-checked run: the L1 delta references the frontier
+        # TWICE (as `new` now, as `old` next iteration), so each
+        # frontier must be materialized per iteration; the delta head()
+        # below is that materializing action (persist + first action —
+        # the r13 shape ran a separate count() first, one extra job).
         # (A driver-side literal frontier was tried and reverted:
         # createDataFrame routes the rank vector JVM->Python->executors,
         # its BroadcastExchange still runs a collect job, and near the
         # broadcast threshold the Python row objects risk driver OOM the
         # compact JVM-side collect never does.)
         new_ranks = new_ranks.persist()
-        new_ranks.count()
+        delta_row = (
+            new_ranks.alias("new")
+            .join(ranks.alias("old"), F.col("new.node") == F.col("old.node"))
+            .agg(
+                F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d")
+            )
+            .head()
+        )
+        converged = delta_row["d"] is not None and delta_row["d"] < tol
         pinned.append(new_ranks)
         if it == 0:
-            # trans is now cached (the count above computed it); the
+            # trans is now cached (the delta action computed it); the
             # raw edge cache has no further readers.  Runs BEFORE any
             # convergence break so an it==0 stop can't leak it.
             e.unpersist()
-        converged = False
-        if tol is not None:
-            # convergence stop: L1 delta between successive rank
-            # vectors, one distributed agg over the (already cached)
-            # frontiers.  `iters` becomes the max-iteration budget.
-            delta_row = (
-                new_ranks.alias("new")
-                .join(ranks.alias("old"), F.col("new.node") == F.col("old.node"))
-                .agg(
-                    F.sum(F.abs(F.col("new.rank") - F.col("old.rank"))).alias("d")
-                )
-                .head()
-            )
-            converged = delta_row["d"] is not None and delta_row["d"] < tol
         # the superseded frontier has no readers once the new one is
         # materialized and the delta read — drop it so long runs (and
         # repeated pagerank() calls in one session) pin only O(1) caches
@@ -210,21 +262,20 @@ def pagerank(
         ranks = new_ranks
         if converged:
             break
-    if not pinned:  # iters == 0: uniform start — release the build caches
-        out = ranks.localCheckpoint(eager=True)
-        for df in (trans, strength, nodes, e):
-            df.unpersist()
-        return out
-    # hand back a lineage-free result so EVERY cache this call pinned can
-    # be released: localCheckpoint scans the (small, already-cached)
-    # rank vector once and the checkpoint blocks are GC'd with the
-    # DataFrame, unlike CacheManager entries which pin until unpersist.
-    # Released: the final frontier, the transition table, the strength
-    # table, the node universe (directed path), and the raw edge cache
-    # (already gone after iteration 0; unpersist is idempotent) — so
+    # hand back a lineage-free result so EVERY cache this call pinned
+    # can be released: localCheckpoint runs the (single) terminal action
+    # — in the lazy fixed-iteration path this is the one job that
+    # computes all iterations (each BroadcastExchange materializes its
+    # frontier subtree exactly once, bottom-up) — and the checkpoint
+    # blocks are GC'd with the DataFrame, unlike CacheManager entries
+    # which pin until unpersist.  Released: any pinned frontier (tol
+    # path), the transition table, the strength table, the node
+    # universe (directed path), and the raw edge cache (already gone
+    # after iteration 0 in the tol path; unpersist is idempotent) — so
     # repeated pagerank() calls in one session pin nothing.
     out = ranks.localCheckpoint(eager=True)
-    pinned.pop().unpersist()
+    if pinned:
+        pinned.pop().unpersist()
     for df in (trans, strength, nodes, e):
         df.unpersist()
     return out

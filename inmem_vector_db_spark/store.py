@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inmem_vector_db_spark.functions.distance import distance
+from inmem_vector_db_spark.functions.localframe import literal_df
 from inmem_vector_db_spark.sources.embedding import DEFAULT_DIM, with_embeddings
 
 LIBRARIES_SCHEMA = (
@@ -88,13 +89,17 @@ class LibraryStore:
     def __init__(self, spark: SparkSession, dim: int = DEFAULT_DIM) -> None:
         self.spark = spark
         self.dim = dim
-        # plain empty LocalRelations: Catalyst's PropagateEmptyRelation
-        # prunes them out of every union, so the empty bases cost nothing
-        # (wrapping them in coalesce/repartition would BLOCK that rule
-        # and measurably regress the whole mutation family)
-        self.libraries = spark.createDataFrame([], LIBRARIES_SCHEMA)
-        self.documents = spark.createDataFrame([], DOCUMENTS_SCHEMA)
-        self.chunks = spark.createDataFrame([], CHUNKS_SCHEMA)
+        # TRUE empty LocalRelations (r14: via literal_df — a bare
+        # createDataFrame([], schema) is a LogicalRDD, which
+        # PropagateEmptyRelation cannot prove empty, so unions built on
+        # it never folded and every metadata head() escalated through
+        # take-jobs): Catalyst prunes these out of every union, so the
+        # empty bases cost nothing (wrapping them in
+        # coalesce/repartition would BLOCK that rule and measurably
+        # regress the whole mutation family)
+        self.libraries = literal_df(spark, [], LIBRARIES_SCHEMA)
+        self.documents = literal_df(spark, [], DOCUMENTS_SCHEMA)
+        self.chunks = literal_df(spark, [], CHUNKS_SCHEMA)
         # driver-side catalog of known library ids: existence checks are
         # dict lookups in the reference (``dependencies.py:14``) and must
         # not cost a distributed job here either
@@ -155,12 +160,28 @@ class LibraryStore:
             raise ValidationError(f"indexer_type must be one of {INDEXER_TYPES}")
         lid = _new_id()
         ts = _now()
-        row = self.spark.createDataFrame(
-            [(lid, name, indexer_type, ts, ts,
-              list(dict.fromkeys(t for t in tags if t.strip())))],
-            LIBRARIES_SCHEMA,
-        )
-        self.libraries = self.libraries.unionByName(row)
+        # literal_df (r14): the library row is driver-literal, so it
+        # plans as a LocalRelation — metadata reads over the libraries
+        # table (existence probes, the M8 created_at checks) then fold
+        # driver-side instead of escalating head() through 4 take-jobs
+        # of pickled-RDD scans (profiled: ~1 s per head at bench scale)
+        new_row = (lid, name, indexer_type, ts, ts,
+                   list(dict.fromkeys(t for t in tags if t.strip())))
+        # keep the catalog a SINGLE LocalRelation (a Union of
+        # LocalRelations has no fold rule, so heads/existence probes
+        # over it still launch take-jobs); merging driver-side is
+        # size-safe because the current plan being a LocalRelation
+        # means the catalog is already driver-resident
+        cur = self._literal_rows(self.libraries)
+        if cur is not None:
+            self.libraries = literal_df(
+                self.spark, [tuple(r) for r in cur] + [new_row],
+                LIBRARIES_SCHEMA,
+            )
+        else:
+            self.libraries = self.libraries.unionByName(
+                literal_df(self.spark, [new_row], LIBRARIES_SCHEMA)
+            )
         self._library_ids.add(lid)
         return lid
 
@@ -197,11 +218,69 @@ class LibraryStore:
 
     # -- document CRUD (M2, M7, M8) -----------------------------------------
 
+    @staticmethod
+    def _literal_rows(df: DataFrame) -> list | None:
+        """Rows of a driver-literal frame (one that plans as a
+        LocalRelation — e.g. built via ``literal_df``), else None.
+        A LocalRelation's rows already live in the plan, so the
+        collect here is a driver-side copy, not a distributed job."""
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        return df.collect()
+
     def add_documents(self, library_id: str, rows: DataFrame) -> DataFrame:
         """Append documents; input needs ``title`` (+ optional description/
         source/author/tags).  Returns the appended rows with generated ids.
-        Validation per reference ``document.py:25-53``."""
+        Validation per reference ``document.py:25-53``.
+
+        Driver-literal inputs (LocalRelation-planned, e.g. from
+        ``literal_df``) take a driver-side fast path (r14): ids,
+        defaults and validation are computed on the literal rows and
+        the result is itself a LocalRelation — zero distributed jobs
+        for a metadata-only mutation, exactly the reference's
+        in-memory-dict cost model.  The distributed path below is
+        unchanged and still serves arbitrary (arbitrarily LARGE)
+        inputs; the fast path is size-safe by construction because a
+        LocalRelation is already driver-resident."""
         self._require_library(library_id)
+        lit = self._literal_rows(rows)
+        if lit is not None:
+            ts = _now()
+            cols = set(rows.columns)
+
+            def field(r, name, default):
+                return r[name] if name in cols else default
+
+            out = []
+            for r in lit:
+                title = field(r, "title", None)
+                # same predicate as the distributed path's
+                # coalesce(trim(title), '') == '' loud check
+                if title is None or not str(title).strip():
+                    raise ValidationError("document title must be non-empty")
+                raw_tags = field(r, "tags", None) or []
+                # _clean_tags semantics: drop whitespace-only, dedup
+                # keeping first occurrence, preserve original values
+                clean = list(dict.fromkeys(t for t in raw_tags if t and t.strip()))
+                out.append((
+                    _new_id(), library_id, title,
+                    field(r, "description", ""),
+                    field(r, "source", ""),
+                    field(r, "author", None),
+                    ts, clean,
+                ))
+            new = literal_df(self.spark, out, DOCUMENTS_SCHEMA)
+            cur = self._literal_rows(self.documents)
+            if cur is not None:
+                # single merged LocalRelation (see create_library)
+                self.documents = literal_df(
+                    self.spark, [tuple(r) for r in cur] + out,
+                    DOCUMENTS_SCHEMA,
+                )
+            else:
+                self.documents = self.documents.unionByName(new)
+            return new
         udf_id = F.expr("uuid()")
         new = (
             rows.withColumn("document_id", udf_id)
