@@ -166,7 +166,17 @@ def write_ivf_index(
         centroids = select_centroids(corpus, stride, id_col, vec_col, max_centroids)
     cids, cmat = centroids
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
+    # literal_df (r14): the centroid table is driver-literal and
+    # bounded (<= max_centroids rows).  The old createDataFrame(list)
+    # planned as a pickled RDD, and under coalesce(1) the single write
+    # task evaluated EVERY parallelize slice through the Python lane
+    # sequentially — profiled at 4.1-5.8 s per build at bench scale,
+    # the dominant job of every ann_ivf_* build row.  A LocalRelation
+    # writes the same single file in milliseconds.
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    cdf = literal_df(
+        spark,
         [(c, [float(x) for x in row]) for c, row in zip(cids, cmat)],
         f"cid {corpus.schema[id_col].dataType.simpleString()}, centroid array<double>",
     )
@@ -472,7 +482,11 @@ def kmeans_inertia(
     from inmem_vector_db_spark.functions.distance import euclidean
 
     assigned = ivf_assign(corpus, cids, cmat, id_col, vec_col)
-    cdf = assigned.sparkSession.createDataFrame(
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    # literal_df: JVM-literal centroid table (see write_ivf_index)
+    cdf = literal_df(
+        assigned.sparkSession,
         [(c, [float(x) for x in row]) for c, row in zip(cids, cmat)],
         f"cluster_id {assigned.schema['cluster_id'].dataType.simpleString()}, __c array<double>",
     )

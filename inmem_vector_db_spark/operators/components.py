@@ -118,8 +118,12 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
             label[r] = node
     rows = [(node, label[find(node)]) for node in parent]
     node_t = e.schema["u"].dataType.simpleString()
-    return e.sparkSession.createDataFrame(
-        rows, f"node {node_t}, component {node_t}"
+    # literal_df (r14): driver-side union-find output is bounded by the
+    # contracted graph; LocalRelation beats the pickled-RDD lane
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    return literal_df(
+        e.sparkSession, rows, f"node {node_t}, component {node_t}"
     )
 
 

@@ -361,8 +361,14 @@ def delete_from_lsh_index(
     ``id_col`` must match the one the index was written with — the
     tombstone schema is built from it so read/compact anti-joins
     resolve for non-default id columns too."""
-    spark.createDataFrame(
-        [(i,) for i in ids], f"{id_col} long"
+    # literal_df (r14): the id list is driver-literal; the parallelize
+    # form wrote one tiny file per slice through the Python lane (32
+    # Python tasks + 32 files per delete at local defaults) — the
+    # LocalRelation writes one file from one task
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    literal_df(
+        spark, [(i,) for i in ids], f"{id_col} long"
     ).write.mode("append").parquet(f"{path}/tombstones")
 
 

@@ -335,7 +335,11 @@ def knn_quantized_rerank_multi(
         per_q.setdefault(r["query_id"], set()).add(r[id_col])
     spark = corpus_q.sparkSession
     if not all_ids:  # empty corpus/stage-1: match the per-query path
-        return spark.createDataFrame(
+        from inmem_vector_db_spark.functions.localframe import literal_df
+
+        # true empty LocalRelation (r14): foldable, zero tasks
+        return literal_df(
+            spark,
             [],
             f"query_id long, {id_col} "
             f"{corpus_q.schema[id_col].dataType.simpleString()}, "

@@ -136,8 +136,13 @@ class EmbeddingCache:
             cache = spark.read.parquet(self.path)
         except AnalysisException:  # cache not created yet (missing path
             # only — corruption must surface, not silently empty the cache)
-            return spark.createDataFrame(
-                [], "text_hash string, embedding array<float>"
+            from inmem_vector_db_spark.functions.localframe import (
+                literal_df,
+            )
+
+            # true empty LocalRelation (r14): foldable, zero tasks
+            return literal_df(
+                spark, [], "text_hash string, embedding array<float>"
             )
         # read-side dedup: concurrent/interleaved writers may append the
         # same text_hash twice; without this the left join would fan out

@@ -336,7 +336,12 @@ def kmv_state_estimate(
     """One-row (n_kept, estimate) from a bottom-k hash list, using the
     SAME Spark expressions as the batch ``kmv_estimate`` so streaming
     and batch agree bit-for-bit."""
-    df = spark.createDataFrame([(h,) for h in state], "hv LONG")
+    # literal_df (r14): the bottom-k state is a bounded driver list;
+    # the parallelize-backed frame paid a Python-lane evaluation per
+    # call (see functions/localframe.py)
+    from inmem_vector_db_spark.functions.localframe import literal_df
+
+    df = literal_df(spark, [(h,) for h in state], "hv LONG")
     return df.agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.round(
