@@ -67,6 +67,28 @@ def main() -> None:
         # entry's vec_id can't silently fall back out of the policy.
         for vid in entrymod.query_vec_ids():
             entrymod._query_vec(spark, sf_dir, vid)
+        # warm the Python data-source planner/worker machinery (r14):
+        # the FIRST data-source query in a session spawns the planner
+        # and executor Python processes cold (`import pyspark` each,
+        # measured 8.6 s first vs 0.7 s steady-state in one session) —
+        # session-wide machinery of the same class as the pandas-UDF
+        # worker pool warmed above.  A 2-row throwaway feed file in
+        # /tmp: NOT the bench feed (which each feed entry stages
+        # itself, keyed by sf_dir), so nothing a timed row serves from
+        # is precomputed here.
+        import tempfile
+
+        from inmem_vector_db_spark.sources.feed import register_feed_source
+
+        register_feed_source(spark)
+        fd, tiny_feed = tempfile.mkstemp(suffix=".jsonl", prefix="feed_warm_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(
+                '{"doc_id": 0, "text": "w", "lang": "en",'
+                ' "source": "warm", "n_chars": 1}\n'
+            )
+        spark.read.format("document_feed").option("path", tiny_feed).load(
+        ).groupBy("source").count().collect()
     except Exception:
         pass  # warmup is best-effort; timings just run colder
 

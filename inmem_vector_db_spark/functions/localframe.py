@@ -68,6 +68,19 @@ def literal_df(
             dtype=object,
         )
         return spark.createDataFrame(pdf, st).where(F.lit(False))
+    # NaN guard (r13 advisor): the pandas/Arrow object-column path
+    # converts float('nan') to NULL, silently diverging from the
+    # parallelize path's NaN double — fail loudly instead of shipping
+    # the divergence into a plan
+    for r in rows:
+        for v in r:
+            if isinstance(v, float) and v != v:
+                raise ValueError(
+                    "literal_df: float('nan') in literal rows would "
+                    "become NULL via the Arrow conversion; keep NaN "
+                    "out of driver-literal tables (or encode it "
+                    "explicitly as None)"
+                )
     # dtype=object keeps ints exact (no silent float64 widening for
     # null-bearing columns) — the Arrow conversion casts each column to
     # the declared type from the objects directly
@@ -76,4 +89,14 @@ def literal_df(
         columns=[f.name for f in st.fields],
         dtype=object,
     )
-    return spark.createDataFrame(pdf, st)
+    # Arrow-fallback guard (r13 advisor): if the Arrow conversion falls
+    # back to the parallelize path (unsupported object column), the
+    # LocalRelation benefit this helper exists for is silently lost —
+    # escalate pyspark's fallback warning to an error so it fails loudly
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*ttempting non-optimization.*"
+        )
+        return spark.createDataFrame(pdf, st)

@@ -385,12 +385,44 @@ _CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
 # cap raise fail loudly instead (test_conformal_calibration_cap_binds_
 # and_is_top_k only pins the plan at cap=64).
 _CONF_CALIB_CAP = 2048
-assert _CONF_CALIB_CAP <= 10000, (
-    "cap past topKSortFallbackThreshold would plan as a global sort"
-)
+# ValueError, not assert (r13 advisor): an assert is stripped under
+# `python -O`, and the module-level check must survive it.  10000
+# mirrors spark.sql.execution.topKSortFallbackThreshold's DEFAULT; the
+# session's actual value is re-checked at first use in
+# _check_calib_cap_against_session (config drift covered there — at
+# import time no session exists to ask).
+if _CONF_CALIB_CAP > 10000:
+    raise ValueError(
+        "_CONF_CALIB_CAP past topKSortFallbackThreshold would plan as "
+        "a global sort"
+    )
+
+
+_CALIB_CAP_CHECKED: set[str] = set()
+
+
+def _check_calib_cap_against_session(spark: SparkSession) -> None:
+    """Fail loudly if the SESSION's configured topKSortFallbackThreshold
+    (not just the compile-time default) is below the calibration cap —
+    the TakeOrderedAndProject shape the cap exists to keep would
+    silently degrade to a global sort otherwise (r13 advisor)."""
+    app = spark.sparkContext.applicationId
+    if app in _CALIB_CAP_CHECKED:
+        return
+    thr = int(
+        spark.conf.get("spark.sql.execution.topKSortFallbackThreshold")
+    )
+    if _CONF_CALIB_CAP > thr:
+        raise ValueError(
+            f"_CONF_CALIB_CAP={_CONF_CALIB_CAP} exceeds the session's "
+            f"topKSortFallbackThreshold={thr}: the calibration top-k "
+            "would plan as a global sort"
+        )
+    _CALIB_CAP_CHECKED.add(app)
 
 
 def ridge_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _check_calib_cap_against_session(spark)
     design = _design(spark, sf_dir)
     bucket = F.conv(
         F.substring(F.md5(F.col("okey").cast("string")), 1, 15), 16, 10

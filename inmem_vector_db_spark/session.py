@@ -51,6 +51,14 @@ _DEFAULTS = {
     # constant per build and an O(files) driver stall at production
     # partition counts.  Standard at-scale setting on filesystems with
     # atomic rename; revisit only for object stores without one.
+    # HAZARD (r13 advisor): v2 task commits are immediately visible, so
+    # a FAILED partitioned index write (write_ivf_index / LSH artifact
+    # trees) can leave a partial directory a later reader sees as a
+    # valid index.  Accepted for the bench (single-process, loud
+    # failures abort the entry before any reader runs); a production
+    # deployment should gate artifact readers on the _SUCCESS marker or
+    # publish via the rebuild-to-new-path + pointer-swap flow
+    # rebuild_ivf_index already documents.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",

@@ -97,6 +97,10 @@ class FeedReader(DataSourceReader):
             start = end
         return pages or [_FeedPage(self.path, 0, 0)]
 
+    # rows per emitted Arrow batch: bounds page-reader memory while
+    # keeping batches big enough for the columnar transfer to pay off
+    _ARROW_BATCH_ROWS = 10_000
+
     def read(self, partition: _FeedPage):
         # byte-sliced line reads, Hadoop-text-source style: a record
         # belongs to the page containing its FIRST byte; a record that
@@ -104,6 +108,32 @@ class FeedReader(DataSourceReader):
         # skipped by the next page.  The seek(start-1)+readline trick
         # keeps a line that begins exactly at the boundary (seeking to
         # start and unconditionally skipping would drop it).
+        #
+        # Output is Arrow RecordBatches (r14, guide §4): a Python data
+        # source that yields tuples pays a per-row pickle on the
+        # worker→JVM hop; yielding the page as columnar batches moves
+        # the same rows in a handful of Arrow buffers.  Parse order,
+        # boundary semantics, pushed-filter and mode behavior are
+        # unchanged — only the serialization container differs.
+        import pyarrow as pa
+
+        cols = ([], [], [], [], [])
+
+        def flush():
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], type=pa.int64()),
+                    pa.array(cols[1], type=pa.string()),
+                    pa.array(cols[2], type=pa.string()),
+                    pa.array(cols[3], type=pa.string()),
+                    pa.array(cols[4], type=pa.int64()),
+                ],
+                names=["doc_id", "text", "lang", "source", "n_chars"],
+            )
+            for c in cols:
+                c.clear()
+            return batch
+
         with open(partition.path, "rb") as fh:
             if partition.start > 0:
                 fh.seek(partition.start - 1)
@@ -131,11 +161,17 @@ class FeedReader(DataSourceReader):
                 ):
                     continue
                 try:
-                    yield _record_tuple(rec)
+                    row = _record_tuple(rec)
                 except (KeyError, TypeError):
                     if self.mode == "skip":
                         continue
                     raise
+                for c, v in zip(cols, row):
+                    c.append(v)
+                if len(cols[0]) >= self._ARROW_BATCH_ROWS:
+                    yield flush()
+        if cols[0]:
+            yield flush()
 
 
 def _record_tuple(rec: dict):
