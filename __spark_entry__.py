@@ -4265,64 +4265,86 @@ GROUP BY 1
 # List stays sorted by exec_order() position (pinned by
 # tests/test_entry_contract.py), preserving builder-before-consumer
 # couplings.
+# Round-14 rotation (code-changed outranks vintage — the standing r12
+# rule, and r13 VERDICT item 6): the r13 restructures were outside the
+# r13 window, so their oracle status was never driver-checked, and this
+# round touches many of the same paths again.  Composition: 24
+# code-changed entries (r13: ivf_nprobe single-pass, bootstrap explode
+# repartition, bpe/lsh/quantize literal_df consumers; r14: pagerank
+# fold+explode, store LocalRelation catalogs x3, IVF centroid
+# literal_df across the whole build/serve lifecycle, feed Arrow
+# batches x2, lsh tombstone literal, components literal
+# (dedup_clusters), KMV literal (user_distinct_stream), conformal
+# session-threshold check) + the 10 remaining r7-vintage rows deferred
+# at r13 + 16 r8-vintage rows preferring paths the r13 suite-wide v2
+# committer change writes through (jsonl/orc staging, partitioned/
+# snapshot/zorder writes, value_histogram_stream sink) and the r8 knn
+# serve + simhash + events families.  Oldest-check age after this
+# window: r9.  List stays sorted by exec_order() position (pinned by
+# tests/test_entry_contract.py), preserving builder-before-consumer
+# couplings (ann_ivf_index_build < partitioned/append/rebuild/merge/
+# delete consumers; dedup_simhash before dedup_simhash_fast_check).
 _DRIVER_WINDOW = [
-    "dedup_probe_stream",
-    "contrastive_pair_mining",
-    "approx_quantile_check",
-    "approx_distinct_hll_check",
-    "purchase_funnel",
-    "order_rank_stats",
-    "props_variant_stats",
-    "events_anomaly_zscore",
-    "incremental_agg_merge",
-    "user_rolling_activity",
-    "event_trigram_motifs",
-    "windowed_dedup",
-    "multitouch_attribution",
-    "revenue_share",
-    "dq_checks",
-    "ivf_balance",
-    "sql_api_report",
-    "props_map_stats",
-    "hourly_trend_slope",
-    "time_weighted_avg",
-    "winsorized_stats",
-    "mad_outliers",
-    "activity_heatmap",
-    "next_purchase_asof",
-    "dedup_exact_summary",
-    "dedup_exact_pairs",
-    "heavy_hitters_cms",
-    "weighted_sample",
-    "corpus_curation",
-    "stratified_sample",
-    "semantic_dedup",
-    "knn_label_vote",
-    "embedding_norm_outliers",
-    "posting_lists",
-    "conjunctive_search",
-    "quality_quantile_filter",
-    "group_split_leakage",
-    "crossdoc_shingle_dup",
-    "curriculum_buckets",
-    "udtf_sentences",
-    "corpus_pipeline_full",
-    "lang_confusion",
-    "source_profile",
-    "chunk_stitch",
-    "source_token_gini",
-    "source_mix_weights",
-    "embedding_drift_by_label",
-    "q13_order_distribution",
-    "boilerplate_ngrams",
+    "knn_euclidean",
+    "knn_manhattan",
+    "knn_dot_product",
+    "knn_postfilter_parity",
+    "ann_ivf_multi",
+    "ivf_nprobe_tradeoff",
+    "lsh_knn_cosine",
+    "lsh_knn_multiprobe",
+    "lsh_index_delete_search",
+    "store_search_pipeline",
+    "store_crud_lifecycle",
+    "jsonl_source_agg",
+    "rest_feed_source_agg",
+    "feed_tail_stream",
+    "orc_source_agg",
+    "partitioned_write_roundtrip",
+    "snapshot_time_travel",
+    "user_distinct_stream",
+    "value_histogram_stream",
+    "store_parity_search",
+    "knn_quantized",
+    "ann_ivf_index_build",
+    "ann_ivf_partitioned",
+    "ann_ivf_kmeans_recall",
+    "ann_ivf_append_search",
+    "ann_ivf_rebuild_search",
+    "ann_ivf_merge_search",
+    "ann_ivf_delete_search",
+    "events_hourly",
+    "events_user_stats",
+    "user_sessions",
+    "events_sliding_windows",
+    "events_type_pivot",
+    "events_json_props",
+    "pagerank_bipartite",
+    "value_histogram",
+    "weekly_growth",
+    "latest_event_per_user",
+    "bootstrap_ci_order_value",
+    "dedup_probe_batch",
+    "dedup_clusters",
+    "approx_distinct_kmv",
+    "table_profile",
+    "dedup_simhash",
+    "dedup_simhash_fast",
+    "dedup_simhash_fast_check",
+    "corpus_sample",
+    "bpe_train_merges",
+    "zorder_layout_pruning",
     "ridge_conformal_intervals",
 ]
 
 # rows-only window slots (no DuckDB value oracle); every other windowed
 # entry must carry a value oracle — pinned by tests/test_entry_contract.py.
-# Empty this round: dedup_simhash_fast got its rows-only driver row in
-# r07 and its value-grade contract (dedup_simhash_fast_check) is windowed.
-_ROWS_ONLY_WINDOWED: set[str] = set()
+# r14: dedup_simhash_fast rotates in with the rest of the r7-vintage
+# cohort; it is rows-only BY DESIGN (xxhash64 signatures are not
+# portable to DuckDB) and its value-grade contract
+# (dedup_simhash_fast_check, windowed right after it) grades it against
+# the portable md5 twin.
+_ROWS_ONLY_WINDOWED: set[str] = {"dedup_simhash_fast"}
 
 # Entries that OWN a one-time artifact/memo build (their first call
 # builds, later calls serve the memo) — bench times them exactly once:
